@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory over the driver's
+deterministic test tables; each entry has a DuckDB oracle in ``oracle_sql()``
+(row-count + schema + order-insensitive value-hash at sf0.01).
+
+The inverted-index/BM25 engine itself (deusu_spark.build / deusu_spark.query)
+is validated by the pytest suite against a pure-Python oracle
+(tests/test_rank_identity.py) because its input is the synthetic transcript
+corpus, not these tables.
 """
 
 from __future__ import annotations
@@ -13,26 +16,226 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from deusu_spark import pipelines
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: binary-TF BM25 top-k retrieval composed from tokenize →
+    postings → df/idf → score → top-k, all with built-in DataFrame ops."""
+    return pipelines.q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(pipelines.QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t "
+    "FROM documents"
+)
+_TOKS = f"SELECT doc_id, t FROM ({_TOK}) WHERE t <> ''"
+_DTOKS = f"SELECT DISTINCT doc_id, t FROM ({_TOK}) WHERE t <> ''"
+_ARR = (
+    "SELECT doc_id, text, "
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a "
+    "FROM documents"
+)
+_SHINGLES = (
+    f"SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh "
+    f"FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i "
+    f"      FROM ({_ARR}) WHERE len(a) >= 3 AND doc_id < {{maxdoc}})"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "brands_shipped": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders WHERE o_custkey < 100)
+            WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "filter_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            WHERE l_discount > 0.05 AND l_quantity >= 30
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 50
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
+        """,
+        "user_sessions": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events WHERE user_id < 20)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL
+                                 OR date_diff('second', prev, ts) > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id ORDER BY user_id
+        """,
+        "distinct_priorities": """
+            SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+        """,
+        "term_df": f"""
+            SELECT t, count(*) AS df FROM ({_DTOKS})
+            GROUP BY t ORDER BY df DESC, t LIMIT 30
+        """,
+        "term_idf": f"""
+            SELECT t, df, round(log10(11.0 +
+                   ((SELECT count(*) FROM documents) + df + 0.5) / (df + 0.5)),
+                   6) AS idf
+            FROM (SELECT t, count(*) AS df FROM ({_DTOKS}) GROUP BY t)
+            ORDER BY df DESC, t LIMIT 30
+        """,
+        "postings_sample": f"""
+            SELECT doc_id, t FROM ({_DTOKS})
+            WHERE t IN ('spark', 'vector', 'stream')
+            ORDER BY t, doc_id
+        """,
+        "bool_and": f"""
+            SELECT doc_id FROM ({_DTOKS})
+            WHERE t IN ('spark', 'join')
+            GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
+        """,
+        "bool_not": f"""
+            WITH toks AS ({_DTOKS})
+            SELECT doc_id FROM toks WHERE t = 'spark'
+              AND doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'vector')
+            ORDER BY doc_id
+        """,
+        "bm25_topk": f"""
+            WITH tok AS ({_TOKS}),
+                 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+                 ad AS (SELECT avg(dl) AS avgdl FROM dl),
+                 qt AS (SELECT DISTINCT doc_id, t FROM tok
+                        WHERE t IN ('spark', 'join')),
+                 dfs AS (SELECT t, count(*) AS df FROM qt GROUP BY t),
+                 nn AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id,
+                   round(sum(ln(1.0 + (nn.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                         * (1.2 + 1.0) * 1.0
+                         / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))),
+                         5) AS score
+            FROM qt JOIN dfs USING (t) JOIN dl USING (doc_id), nn, ad
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+            FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "dedup_exact": r"""
+            SELECT fp, count(*) AS cnt FROM (
+                SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                FROM documents)
+            GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS ({_SHINGLES.format(maxdoc=200)}),
+                 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+                 inter AS (
+                     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            count(*) AS inter
+                     FROM sh a JOIN sh b
+                       ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 5) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.4
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_band_candidates": f"""
+            WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
+                 sig AS (SELECT doc_id,
+                                min(md5('s0:' || sh)) AS h0,
+                                min(md5('s1:' || sh)) AS h1,
+                                min(md5('s2:' || sh)) AS h2,
+                                min(md5('s3:' || sh)) AS h3
+                         FROM sh GROUP BY doc_id),
+                 bands AS (
+                     SELECT doc_id, 'b0:' || h0 AS band FROM sig
+                     UNION ALL SELECT doc_id, 'b1:' || h1 FROM sig
+                     UNION ALL SELECT doc_id, 'b2:' || h2 FROM sig
+                     UNION ALL SELECT doc_id, 'b3:' || h3 FROM sig)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(a) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_actual,
+                   round(CAST(len(list_filter(a, x -> list_contains(
+                         ['the','a','and','of','to','in','is','it'], x)))
+                         AS DOUBLE) / len(a), 5) AS stop_ratio
+            FROM ({_ARR}) WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "embedding_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+                 sims AS (
+                     SELECT vec_id,
+                            (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                             FROM (SELECT unnest(e.embedding) AS x,
+                                          unnest(q.qe) AS y)) /
+                            (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                                   FROM (SELECT unnest(e.embedding) AS x))) *
+                             sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                                   FROM (SELECT unnest(q.qe) AS y)))) AS sim
+                     FROM embeddings e, q WHERE e.vec_id <> 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15
+        """,
+    }

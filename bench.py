@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Round benchmark: headline relational/pipeline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) + the inverted-index
+engine's build & query throughput on the synthetic transcript corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "engine": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deusu_spark import pipelines, synth  # noqa: E402
+from deusu_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "customers_without_orders",
+    "top3_orders_per_customer",
+    "filter_topk",
+    "events_hourly",
+    "user_sessions",
+    "term_df",
+    "bm25_topk",
+    "dedup_exact",
+    "minhash_band_candidates",
+    "embedding_cosine_topk",
+]
+
+ENGINE_QUERIES = [
+    "linux",
+    "w0042",
+    "linux ubuntu",
+    "linux -google",
+    "intitle:assistant linux",
+    "host:conv00000017",
+    "google java",
+    "w0100 w0005 linux",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    spark = get_spark(app="deusu-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = pipelines.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    # ---- engine: build + query throughput on the synthetic corpus ----------
+    engine_stats: dict = {}
+    try:
+        from deusu_spark.build import build_index
+        from deusu_spark.query import SearchEngine
+
+        corpus = synth.gen_transcripts(n_convs)
+        sdf = spark.createDataFrame(corpus)
+        idx_dir = tempfile.mkdtemp(prefix="deusu_bench_idx_")
+        t0 = time.time()
+        metrics = build_index(
+            spark,
+            sdf,
+            idx_dir,
+            fancy_threshold=max(1000, n_convs // 4),
+            bucket_groups=2,
+        )
+        build_s = time.time() - t0
+        times["fts_build"] = round(build_s, 3)
+        engine_stats["n_docs"] = metrics["n_docs"]
+        engine_stats["n_postings"] = metrics["n_postings"]
+        engine_stats["postings_per_s"] = round(metrics["n_postings"] / build_s, 1)
+        engine_stats["compressed_bytes"] = metrics["compressed_bytes"]
+
+        eng = SearchEngine(spark, idx_dir)
+        t0 = time.time()
+        for q in ENGINE_QUERIES:
+            eng.search(q, k=10)
+        qs = time.time() - t0
+        times["fts_query_set"] = round(qs, 3)
+        engine_stats["queries_per_s"] = round(len(ENGINE_QUERIES) / qs, 3)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    except Exception as e:  # keep the bench line emitting even on failure
+        engine_stats["error"] = repr(e)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "engine": engine_stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,529 @@
+"""Distributed inverted-index build (the Spark rebuild of GenDb).
+
+Pipeline (mirrors GenDb's passes, re-expressed as one Spark DAG with durable
+stage boundaries — GenDb.dpr:1315-1352's gendb.progress becomes a lineage
+journal + idempotent per-stage reruns):
+
+  stage docs     tokenize every turn (Arrow mapInPandas, no per-row Python),
+                 assign dense doc_id over (conv_id, turn_idx), derive per-doc
+                 sidecar values (filter byte, host elements, domain rank,
+                 backlinks — GenDb.dpr:343-426)
+  stage scatter  explode (term, doc_id, flags) and hash-scatter into the 64
+                 reference term buckets crc32(term)&63 (GenDb.dpr:349)
+  stage segments per bucket group: per-term df (lexicon), then per-term
+                 grouping with doc-range *salting* for hot terms, delta-gap +
+                 varbyte encoding into bounded posting segments, fancy
+                 accelerator lists (GenDb.dpr:975-1109), block-max metadata
+  stage publish  meta.json + CURRENT pointer → atomic index swap
+                 (the ready2.dat dual-path swap, GenDb.dpr:1354-1357)
+
+Resumable: each stage (and each bucket group of the segments stage) records a
+lineage row; rerunning build() skips completed stages.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec, textproc
+from .constants import (
+    DEFAULT_WEIGHTS,
+    FANCY_DF_THRESHOLD,
+    FANCY_RANK_HI,
+    FANCY_RANK_LO,
+    LANG_BONUS,
+    N_TERM_BUCKETS,
+    PREFER_DE,
+    PREFER_EN,
+    RANK_FACTOR,
+    SEGMENT_SIZE,
+    UNRANKED_RANK_VALUE,
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("_pid", T.IntegerType()),
+        T.StructField("_rn", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("german", T.BooleanType()),
+        T.StructField("fd", T.IntegerType()),
+        T.StructField("he", T.IntegerType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("backlinks", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tflags", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'full' | 'fancy'
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("max_static", T.DoubleType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+
+def static_scores(
+    flags: np.ndarray,
+    fd: np.ndarray,
+    he: np.ndarray,
+    rank: np.ndarray,
+    backlinks: np.ndarray,
+    max_bl: int,
+    include_backlink: bool = True,
+    weights: dict[str, int] | None = None,
+) -> np.ndarray:
+    """Vectorized pre-IDF static score of postings — the term-independent part
+    of searchservernew.dpr:874-897. A posting's final score is
+    Round(static * idf) clamped to 65535; with include_backlink=True this is
+    the acSet variant, an upper bound for all paths (the fast-AND path just
+    omits the non-negative backlink add, :491)."""
+    w = weights or DEFAULT_WEIGHTS
+    flags = flags.astype(np.int64)
+    fd = fd.astype(np.int64)
+    v = np.full(len(flags), w["b1"], dtype=np.float64)
+    v += np.where(flags & 1, w["b2"], 0)
+    v += np.where(flags & 2, w["b3"], 0)
+    v += np.where(flags & 4, w["b4"], 0)
+    v += np.where(fd & 128, w["b5"], 0)
+    v += np.where(fd & 64, w["b6"], 0)
+    if PREFER_DE:
+        v += np.where(fd & 32, LANG_BONUS, 0)
+    if PREFER_EN:
+        v += np.where(fd & 32, 0, LANG_BONUS)
+    v += (31 - (fd & 31)) * w["b7"]
+    if include_backlink:
+        ln_mbl = math.log(max_bl) if max_bl > 0 else 0.0
+        bl = np.asarray(backlinks, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            blv = np.where(
+                bl == 0, 1.0, (2500.0 * np.log(np.maximum(bl, 1)) / ln_mbl) if ln_mbl > 0 else 0.0
+            )
+        v += np.round(blv)  # np.round = round-half-to-even = Pascal Round
+    rank_v = np.asarray(rank, dtype=np.int64) + 1
+    rank_v = np.where(rank_v == 0, UNRANKED_RANK_VALUE, rank_v)
+    return (1.0 - rank_v * RANK_FACTOR) * v / np.asarray(he, dtype=np.float64)
+
+
+def _tokenize_partition(iterator):
+    """mapInPandas worker: tokenize + derive sidecars for a batch of docs.
+
+    Also stamps (_pid, _rn) = (physical partition, local row number) into the
+    output. Persisting these makes the dense doc_id assignment deterministic:
+    doc_id = global_offset(_pid) + _rn is derived from the *staged* parquet,
+    never from re-executing a sampled-range lineage (which may repartition
+    differently between jobs).
+    """
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    rn = 0
+    for pdf in iterator:
+        out = {k: [] for k in DOCS_SCHEMA.fieldNames()}
+        for row in pdf.itertuples(index=False):
+            out["_pid"].append(pid)
+            out["_rn"].append(rn)
+            rn += 1
+            url = f"{row.conv_id}/{row.turn_idx}"
+            title = row.role
+            desc = row.text[:255].strip()
+            terms, dl, german = textproc.doc_terms(row.text, title, row.tool)
+            url_l, title_l, desc_l = url.lower(), title.lower(), desc.lower()
+            tflags = [
+                textproc.posting_flags(t, url_l, title_l, desc_l) for t in terms
+            ]
+            out["conv_id"].append(row.conv_id)
+            out["turn_idx"].append(row.turn_idx)
+            out["url"].append(url)
+            out["host"].append(row.conv_id)
+            out["title"].append(title)
+            out["description"].append(desc)
+            out["dl"].append(dl)
+            out["german"].append(german)
+            out["fd"].append(textproc.filter_byte(url, german))
+            rank2 = textproc.domain_data_byte(url)
+            out["he"].append((rank2 & 15) + 1)
+            out["rank"].append(row.rank)
+            out["backlinks"].append(row.backlinks)
+            out["terms"].append(terms)
+            out["tflags"].append(tflags)
+        yield pd.DataFrame(out)
+
+
+def _encode_group_fn(seg_size: int, fancy_threshold: int, max_bl: int):
+    """applyInPandas factory: encode one (bucket, term, salt) posting group
+    into bounded self-contained varbyte segments + fancy segments + block-max
+    metadata. Mirrors GenDb pass 2 (:512-705) + pass 5 (:975-1109) + the
+    codec rwi.pas:76-153."""
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        term = pdf["term"].iloc[0]
+        df_total = int(pdf["df"].iloc[0])
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        flags = pdf["flags"].to_numpy(np.int64)
+        fd = pdf["fd"].to_numpy(np.int64)
+        he = pdf["he"].to_numpy(np.int64)
+        rank = pdf["rank"].to_numpy(np.int64)
+        bl = pdf["backlinks"].to_numpy(np.int64)
+
+        statics = static_scores(flags, fd, he, rank, bl, max_bl)
+
+        rows = []
+
+        def emit(kind, sel):
+            d, f, s = docs[sel], flags[sel], statics[sel]
+            for lo in range(0, len(d), seg_size):
+                hi = min(lo + seg_size, len(d))
+                rows.append(
+                    (
+                        bucket,
+                        term,
+                        kind,
+                        int(d[lo]),
+                        int(d[hi - 1]),
+                        hi - lo,
+                        df_total,
+                        float(s[lo:hi].max()),
+                        codec.encode(d[lo:hi], f[lo:hi], prev_doc=0),
+                    )
+                )
+
+        emit("full", slice(None))
+        if df_total > fancy_threshold:
+            sel = (rank > FANCY_RANK_LO) & (rank < FANCY_RANK_HI)
+            if sel.any():
+                emit("fancy", sel)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "bucket",
+                "term",
+                "kind",
+                "first_doc",
+                "last_doc",
+                "n",
+                "df",
+                "max_static",
+                "blob",
+            ],
+        )
+
+    return encode_group
+
+
+class Lineage:
+    """Append-only build journal (the gendb.progress analog)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.done: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("status") == "done":
+                        self.done[rec["step"]] = rec
+
+    def record(self, step: str, **kw) -> None:
+        rec = {"step": step, "status": "done", **kw}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self.done[step] = rec
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    *,
+    fancy_threshold: int = FANCY_DF_THRESHOLD,
+    seg_size: int = SEGMENT_SIZE,
+    n_salts: int = 8,
+    salt_df_threshold: int | None = None,
+    bucket_groups: int = 4,
+    scatter_files_per_bucket: int = 1,
+) -> dict:
+    """Build (or resume) the index under ``out_dir`` and atomically publish.
+
+    Returns the build metrics dict (postings/sec, bytes, per-stage walls).
+    """
+    salt_df_threshold = salt_df_threshold or seg_size * 4
+    os.makedirs(out_dir, exist_ok=True)
+    version = _pending_version(out_dir)
+    vdir = os.path.join(out_dir, version)
+    os.makedirs(vdir, exist_ok=True)
+    lin = Lineage(os.path.join(vdir, "_lineage.jsonl"))
+    metrics: dict = {"version": version}
+
+    stage_docs = os.path.join(vdir, "stage_docs")
+    stage_postings = os.path.join(vdir, "stage_postings")
+    docmeta_dir = os.path.join(vdir, "docmeta")
+    lexicon_dir = os.path.join(vdir, "lexicon")
+    postings_dir = os.path.join(vdir, "postings")
+
+    # ---- stage docs -------------------------------------------------------
+    if "docs" not in lin.done:
+        t0 = time.time()
+        # sidecar inputs that are pure column expressions stay JVM-side
+        docs = transcripts.withColumn(
+            "url_tmp", F.concat_ws("/", "conv_id", F.col("turn_idx").cast("string"))
+        )
+        crc_url = F.crc32(F.encode(F.col("url_tmp"), "UTF-8"))
+        crc_host = F.crc32(F.encode(F.col("conv_id"), "UTF-8"))
+        docs = docs.withColumn("backlinks", (F.lit(1) + crc_url % 1000).cast("long"))
+        docs = docs.withColumn(
+            "rank",
+            F.when(crc_host % 10 == 0, (crc_host % 1_000_000).cast("int")).otherwise(
+                F.lit(-1)
+            ),
+        )
+        docs = docs.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "rank", "backlinks"
+        )
+        # global (conv_id, turn_idx) order → per-partition order + persisted
+        # (_pid, _rn); the dense doc_id derives from the *staged* output so it
+        # is deterministic (no resampled-range re-execution).
+        n_sort = max(1, spark.sparkContext.defaultParallelism)
+        ordered = docs.repartitionByRange(
+            n_sort, "conv_id", "turn_idx"
+        ).sortWithinPartitions("conv_id", "turn_idx")
+        ordered.mapInPandas(_tokenize_partition, schema=DOCS_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(stage_docs)
+        sd = spark.read.parquet(stage_docs)
+        stats = sd.agg(
+            F.count("*").alias("n"),
+            F.max("backlinks").alias("max_bl"),
+            F.sum(F.size("terms")).alias("n_postings"),
+        ).collect()[0]
+        lin.record(
+            "docs",
+            rows=stats["n"],
+            postings=stats["n_postings"],
+            max_bl=stats["max_bl"],
+            wall_s=round(time.time() - t0, 3),
+        )
+    n_docs = lin.done["docs"]["rows"]
+    max_bl = lin.done["docs"]["max_bl"]
+    total_postings = lin.done["docs"]["postings"]
+    metrics["n_docs"] = n_docs
+    metrics["n_postings"] = total_postings
+
+    # ---- stage docmeta (published copy without the term arrays) -----------
+    if "docmeta" not in lin.done:
+        t0 = time.time()
+        sd = _with_doc_id(spark.read.parquet(stage_docs))
+        sd.drop("terms", "tflags").repartition(
+            max(1, spark.sparkContext.defaultParallelism)
+        ).write.mode("overwrite").parquet(docmeta_dir)
+        lin.record("docmeta", wall_s=round(time.time() - t0, 3))
+
+    # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
+    if "scatter" not in lin.done:
+        t0 = time.time()
+        sd = _with_doc_id(spark.read.parquet(stage_docs))
+        postings = (
+            sd.select(
+                "doc_id",
+                "fd",
+                "he",
+                "rank",
+                "backlinks",
+                F.explode(F.arrays_zip("terms", "tflags")).alias("p"),
+            )
+            .select(
+                F.col("p.terms").alias("term"),
+                F.col("p.tflags").alias("flags"),
+                "doc_id",
+                "fd",
+                "he",
+                "rank",
+                "backlinks",
+            )
+            .withColumn(
+                "bucket",
+                (F.crc32(F.encode(F.col("term"), "UTF-8")) % N_TERM_BUCKETS).cast(
+                    "int"
+                ),
+            )
+        )
+        (
+            postings.repartition(
+                N_TERM_BUCKETS * scatter_files_per_bucket,
+                "bucket",
+                F.pmod(F.col("doc_id"), F.lit(scatter_files_per_bucket)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(stage_postings)
+        )
+        lin.record("scatter", wall_s=round(time.time() - t0, 3))
+
+    # ---- stage segments, per bucket group ----------------------------------
+    groups = [
+        list(range(g, N_TERM_BUCKETS, bucket_groups)) for g in range(bucket_groups)
+    ]
+    encode_fn = _encode_group_fn(seg_size, fancy_threshold, int(max_bl))
+    for gi, buckets in enumerate(groups):
+        step = f"segments_g{gi}"
+        if step in lin.done:
+            continue
+        t0 = time.time()
+        pg = spark.read.parquet(stage_postings).where(F.col("bucket").isin(buckets))
+
+        lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df"))
+        lex.write.mode("overwrite").partitionBy("bucket").parquet(
+            lexicon_dir + f"_tmp_g{gi}"
+        )
+
+        lex_read = spark.read.parquet(lexicon_dir + f"_tmp_g{gi}")
+        pj = pg.join(lex_read, ["bucket", "term"])
+        pj = pj.withColumn(
+            "salt",
+            F.when(
+                F.col("df") > salt_df_threshold,
+                (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        segs = pj.groupBy("bucket", "term", "salt").applyInPandas(
+            encode_fn, schema=SEGMENTS_SCHEMA
+        )
+        segs.write.mode("overwrite").partitionBy("bucket").parquet(
+            postings_dir + f"_tmp_g{gi}"
+        )
+        # idempotent move of finished bucket dirs into place
+        _move_bucket_dirs(postings_dir + f"_tmp_g{gi}", postings_dir)
+        _move_bucket_dirs(lexicon_dir + f"_tmp_g{gi}", lexicon_dir)
+        lin.record(step, buckets=buckets, wall_s=round(time.time() - t0, 3))
+
+    # ---- publish ------------------------------------------------------------
+    if "publish" not in lin.done:
+        t0 = time.time()
+        seg_stats = (
+            spark.read.parquet(postings_dir)
+            .agg(
+                F.sum(F.length("blob")).alias("bytes"),
+                F.sum(F.when(F.col("kind") == "full", F.col("n"))).alias("postings"),
+                F.count("*").alias("segments"),
+            )
+            .collect()[0]
+        )
+        meta = {
+            "n_docs": int(n_docs),
+            "max_backlinks": int(max_bl),
+            "n_postings": int(total_postings),
+            "compressed_bytes": int(seg_stats["bytes"]),
+            "n_segments": int(seg_stats["segments"]),
+            "fancy_threshold": fancy_threshold,
+            "seg_size": seg_size,
+            "n_salts": n_salts,
+            "salt_df_threshold": salt_df_threshold,
+            "n_buckets": N_TERM_BUCKETS,
+        }
+        with open(os.path.join(vdir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        lin.record("publish", wall_s=round(time.time() - t0, 3), **{
+            "bytes": int(seg_stats["bytes"])
+        })
+        # atomic pointer swap — the ready2.dat analog
+        tmp = os.path.join(out_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(out_dir, "CURRENT"))
+
+    build_wall = sum(r.get("wall_s", 0) for r in lin.done.values())
+    metrics["wall_s"] = round(build_wall, 3)
+    metrics["postings_per_s"] = round(total_postings / max(build_wall, 1e-9), 1)
+    with open(os.path.join(vdir, "meta.json")) as f:
+        metrics["compressed_bytes"] = json.load(f)["compressed_bytes"]
+    metrics["lineage"] = os.path.join(vdir, "_lineage.jsonl")
+    return metrics
+
+
+def _with_doc_id(stage_docs_df: DataFrame) -> DataFrame:
+    """doc_id = prefix_offset(_pid) + _rn over the staged, already
+    (conv_id, turn_idx)-sorted docs. The offset table is one row per sort
+    partition — broadcast-joined, so this scales to any corpus size."""
+    spark = stage_docs_df.sparkSession
+    sizes = stage_docs_df.groupBy("_pid").count().collect()
+    counts = {r["_pid"]: r["count"] for r in sizes}
+    rows, acc = [], 0
+    for pid in sorted(counts):
+        rows.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(rows, ["_pid", "_off"])
+    return (
+        stage_docs_df.join(F.broadcast(off), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def _pending_version(out_dir: str) -> str:
+    """Reuse an unpublished version dir (resume) or start the next one."""
+    current = None
+    cur_file = os.path.join(out_dir, "CURRENT")
+    if os.path.exists(cur_file):
+        current = open(cur_file).read().strip()
+    versions = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("v_") and d != current
+    )
+    for v in versions:
+        lineage = os.path.join(out_dir, v, "_lineage.jsonl")
+        published = False
+        if os.path.exists(lineage):
+            with open(lineage) as f:
+                published = any(
+                    json.loads(line).get("step") == "publish" for line in f
+                )
+        if not published:
+            return v
+    n = 1
+    if current:
+        n = int(current.split("_")[1]) + 1
+    if versions:
+        n = max(n, max(int(v.split("_")[1]) for v in versions) + 1)
+    return f"v_{n:04d}"
+
+
+def _move_bucket_dirs(tmp_dir: str, final_dir: str) -> None:
+    os.makedirs(final_dir, exist_ok=True)
+    if not os.path.isdir(tmp_dir):
+        return
+    for name in os.listdir(tmp_dir):
+        if name.startswith("bucket="):
+            dst = os.path.join(final_dir, name)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.replace(os.path.join(tmp_dir, name), dst)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def current_index_dir(out_dir: str) -> str:
+    with open(os.path.join(out_dir, "CURRENT")) as f:
+        return os.path.join(out_dir, f.read().strip())

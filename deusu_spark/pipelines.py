@@ -1,0 +1,432 @@
+"""Relational + training-data pipeline operators exposed through
+__spark_entry__.py (driver correctness gate: each Spark query here is
+checked row/schema/value-identical against its DuckDB oracle SQL at sf0.01).
+
+Coverage map (SURVEY §2 → entries):
+  G1/P7 filter gate            → q_filter_topk
+  G5 two-phase hash agg        → q_pricing_summary, q_term_df
+  G3/G4 lookup joins           → q_region_revenue (broadcast dims)
+  Q8 NOT / left-anti           → q_customers_without_orders
+  semi-join                    → q_brands_shipped
+  R4 per-host top-N collapse   → q_top3_orders_per_customer
+  Q13 top-k                    → q_filter_topk, q_bm25_topk
+  Q17/IDF                      → q_term_idf
+  Q7 boolean AND               → q_bool_and
+  postings build (G2/G5)       → q_postings_sample
+  streaming analog             → q_events_hourly, q_user_sessions
+plus the large-scale training-data ops: exact dedup, n-gram Jaccard near-dup,
+MinHash-LSH candidates, fingerprinting, token stats/quality, language
+heuristic, embedding cosine top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(df: DataFrame, col: str = "text") -> DataFrame:
+    """doc_id + exploded non-empty lowercase tokens."""
+    return (
+        df.select("doc_id", F.explode(F.split(F.lower(F.col(col)), TOKEN_SPLIT)).alias("t"))
+        .where(F.col("t") != "")
+    )
+
+
+# --------------------------------------------------------------------------
+# relational core
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_brands_shipped(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q_filter_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_discount") > 0.05) & (F.col("l_quantity") >= 30))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+        .limit(200)
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization (30-min gap) — the batch analog of the streaming
+    stateful-session operator."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("is_start", starts)
+        .groupBy("user_id")
+        .agg(F.sum("is_start").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_distinct_priorities(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# full-text ops over the documents table (the engine pipeline, SQL-checkable)
+# --------------------------------------------------------------------------
+
+
+def q_term_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        _tokens(d)
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "t")
+        .limit(30)
+    )
+
+
+def q_term_idf(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    return (
+        _tokens(d)
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log10(11.0 + (F.lit(n) + F.col("df") + 0.5) / (F.col("df") + 0.5)),
+                6,
+            ),
+        )
+        .orderBy(F.desc("df"), "t")
+        .limit(30)
+    )
+
+
+def q_postings_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        _tokens(d)
+        .where(F.col("t").isin("spark", "vector", "stream"))
+        .distinct()
+        .orderBy("t", "doc_id")
+    )
+
+
+def q_bool_and(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(d).where(F.col("t").isin("spark", "join")).distinct()
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") == 2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_bool_not(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(d).distinct()
+    pos = toks.where(F.col("t") == "spark").select("doc_id")
+    neg = toks.where(F.col("t") == "vector").select("doc_id")
+    return pos.join(neg, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Textbook BM25(k1=1.2, b=0.75) with binary TF over query
+    {spark, join} — the engine's documented second scoring mode."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        qt.join(dfs, "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (1.2 + 1.0)
+            * 1.0
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 5).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops
+# --------------------------------------------------------------------------
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.select(F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .orderBy("fp")
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Word 3-gram shingles per doc (distinct)."""
+    arr = F.split(F.lower(F.col("text")), TOKEN_SPLIT)
+    arr = F.filter(arr, lambda x: x != "")
+    sh = F.expr(
+        "transform(sequence(0, size(_arr) - 3), "
+        "i -> concat_ws(' ', _arr[i], _arr[i+1], _arr[i+2]))"
+    )
+    return (
+        d.withColumn("_arr", arr)
+        .where(F.size("_arr") >= 3)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.4 (doc_id < 200 to
+    bound the pair blow-up at larger sf)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 5
+            ),
+        )
+        .where(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_minhash_band_candidates(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 4 md5-based min-hashes, 2 bands of 2 —
+    pairs sharing a band bucket. Portable (md5 lexicographic min on both
+    engines), deterministic."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(4)
+        ]
+    )
+    allb = None
+    for i in range(4):
+        bi = sig.select(
+            "doc_id", F.concat(F.lit(f"b{i}:"), F.col(f"h{i}")).alias("band")
+        )
+        allb = bi if allb is None else allb.unionByName(bi)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    stop = ("the", "a", "and", "of", "to", "in", "is", "it")
+    n_stop = F.size(F.filter(arr, lambda x: x.isin(*stop)))
+    return d.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(n_stop / F.size(arr), 5).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_lang_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 embedding — the exact
+    baseline for ANN. Ordered by the ROUNDED similarity so ordering is
+    engine-independent."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        joined.select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("q"))), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(15)
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "brands_shipped": q_brands_shipped,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "filter_topk": q_filter_topk,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "distinct_priorities": q_distinct_priorities,
+    "term_df": q_term_df,
+    "term_idf": q_term_idf,
+    "postings_sample": q_postings_sample,
+    "bool_and": q_bool_and,
+    "bool_not": q_bool_not,
+    "bm25_topk": q_bm25_topk,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_band_candidates": q_minhash_band_candidates,
+    "token_stats": q_token_stats,
+    "lang_stats": q_lang_stats,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+}

@@ -1,0 +1,146 @@
+"""Build invariants (FIXTURES.md §Invariants) + parity checks between the
+Spark index and the oracle index."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from deusu_spark import codec
+from deusu_spark.build import current_index_dir
+from deusu_spark.synth import crc32
+
+
+def test_spark_crc32_matches_zlib(spark):
+    # SURVEY §1.3: Hash.pas CRC-32 == zlib.crc32 == Spark F.crc32
+    words = ["linux", "conv00000017/3", "über", "w0042", ""]
+    df = spark.createDataFrame([(w,) for w in words], ["s"])
+    got = {
+        r["s"]: r["c"]
+        for r in df.select("s", F.crc32(F.encode("s", "UTF-8")).alias("c")).collect()
+    }
+    for w in words:
+        assert got[w] == crc32(w), w
+
+
+def test_doc_ids_match_oracle(spark, tiny_index_dir, oracle_index):
+    vdir = current_index_dir(tiny_index_dir)
+    dm = (
+        spark.read.parquet(f"{vdir}/docmeta")
+        .select("doc_id", "conv_id", "turn_idx")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["conv_id"], r["turn_idx"]) for r in dm] == oracle_index.doc_keys
+
+
+def test_sidecars_match_oracle(spark, tiny_index_dir, oracle_index):
+    vdir = current_index_dir(tiny_index_dir)
+    dm = spark.read.parquet(f"{vdir}/docmeta").orderBy("doc_id").collect()
+    for r in dm:
+        d = r["doc_id"]
+        assert r["fd"] == oracle_index.filter_data[d]
+        assert r["he"] == oracle_index.host_elements[d]
+        assert r["rank"] == oracle_index.rank_data[d]
+        assert r["backlinks"] == oracle_index.backlinks[d]
+
+
+def test_df_invariant_and_postings_match(spark, tiny_index_dir, oracle_index):
+    """Σ df == total postings == distinct (term, doc) pairs; decoded segment
+    contents equal the oracle's posting lists."""
+    vdir = current_index_dir(tiny_index_dir)
+    lex = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{vdir}/lexicon").collect()
+    }
+    assert lex == {t: len(p) for t, p in oracle_index.postings.items()}
+
+    segs = (
+        spark.read.parquet(f"{vdir}/postings")
+        .where(F.col("kind") == "full")
+        .select("term", "first_doc", "n", "df", "blob")
+        .toPandas()
+    )
+    assert int(segs["n"].sum()) == sum(lex.values())
+
+    # decode and compare a sample of terms end-to-end (hot + cold)
+    for term in ("linux", "google", "w0042", "w0001", "user", "assistant"):
+        sub = segs[segs["term"] == term].sort_values("first_doc")
+        docs, flags = [], []
+        for blob in sub["blob"]:
+            d, f = codec.decode(bytes(blob))
+            docs.extend(d.tolist())
+            flags.extend(f.tolist())
+        expected = oracle_index.postings.get(term, [])
+        assert list(zip(docs, flags)) == expected, term
+        assert docs == sorted(docs)  # ascending across segments
+
+
+def test_fancy_lists_match_oracle(spark, tiny_index_dir, oracle_index):
+    vdir = current_index_dir(tiny_index_dir)
+    segs = (
+        spark.read.parquet(f"{vdir}/postings")
+        .where(F.col("kind") == "fancy")
+        .select("term", "first_doc", "blob")
+        .toPandas()
+    )
+    spark_fancy_terms = set(segs["term"])
+    assert spark_fancy_terms == set(oracle_index.fancy)
+    for term in oracle_index.fancy:
+        sub = segs[segs["term"] == term].sort_values("first_doc")
+        docs = []
+        for blob in sub["blob"]:
+            d, _ = codec.decode(bytes(blob))
+            docs.extend(d.tolist())
+        assert docs == [d for d, _ in oracle_index.fancy[term]], term
+
+
+def test_block_max_is_true_upper_bound(spark, tiny_index_dir, oracle_index):
+    """max_static must dominate every posting's static score in its segment
+    (block-max WAND safety)."""
+    from deusu_spark.build import static_scores
+
+    vdir = current_index_dir(tiny_index_dir)
+    segs = (
+        spark.read.parquet(f"{vdir}/postings")
+        .where(F.col("kind") == "full")
+        .select("term", "first_doc", "max_static", "blob")
+        .toPandas()
+        .sample(n=min(200, 10_000), random_state=0)
+    )
+    max_bl = max(oracle_index.backlinks)
+    fd = np.array(oracle_index.filter_data)
+    he = np.array(oracle_index.host_elements)
+    rank = np.array(oracle_index.rank_data)
+    bl = np.array(oracle_index.backlinks)
+    for row in segs.itertuples(index=False):
+        docs, flags = codec.decode(bytes(row.blob))
+        s = static_scores(
+            flags.astype(np.int64), fd[docs], he[docs], rank[docs], bl[docs], max_bl
+        )
+        assert s.max() <= row.max_static + 1e-12
+
+
+def test_per_turn_text_equality(spark, tiny_corpus):
+    """North-rule invariant: reading the corpus back ordered by
+    (conv_id, turn_idx) yields byte-identical text."""
+    sdf = spark.createDataFrame(tiny_corpus)
+    back = (
+        sdf.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    src = tiny_corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(back["text"]) == list(src["text"])
+
+
+def test_resume_skips_done_stages(spark, tiny_corpus, tiny_index_dir):
+    """Re-running build on a published index is a no-op (all stages skipped),
+    and lineage records every stage."""
+    import json
+
+    from deusu_spark.build import build_index
+
+    vdir = current_index_dir(tiny_index_dir)
+    with open(f"{vdir}/_lineage.jsonl") as f:
+        steps = [json.loads(line)["step"] for line in f]
+    assert "docs" in steps and "scatter" in steps and "publish" in steps
+    assert any(s.startswith("segments_g") for s in steps)
