@@ -47,8 +47,30 @@ _SHINGLES = (
 )
 
 
+def _simhash_sql() -> str:
+    from deusu_spark.pipelines import (
+        SIMHASH_BITS,
+        _hex15_to_long_sql,
+        simhash_select_sql,
+    )
+
+    h_expr = _hex15_to_long_sql("strpos", "h16")
+    return f"""
+        WITH th AS (
+            SELECT doc_id, {h_expr} AS h FROM (
+                SELECT doc_id, substr(md5(t), 1, 15) AS h16
+                FROM ({_DTOKS}) WHERE doc_id < 100))
+        SELECT doc_id, {simhash_select_sql('strpos', SIMHASH_BITS)} AS simhash
+        FROM th GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # 'ann_lsh_buckets' is intentionally absent (numpy hyperplanes → driver
+    # records the weaker rows-only check); its exact baseline
+    # 'embedding_cosine_topk' is fully oracle-checked.
     return {
+        "simhash": _simhash_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

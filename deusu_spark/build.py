@@ -338,9 +338,9 @@ def build_index(
     if "docmeta" not in lin.done:
         t0 = time.time()
         sd = _with_doc_id(spark.read.parquet(stage_docs))
-        sd.drop("terms", "tflags").repartition(
-            max(1, spark.sparkContext.defaultParallelism)
-        ).write.mode("overwrite").parquet(docmeta_dir)
+        sd.drop("terms", "tflags").repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism), "doc_id"
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(docmeta_dir)
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
@@ -413,6 +413,9 @@ def build_index(
         segs = pj.groupBy("bucket", "term", "salt").applyInPandas(
             encode_fn, schema=SEGMENTS_SCHEMA
         )
+        # sort within files by (term, first_doc): parquet row-group min/max
+        # stats then prune term probes inside each bucket file
+        segs = segs.sortWithinPartitions("term", "first_doc")
         segs.write.mode("overwrite").partitionBy("bucket").parquet(
             postings_dir + f"_tmp_g{gi}"
         )

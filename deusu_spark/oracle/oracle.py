@@ -49,6 +49,7 @@ class OracleIndex:
     """In-memory inverted index over a transcripts DataFrame."""
 
     n_docs: int = 0
+    doc_len: list[int] = field(default_factory=list)  # body token count
     # term -> list[(doc_id, flags)] in ascending doc_id order
     postings: dict[str, list[tuple[int, int]]] = field(default_factory=dict)
     # term -> fancy (pre-filtered) postings, only for df > fancy_threshold
@@ -83,7 +84,8 @@ def build_index(
         url = synth.doc_url(row.conv_id, int(row.turn_idx))
         title = row.role
         desc = row.text[:255].strip()
-        terms, _dl, is_german = textproc.doc_terms(row.text, title, row.tool)
+        terms, dl, is_german = textproc.doc_terms(row.text, title, row.tool)
+        idx.doc_len.append(dl)
 
         url_l, title_l, desc_l = url.lower(), title.lower(), desc.lower()
         for t in terms:
@@ -379,6 +381,61 @@ def _run_pass(
         if action == "AND" and not cand:
             return {}  # EarlyAbort — searchservernew.dpr:949-959
     return cand
+
+
+def search_bm25(
+    idx: OracleIndex, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> list[tuple[int, float]]:
+    """Textbook BM25 (binary TF) oracle — the engine's mode='bm25' twin.
+    Same boolean semantics as search(); single full-postings pass; host terms
+    filter but contribute 0."""
+    keywords = refine_search(extract_keywords(query))
+    if not keywords:
+        return []
+    terms = optimize_query(idx, keywords)
+    avgdl = sum(idx.doc_len) / max(len(idx.doc_len), 1)
+    cand: dict[int, float] = {}
+    for i, t in enumerate(terms):
+        action = "SET" if i == 0 else t.action
+        host = _host_key(t.key)
+        if host is not None:
+            docs = set(idx.host_postings.get(host, []))
+            if action == "SET":
+                cand = {d: 0.0 for d in sorted(docs)}
+            elif action == "AND":
+                cand = {d: v for d, v in cand.items() if d in docs}
+            else:
+                cand = {d: v for d, v in cand.items() if d not in docs}
+            continue
+        key = t.key
+        kl = key.lower()
+        url_only = title_only = False
+        if kl.startswith("inurl:"):
+            url_only, key = True, key[6:]
+        elif kl.startswith("intitle:"):
+            title_only, key = True, key[8:]
+        plist = [
+            (d, f)
+            for d, f in idx.postings.get(key, [])
+            if (not url_only or f & 4) and (not title_only or f & 2)
+        ]
+        df = t.df
+        idf = math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+
+        def w(d: int) -> float:
+            return idf * (k1 + 1.0) / (
+                1.0 + k1 * (1 - b + b * idx.doc_len[d] / avgdl)
+            )
+
+        if action == "SET":
+            cand = {d: w(d) for d, _ in plist}
+        elif action == "AND":
+            cand = {d: cand[d] + w(d) for d, _ in plist if d in cand}
+        else:
+            for d, _ in plist:
+                cand.pop(d, None)
+    ordered = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(d, round(s, 6)) for d, s in ordered[:k]]
 
 
 def _process_host(

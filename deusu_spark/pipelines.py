@@ -406,6 +406,88 @@ def q_embedding_cosine_topk(spark, sf_dir):
     )
 
 
+def _hex15_to_long_sql(instr_fn: str, col: str) -> str:
+    """Portable hex→int: value of the first 15 hex chars of an md5 as a
+    digit sum — identical arithmetic on Spark (instr) and DuckDB (strpos),
+    avoiding engine-specific conv/unhex functions."""
+    parts = [
+        f"({instr_fn}('0123456789abcdef', substr({col}, {p}, 1)) - 1) "
+        f"* CAST({16 ** (15 - p)} AS BIGINT)"
+        for p in range(1, 16)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash_select_sql(instr_fn: str, bits: int = 32) -> str:
+    """The per-doc SimHash aggregation (shared template for both engines):
+    input relation `th(doc_id, h)` with h = 60-bit token hash."""
+    cols = []
+    for i in range(bits - 1, -1, -1):
+        cols.append(
+            f"CASE WHEN sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" > 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(cols) + ")"
+
+
+SIMHASH_BITS = 32
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprints (32-bit, binary token weights) — near-dup
+    detection by Hamming distance. Token hash = digit-sum of md5 hex (fully
+    portable; the DuckDB oracle uses the same arithmetic)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = _tokens(d).distinct()
+    th = toks.withColumn("h16", F.expr("substr(md5(t), 1, 15)")).withColumn(
+        "h", F.expr(_hex15_to_long_sql("instr", "h16"))
+    )
+    th.createOrReplaceTempView("_simhash_th")
+    return spark.sql(
+        f"SELECT doc_id, {simhash_select_sql('instr', SIMHASH_BITS)} AS simhash "
+        f"FROM _simhash_th GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH over embeddings — 8 deterministic
+    hyperplanes → 8-bit bucket signature; candidate neighbors share buckets.
+    (Exact brute-force baseline: embedding_cosine_topk; rows-only check since
+    the hyperplanes live in numpy.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((8, dim)).astype(np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+
+    def fn(iterator):
+        for pdf in iterator:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(vecs) == 0:
+                continue
+            signs = (vecs @ planes.T) > 0
+            bucket = signs.dot(1 << np.arange(8)).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": bucket})
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(fn, schema=schema)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -429,4 +511,6 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_stats": q_lang_stats,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "simhash": q_simhash,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
 }

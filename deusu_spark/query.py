@@ -53,7 +53,7 @@ SCORED_SCHEMA = T.StructType(
     [
         T.StructField("ti", T.IntegerType()),
         T.StructField("doc_id", T.LongType()),
-        T.StructField("score", T.LongType()),
+        T.StructField("score", T.DoubleType()),
     ]
 )
 
@@ -68,8 +68,17 @@ class SearchEngine:
         self.lexicon = spark.read.parquet(os.path.join(self.vdir, "lexicon"))
         self.postings = spark.read.parquet(os.path.join(self.vdir, "postings"))
         self._docmeta_cols = self.docmeta.select(
-            "doc_id", "fd", "he", "rank", "backlinks"
+            "doc_id", "fd", "he", "rank", "backlinks", "dl"
         )
+        self._avgdl: float | None = None
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            self._avgdl = float(
+                self.docmeta.agg(F.avg("dl")).collect()[0][0] or 1.0
+            )
+        return self._avgdl
 
     # -- lexicon probe ------------------------------------------------------
     def term_df(self, term: str) -> int:
@@ -109,17 +118,31 @@ class SearchEngine:
         k: int = 10,
         weights: dict[str, int] | None = None,
         prune: bool = True,
+        mode: str = "deusu",
     ) -> list[tuple[int, int]]:
-        """Top-k [(doc_id, score)] by (score desc, doc_id asc), rank-identical
-        to the reference/oracle."""
+        """Top-k [(doc_id, score)] by (score desc, doc_id asc).
+
+        mode='deusu': the reference scoring formula (SURVEY §2.6), integer
+        scores, rank-identical to the oracle. mode='bm25': textbook
+        BM25(k1=1.2, b=0.75) with binary TF and dl = body token count (the
+        reference computes WordCount but discards it, SURVEY §2.6) — single
+        full-postings pass, float scores.
+        """
         w = dict(DEFAULT_WEIGHTS)
         if weights:
             w.update(weights)
         terms = self.compile(query)
         if not terms:
             return []
-        # block-max bounds are computed for default weights at build time
-        prune = prune and w == DEFAULT_WEIGHTS
+        # block-max bounds are computed for default deusu weights at build
+        prune = prune and w == DEFAULT_WEIGHTS and mode == "deusu"
+
+        if mode == "bm25":
+            rows, _ = self._run_pass(
+                terms, k, w, use_fancy=False, prune=False,
+                need_count=False, mode="bm25",
+            )
+            return [(d, round(s, 6)) for d, s in rows[:k]]
 
         fancy_terms = [
             t
@@ -131,11 +154,11 @@ class SearchEngine:
                 terms, k, w, use_fancy=True, prune=prune, need_count=True
             )
             if count >= MAX_RESULTS:
-                return rows[:k]
+                return [(d, int(s)) for d, s in rows[:k]]
         rows, _ = self._run_pass(
             terms, k, w, use_fancy=False, prune=prune, need_count=False
         )
-        return rows[:k]
+        return [(d, int(s)) for d, s in rows[:k]]
 
     # -- one pass -------------------------------------------------------------
     def _run_pass(
@@ -146,6 +169,7 @@ class SearchEngine:
         use_fancy: bool,
         prune: bool,
         need_count: bool,
+        mode: str = "deusu",
     ) -> tuple[list[tuple[int, int]], int]:
         """Execute one pass. Returns (ordered rows, count_signal) where
         count_signal = min(ResultCount, max(k, 1001)) — enough for the
@@ -183,14 +207,18 @@ class SearchEngine:
         if decoded is None:
             return [], 0
 
-        scored = self._score_rows(decoded, terms, w)
+        scored = self._score_rows(decoded, terms, w, mode=mode)
         pos_df = scored.where(F.col("ti").isin([t.ti for t in pos]))
+        # per-term scores are each clamped; saturating sequential addition of
+        # non-negative terms equals min(sum, clamp) (searchservernew.dpr:926)
+        agg_score = (
+            F.least(F.sum("score"), F.lit(float(SCORE_CLAMP)))
+            if mode == "deusu"
+            else F.sum("score")
+        )
         cand = (
             pos_df.groupBy("doc_id")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.least(F.sum("score"), F.lit(SCORE_CLAMP)).alias("score"),
-            )
+            .agg(F.count("*").alias("cnt"), agg_score.alias("score"))
             .where(F.col("cnt") == len(pos))
             .drop("cnt")
         )
@@ -343,12 +371,19 @@ class SearchEngine:
         return out
 
     # -- scoring -------------------------------------------------------------
-    def _score_rows(self, decoded: DataFrame, terms: list[PlanTerm], w) -> DataFrame:
-        """Join sidecars and compute the exact per-posting reference score
-        (searchservernew.dpr:874-899 + host path :355-364), vectorized."""
+    def _score_rows(
+        self, decoded: DataFrame, terms: list[PlanTerm], w, mode: str = "deusu"
+    ) -> DataFrame:
+        """Join sidecars and compute per-posting scores, vectorized.
+
+        mode='deusu': the exact reference score (searchservernew.dpr:874-899
+        + host path :355-364). mode='bm25': textbook BM25 weight with binary
+        TF (idf = ln(1+(N-df+0.5)/(df+0.5)), k1=1.2, b=0.75).
+        """
         plan = {
             t.ti: {
                 "idf": t.idf,
+                "df": t.df,
                 "include_bl": t.include_backlink,
                 "is_host": t.host is not None,
                 "is_set": t.action == "SET",
@@ -356,30 +391,47 @@ class SearchEngine:
             for t in terms
         }
         max_bl = int(self.meta["max_backlinks"])
+        n_docs = int(self.meta["n_docs"])
+        avgdl = self.avgdl if mode == "bm25" else 1.0
         joined = decoded.join(self._docmeta_cols, "doc_id")
 
         def score_fn(iterator):
+            import math as _math
+
             for pdf in iterator:
                 n = len(pdf)
                 if n == 0:
                     continue
                 ti = pdf["ti"].to_numpy(np.int32)
-                out = np.zeros(n, dtype=np.int64)
+                out = np.zeros(n, dtype=np.float64)
                 flags = pdf["flags"].to_numpy(np.int64)
                 fd = pdf["fd"].to_numpy(np.int64)
                 he = pdf["he"].to_numpy(np.int64)
                 rank = pdf["rank"].to_numpy(np.int64)
                 bl = pdf["backlinks"].to_numpy(np.int64)
+                dl = pdf["dl"].to_numpy(np.float64)
                 for t_i, p in plan.items():
                     m = ti == t_i
                     if not m.any():
                         continue
-                    if p["is_host"]:
+                    if mode == "bm25":
+                        if p["is_host"]:
+                            out[m] = 0.0
+                        else:
+                            idf = _math.log(
+                                1.0 + (n_docs - p["df"] + 0.5) / (p["df"] + 0.5)
+                            )
+                            out[m] = (
+                                idf
+                                * (1.2 + 1.0)
+                                / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl[m] / avgdl))
+                            )
+                    elif p["is_host"]:
                         v = np.full(m.sum(), w["b1"], dtype=np.float64)
                         v += (31 - (fd[m] & 31)) * w["b7"]
                         if p["is_set"]:
                             v += np.round(_bl_value(bl[m], max_bl))
-                        out[m] = np.clip(v, 1, SCORE_CLAMP).astype(np.int64)
+                        out[m] = np.clip(v, 1, SCORE_CLAMP)
                     else:
                         s = static_scores(
                             flags[m],
@@ -392,7 +444,7 @@ class SearchEngine:
                             weights=w,
                         )
                         v = np.round(s * p["idf"])
-                        out[m] = np.minimum(v, SCORE_CLAMP).astype(np.int64)
+                        out[m] = np.minimum(v, SCORE_CLAMP)
                 yield pd.DataFrame(
                     {"ti": ti, "doc_id": pdf["doc_id"].to_numpy(np.int64), "score": out}
                 )

@@ -45,6 +45,17 @@ def test_rank_identity_k1000(engine, oracle_index, q):
     assert actual == expected, f"query={q!r}"
 
 
+@pytest.mark.parametrize(
+    "q", ["linux", "linux ubuntu", "linux -google", "w0042", "host:conv00000017"]
+)
+def test_bm25_mode_matches_oracle(engine, oracle_index, q):
+    expected = oracle.search_bm25(oracle_index, q, k=10)
+    actual = engine.search(q, k=10, mode="bm25")
+    assert [d for d, _ in actual] == [d for d, _ in expected], q
+    for (_, sa), (_, se) in zip(actual, expected):
+        assert abs(sa - se) < 1e-5, q
+
+
 def test_prune_matches_noprune(engine):
     for q in ("linux", "linux ubuntu", "w0042 linux"):
         assert engine.search(q, k=20, prune=True) == engine.search(
