@@ -87,13 +87,31 @@ def main() -> None:
         engine_stats["postings_per_s"] = round(metrics["n_postings"] / build_s, 1)
         engine_stats["compressed_bytes"] = metrics["compressed_bytes"]
 
+        # distributed (batch) query path
         eng = SearchEngine(spark, idx_dir)
         t0 = time.time()
-        for q in ENGINE_QUERIES:
+        for q in ENGINE_QUERIES[:4]:
             eng.search(q, k=10)
         qs = time.time() - t0
-        times["fts_query_set"] = round(qs, 3)
-        engine_stats["queries_per_s"] = round(len(ENGINE_QUERIES) / qs, 3)
+        times["fts_query_distributed"] = round(qs, 3)
+        engine_stats["queries_per_s_distributed"] = round(4 / qs, 3)
+
+        # serving path (LocalSearcher = the searchservernew analog:
+        # numpy sidecars + pyarrow segment reads, no Spark jobs per query)
+        from deusu_spark.query_local import LocalSearcher
+
+        ls = LocalSearcher(idx_dir)
+        ls.search("linux", k=10)  # warm lexicon/segment caches
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            for q in ENGINE_QUERIES:
+                ls.search(q, k=10)
+        qs = time.time() - t0
+        times["fts_query_serving"] = round(qs, 3)
+        engine_stats["queries_per_s_serving"] = round(
+            reps * len(ENGINE_QUERIES) / qs, 3
+        )
         shutil.rmtree(idx_dir, ignore_errors=True)
     except Exception as e:  # keep the bench line emitting even on failure
         engine_stats["error"] = repr(e)

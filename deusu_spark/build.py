@@ -79,7 +79,6 @@ SEGMENTS_SCHEMA = T.StructType(
         T.StructField("first_doc", T.LongType()),
         T.StructField("last_doc", T.LongType()),
         T.StructField("n", T.IntegerType()),
-        T.StructField("df", T.LongType()),
         T.StructField("max_static", T.DoubleType()),
         T.StructField("blob", T.BinaryType()),
     ]
@@ -173,67 +172,75 @@ def _tokenize_partition(iterator):
         yield pd.DataFrame(out)
 
 
-def _encode_group_fn(seg_size: int, fancy_threshold: int, max_bl: int):
-    """applyInPandas factory: encode one (bucket, term, salt) posting group
-    into bounded self-contained varbyte segments + fancy segments + block-max
-    metadata. Mirrors GenDb pass 2 (:512-705) + pass 5 (:975-1109) + the
-    codec rwi.pas:76-153."""
+def _encode_partition_fn(seg_size: int, max_bl: int, kind: str):
+    """mapInPandas factory: encode a whole shuffle partition of posting rows
+    — pre-sorted by (term, doc_id) via sortWithinPartitions — into bounded
+    self-contained varbyte segments + block-max metadata. One Arrow stream
+    per task instead of one applyInPandas call per term: per-group overhead
+    disappears and a hot term's salted sub-ranges encode in parallel tasks.
+    Mirrors GenDb pass 2 (:512-705) and the codec rwi.pas:76-153."""
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        bucket = int(pdf["bucket"].iloc[0])
-        term = pdf["term"].iloc[0]
-        df_total = int(pdf["df"].iloc[0])
+    cols = [
+        "bucket",
+        "term",
+        "kind",
+        "first_doc",
+        "last_doc",
+        "n",
+        "max_static",
+        "blob",
+    ]
+
+    def encode_partition(iterator):
+        pdfs = [p for p in iterator]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # rows arrive sorted by (term, doc_id); salt is monotone in doc_id
+        # within a term, so (term, salt) runs are already contiguous
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         flags = pdf["flags"].to_numpy(np.int64)
-        fd = pdf["fd"].to_numpy(np.int64)
-        he = pdf["he"].to_numpy(np.int64)
-        rank = pdf["rank"].to_numpy(np.int64)
-        bl = pdf["backlinks"].to_numpy(np.int64)
-
-        statics = static_scores(flags, fd, he, rank, bl, max_bl)
-
+        statics = static_scores(
+            flags,
+            pdf["fd"].to_numpy(np.int64),
+            pdf["he"].to_numpy(np.int64),
+            pdf["rank"].to_numpy(np.int64),
+            pdf["backlinks"].to_numpy(np.int64),
+            max_bl,
+        )
+        buckets = pdf["bucket"].to_numpy()
+        # run boundary = term OR salt change: two salt ranges of one term may
+        # share a partition (key-hash collision) while the range between them
+        # lives elsewhere — splitting on salt keeps segment doc-ranges
+        # disjoint across the whole index (LocalSearcher and the block-max
+        # pruning rely on that)
+        starts = np.flatnonzero(
+            np.concatenate(
+                ([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
+            )
+        )
         rows = []
-
-        def emit(kind, sel):
-            d, f, s = docs[sel], flags[sel], statics[sel]
-            for lo in range(0, len(d), seg_size):
-                hi = min(lo + seg_size, len(d))
+        for bi, s in enumerate(starts):
+            e = starts[bi + 1] if bi + 1 < len(starts) else len(terms)
+            for lo in range(s, e, seg_size):
+                hi = min(lo + seg_size, e)
                 rows.append(
                     (
-                        bucket,
-                        term,
+                        int(buckets[s]),
+                        terms[s],
                         kind,
-                        int(d[lo]),
-                        int(d[hi - 1]),
+                        int(docs[lo]),
+                        int(docs[hi - 1]),
                         hi - lo,
-                        df_total,
-                        float(s[lo:hi].max()),
-                        codec.encode(d[lo:hi], f[lo:hi], prev_doc=0),
+                        float(statics[lo:hi].max()),
+                        codec.encode(docs[lo:hi], flags[lo:hi], prev_doc=0),
                     )
                 )
+        yield pd.DataFrame(rows, columns=cols)
 
-        emit("full", slice(None))
-        if df_total > fancy_threshold:
-            sel = (rank > FANCY_RANK_LO) & (rank < FANCY_RANK_HI)
-            if sel.any():
-                emit("fancy", sel)
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "bucket",
-                "term",
-                "kind",
-                "first_doc",
-                "last_doc",
-                "n",
-                "df",
-                "max_static",
-                "blob",
-            ],
-        )
-
-    return encode_group
+    return encode_partition
 
 
 class Lineage:
@@ -264,7 +271,6 @@ def build_index(
     fancy_threshold: int = FANCY_DF_THRESHOLD,
     seg_size: int = SEGMENT_SIZE,
     n_salts: int = 8,
-    salt_df_threshold: int | None = None,
     bucket_groups: int = 4,
     scatter_files_per_bucket: int = 1,
 ) -> dict:
@@ -272,7 +278,6 @@ def build_index(
 
     Returns the build metrics dict (postings/sec, bytes, per-stage walls).
     """
-    salt_df_threshold = salt_df_threshold or seg_size * 4
     os.makedirs(out_dir, exist_ok=True)
     version = _pending_version(out_dir)
     vdir = os.path.join(out_dir, version)
@@ -385,10 +390,25 @@ def build_index(
         lin.record("scatter", wall_s=round(time.time() - t0, 3))
 
     # ---- stage segments, per bucket group ----------------------------------
+    # Shuffle key (bucket, tgrp, salt): tgrp spreads a bucket's vocabulary
+    # over tasks, salt = contiguous doc-range splits hot terms WITHOUT
+    # needing their df (no join against the postings stream). A term's rows
+    # land term-contiguous after sortWithinPartitions(term, doc_id), so one
+    # streaming pass per task cuts exact segments. Fancy accelerator lists
+    # are a second, tiny job over hot terms only (broadcast semi-join).
     groups = [
         list(range(g, N_TERM_BUCKETS, bucket_groups)) for g in range(bucket_groups)
     ]
-    encode_fn = _encode_group_fn(seg_size, fancy_threshold, int(max_bl))
+    full_fn = _encode_partition_fn(seg_size, int(max_bl), "full")
+    fancy_fn = _encode_partition_fn(seg_size, int(max_bl), "fancy")
+    n_tgrp = 8
+    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def _salted(df_):
+        return df_.withColumn(
+            "salt", (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("int")
+        ).withColumn("tgrp", F.pmod(F.hash("term"), F.lit(n_tgrp)))
+
     for gi, buckets in enumerate(groups):
         step = f"segments_g{gi}"
         if step in lin.done:
@@ -397,26 +417,38 @@ def build_index(
         pg = spark.read.parquet(stage_postings).where(F.col("bucket").isin(buckets))
 
         lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df"))
-        lex.write.mode("overwrite").partitionBy("bucket").parquet(
-            lexicon_dir + f"_tmp_g{gi}"
-        )
+        lex.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(lexicon_dir + f"_tmp_g{gi}")
 
-        lex_read = spark.read.parquet(lexicon_dir + f"_tmp_g{gi}")
-        pj = pg.join(lex_read, ["bucket", "term"])
-        pj = pj.withColumn(
-            "salt",
-            F.when(
-                F.col("df") > salt_df_threshold,
-                (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("int"),
-            ).otherwise(F.lit(0)),
+        stream = (
+            _salted(pg)
+            .repartition(nparts, "bucket", "tgrp", "salt")
+            .sortWithinPartitions("term", "doc_id")
         )
-        segs = pj.groupBy("bucket", "term", "salt").applyInPandas(
-            encode_fn, schema=SEGMENTS_SCHEMA
+        segs = stream.mapInPandas(full_fn, schema=SEGMENTS_SCHEMA)
+
+        hot = (
+            spark.read.parquet(lexicon_dir + f"_tmp_g{gi}")
+            .where(F.col("df") > fancy_threshold)
+            .select("bucket", "term")
         )
+        fancy_stream = (
+            _salted(
+                pg.join(F.broadcast(hot), ["bucket", "term"]).where(
+                    (F.col("rank") > FANCY_RANK_LO) & (F.col("rank") < FANCY_RANK_HI)
+                )
+            )
+            .repartition(nparts, "bucket", "tgrp", "salt")
+            .sortWithinPartitions("term", "doc_id")
+        )
+        fancy_segs = fancy_stream.mapInPandas(fancy_fn, schema=SEGMENTS_SCHEMA)
+
         # sort within files by (term, first_doc): parquet row-group min/max
         # stats then prune term probes inside each bucket file
-        segs = segs.sortWithinPartitions("term", "first_doc")
-        segs.write.mode("overwrite").partitionBy("bucket").parquet(
+        segs.unionByName(fancy_segs).sortWithinPartitions(
+            "term", "kind", "first_doc"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
             postings_dir + f"_tmp_g{gi}"
         )
         # idempotent move of finished bucket dirs into place
@@ -445,7 +477,6 @@ def build_index(
             "fancy_threshold": fancy_threshold,
             "seg_size": seg_size,
             "n_salts": n_salts,
-            "salt_df_threshold": salt_df_threshold,
             "n_buckets": N_TERM_BUCKETS,
         }
         with open(os.path.join(vdir, "meta.json"), "w") as f:

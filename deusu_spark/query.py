@@ -69,7 +69,8 @@ class SearchEngine:
         self.postings = spark.read.parquet(os.path.join(self.vdir, "postings"))
         self._docmeta_cols = self.docmeta.select(
             "doc_id", "fd", "he", "rank", "backlinks", "dl"
-        )
+        ).cache()  # the reference's in-RAM sidecar vectors (LoadCacheData)
+        self.lexicon = self.lexicon.cache()
         self._avgdl: float | None = None
 
     @property

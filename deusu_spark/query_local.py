@@ -1,0 +1,216 @@
+"""Serving-mode searcher: answers queries from the *built* index with
+numpy + pyarrow only — no Spark jobs per query.
+
+This is the architectural twin of the reference's query server
+(searchservernew.dpr:1464-1632 LoadCacheData slurps the per-doc sidecar
+vectors into RAM and streams postings from the keys/fancy files): docmeta
+sidecars live in driver arrays, posting segments are read lazily through
+pyarrow with bucket/term predicate pushdown. Use it for interactive /
+high-QPS serving; use query.SearchEngine for distributed batch scoring.
+Both are rank-identical to the oracle (tested)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .build import current_index_dir, static_scores
+from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
+from .queryplan import PlanTerm, compile_query
+from . import codec
+from .synth import crc32
+
+
+class LocalSearcher:
+    def __init__(self, index_root: str):
+        self.vdir = current_index_dir(index_root)
+        with open(os.path.join(self.vdir, "meta.json")) as f:
+            self.meta = json.load(f)
+        dm = pq.read_table(
+            os.path.join(self.vdir, "docmeta"),
+            columns=["doc_id", "host", "fd", "he", "rank", "backlinks", "dl"],
+        )
+        order = np.argsort(dm["doc_id"].to_numpy())
+        self.fd = dm["fd"].to_numpy()[order].astype(np.int64)
+        self.he = dm["he"].to_numpy()[order].astype(np.int64)
+        self.rank = dm["rank"].to_numpy()[order].astype(np.int64)
+        self.backlinks = dm["backlinks"].to_numpy()[order].astype(np.int64)
+        self.dl = dm["dl"].to_numpy()[order].astype(np.int64)
+        hosts = np.asarray(dm["host"].to_pandas())[order]
+        self._host_docs: dict[str, np.ndarray] = {}
+        host_order = np.argsort(hosts, kind="stable")
+        sorted_hosts = hosts[host_order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], sorted_hosts[1:] != sorted_hosts[:-1]))
+        )
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_hosts)
+            self._host_docs[sorted_hosts[s]] = np.sort(host_order[s:e]).astype(
+                np.int64
+            )
+        self._postings = pads.dataset(
+            os.path.join(self.vdir, "postings"), partitioning="hive"
+        )
+        self._lexicon = pads.dataset(
+            os.path.join(self.vdir, "lexicon"), partitioning="hive"
+        )
+        self._df_cache: dict[str, int] = {}
+        self.n_docs = int(self.meta["n_docs"])
+        self.max_bl = int(self.meta["max_backlinks"])
+        self.avgdl = float(self.dl.mean()) if len(self.dl) else 1.0
+
+    # ------------------------------------------------------------------
+    def term_df(self, term: str) -> int:
+        if term in self._df_cache:
+            return self._df_cache[term]
+        b = crc32(term) % 64
+        t = self._lexicon.to_table(
+            filter=(pads.field("bucket") == b) & (pads.field("term") == term),
+            columns=["df"],
+        )
+        df = int(t["df"][0].as_py()) if t.num_rows else 0
+        self._df_cache[term] = df
+        return df
+
+    def _term_postings(
+        self, term: str, use_fancy: bool, df: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        kind = "fancy" if use_fancy and df > self.meta["fancy_threshold"] else "full"
+        b = crc32(term) % 64
+        t = self._postings.to_table(
+            filter=(
+                (pads.field("bucket") == b)
+                & (pads.field("term") == term)
+                & (pads.field("kind") == kind)
+            ),
+            columns=["first_doc", "blob"],
+        )
+        if t.num_rows == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        order = np.argsort(t["first_doc"].to_numpy())
+        docs_l, flags_l = [], []
+        blobs = t["blob"].to_pylist()
+        for i in order:
+            d, f = codec.decode(blobs[i])
+            docs_l.append(d)
+            flags_l.append(f.astype(np.int64))
+        return np.concatenate(docs_l), np.concatenate(flags_l)
+
+    # ------------------------------------------------------------------
+    def compile(self, query: str) -> list[PlanTerm]:
+        return compile_query(query, self.n_docs, self.term_df)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        mode: str = "deusu",
+    ) -> list[tuple[int, int]]:
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        terms = self.compile(query)
+        if not terms:
+            return []
+        if mode == "bm25":
+            docs, vals = self._run_pass(terms, w, use_fancy=False, mode="bm25")
+            return self._topk(docs, vals, k, is_float=True)
+        if any(
+            t.host is None and t.df > self.meta["fancy_threshold"] for t in terms
+        ):
+            docs, vals = self._run_pass(terms, w, use_fancy=True)
+            if len(docs) >= MAX_RESULTS:
+                return self._topk(docs, vals, k)
+        docs, vals = self._run_pass(terms, w, use_fancy=False)
+        return self._topk(docs, vals, k)
+
+    @staticmethod
+    def _topk(docs, vals, k, is_float=False):
+        if len(docs) == 0:
+            return []
+        order = np.lexsort((docs, -vals))[:k]
+        if is_float:
+            return [(int(docs[i]), round(float(vals[i]), 6)) for i in order]
+        return [(int(docs[i]), int(vals[i])) for i in order]
+
+    def _run_pass(self, terms, w, use_fancy, mode="deusu"):
+        """Sequential acSet/acAnd/acNot over sorted doc arrays (the bitfield
+        walk of searchservernew.dpr:742-954 as numpy set algebra)."""
+        cand_docs = np.empty(0, dtype=np.int64)
+        cand_vals = np.empty(0, dtype=np.float64)
+        for i, t in enumerate(terms):
+            action = "SET" if i == 0 else t.action
+            if t.host is not None:
+                docs = self._host_docs.get(t.host, np.empty(0, dtype=np.int64))
+                if mode == "bm25":
+                    vals = np.zeros(len(docs))
+                else:
+                    v = w["b1"] + (31 - (self.fd[docs] & 31)) * w["b7"]
+                    if action == "SET":
+                        v = v + np.round(_blv(self.backlinks[docs], self.max_bl))
+                    vals = np.clip(v, 1, SCORE_CLAMP)
+            else:
+                docs, flags = self._term_postings(t.key, use_fancy, t.df)
+                if t.url_only:
+                    m = (flags & 4) != 0
+                    docs, flags = docs[m], flags[m]
+                elif t.title_only:
+                    m = (flags & 2) != 0
+                    docs, flags = docs[m], flags[m]
+                if mode == "bm25":
+                    idf = math.log(
+                        1.0 + (self.n_docs - t.df + 0.5) / (t.df + 0.5)
+                    )
+                    vals = (
+                        idf
+                        * 2.2
+                        / (1.0 + 1.2 * (0.25 + 0.75 * self.dl[docs] / self.avgdl))
+                    )
+                else:
+                    s = static_scores(
+                        flags,
+                        self.fd[docs],
+                        self.he[docs],
+                        self.rank[docs],
+                        self.backlinks[docs],
+                        self.max_bl,
+                        include_backlink=t.include_backlink,
+                        weights=w,
+                    )
+                    vals = np.minimum(np.round(s * t.idf), SCORE_CLAMP)
+
+            if action == "SET":
+                cand_docs, cand_vals = docs, vals.astype(np.float64)
+            elif action == "AND":
+                # docs ascending on both sides → searchsorted intersection
+                pos = np.searchsorted(docs, cand_docs)
+                pos_ok = pos < len(docs)
+                hit = np.zeros(len(cand_docs), dtype=bool)
+                hit[pos_ok] = docs[pos[pos_ok]] == cand_docs[pos_ok]
+                add = np.zeros(hit.sum())
+                pos2 = np.searchsorted(docs, cand_docs[hit])
+                add = vals[pos2]
+                cand_docs = cand_docs[hit]
+                base = cand_vals[hit] + add
+                cand_vals = (
+                    np.minimum(base, SCORE_CLAMP) if mode == "deusu" else base
+                )
+            else:  # NOT
+                hit = np.isin(cand_docs, docs, assume_unique=True)
+                cand_docs, cand_vals = cand_docs[~hit], cand_vals[~hit]
+            if action == "AND" and len(cand_docs) == 0:
+                return cand_docs, cand_vals
+        return cand_docs, cand_vals
+
+
+def _blv(bl: np.ndarray, max_bl: int) -> np.ndarray:
+    ln_mbl = math.log(max_bl) if max_bl > 0 else 0.0
+    if ln_mbl <= 0:
+        return np.where(bl == 0, 1.0, 0.0)
+    return np.where(bl == 0, 1.0, 2500.0 * np.log(np.maximum(bl, 1)) / ln_mbl)

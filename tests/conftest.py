@@ -35,7 +35,6 @@ def tiny_index_dir(spark, tiny_corpus):
         d,
         fancy_threshold=TINY_FANCY_THRESHOLD,
         seg_size=TINY_SEG_SIZE,
-        salt_df_threshold=TINY_SEG_SIZE * 2,
         n_salts=4,
         bucket_groups=2,
     )

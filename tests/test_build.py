@@ -57,7 +57,7 @@ def test_df_invariant_and_postings_match(spark, tiny_index_dir, oracle_index):
     segs = (
         spark.read.parquet(f"{vdir}/postings")
         .where(F.col("kind") == "full")
-        .select("term", "first_doc", "n", "df", "blob")
+        .select("term", "first_doc", "n", "blob")
         .toPandas()
     )
     assert int(segs["n"].sum()) == sum(lex.values())
@@ -73,6 +73,24 @@ def test_df_invariant_and_postings_match(spark, tiny_index_dir, oracle_index):
         expected = oracle_index.postings.get(term, [])
         assert list(zip(docs, flags)) == expected, term
         assert docs == sorted(docs)  # ascending across segments
+
+
+def test_segment_ranges_disjoint(spark, tiny_index_dir):
+    """Per (term, kind), segment [first_doc, last_doc] ranges must be
+    pairwise disjoint and ordered — LocalSearcher concatenation and the
+    block-max/interval pruning rely on it."""
+    vdir = current_index_dir(tiny_index_dir)
+    segs = (
+        spark.read.parquet(f"{vdir}/postings")
+        .select("term", "kind", "first_doc", "last_doc")
+        .toPandas()
+    )
+    for (_, _), sub in segs.groupby(["term", "kind"]):
+        sub = sub.sort_values("first_doc")
+        lasts = sub["last_doc"].to_numpy()
+        firsts = sub["first_doc"].to_numpy()
+        assert (firsts <= lasts).all()
+        assert (firsts[1:] > lasts[:-1]).all()
 
 
 def test_fancy_lists_match_oracle(spark, tiny_index_dir, oracle_index):

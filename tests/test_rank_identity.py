@@ -56,6 +56,29 @@ def test_bm25_mode_matches_oracle(engine, oracle_index, q):
         assert abs(sa - se) < 1e-5, q
 
 
+@pytest.fixture(scope="module")
+def local_searcher(tiny_index_dir):
+    from deusu_spark.query_local import LocalSearcher
+
+    return LocalSearcher(tiny_index_dir)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_local_searcher_rank_identity(local_searcher, oracle_index, q):
+    expected = oracle.search(oracle_index, q, k=10)
+    actual = local_searcher.search(q, k=10)
+    assert actual == expected, f"query={q!r}"
+
+
+@pytest.mark.parametrize("q", ["linux", "linux ubuntu", "w0042"])
+def test_local_searcher_bm25(local_searcher, oracle_index, q):
+    expected = oracle.search_bm25(oracle_index, q, k=10)
+    actual = local_searcher.search(q, k=10, mode="bm25")
+    assert [d for d, _ in actual] == [d for d, _ in expected], q
+    for (_, sa), (_, se) in zip(actual, expected):
+        assert abs(sa - se) < 1e-5, q
+
+
 def test_prune_matches_noprune(engine):
     for q in ("linux", "linux ubuntu", "w0042 linux"):
         assert engine.search(q, k=20, prune=True) == engine.search(
