@@ -342,10 +342,11 @@ def build_index(
     # ---- stage docmeta (published copy without the term arrays) -----------
     if "docmeta" not in lin.done:
         t0 = time.time()
+        # stage_docs is already (conv_id, turn_idx)-range-partitioned and
+        # sorted, and doc_id is monotone in (_pid, _rn) — write through
+        # without another shuffle; files stay doc_id-ordered.
         sd = _with_doc_id(spark.read.parquet(stage_docs))
-        sd.drop("terms", "tflags").repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism), "doc_id"
-        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(docmeta_dir)
+        sd.drop("terms", "tflags").write.mode("overwrite").parquet(docmeta_dir)
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
@@ -415,21 +416,33 @@ def build_index(
             continue
         t0 = time.time()
         pg = spark.read.parquet(stage_postings).where(F.col("bucket").isin(buckets))
+        seg_tmp = postings_dir + f"_tmp_g{gi}"
+        lex_tmp = lexicon_dir + f"_tmp_g{gi}"
 
-        lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df"))
-        lex.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(lexicon_dir + f"_tmp_g{gi}")
-
+        # one full-data pass: shuffle + in-partition sort + stream-encode.
+        # sort within files by (term, first_doc): parquet row-group min/max
+        # stats then prune term probes inside each bucket file
         stream = (
             _salted(pg)
             .repartition(nparts, "bucket", "tgrp", "salt")
             .sortWithinPartitions("term", "doc_id")
         )
-        segs = stream.mapInPandas(full_fn, schema=SEGMENTS_SCHEMA)
+        stream.mapInPandas(full_fn, schema=SEGMENTS_SCHEMA).sortWithinPartitions(
+            "term", "first_doc"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(seg_tmp)
 
+        # lexicon dfs aggregate SEGMENT metadata (rows ∝ segments, not
+        # postings) — no second scan of the posting stream
+        segs_written = spark.read.parquet(seg_tmp)
+        lex = segs_written.groupBy("bucket", "term").agg(F.sum("n").alias("df"))
+        lex.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(lex_tmp)
+
+        # fancy accelerator lists: hot terms only (broadcast semi-join +
+        # rank-window filter, GenDb.dpr:1053-1071) — appended to the same tmp
         hot = (
-            spark.read.parquet(lexicon_dir + f"_tmp_g{gi}")
+            spark.read.parquet(lex_tmp)
             .where(F.col("df") > fancy_threshold)
             .select("bucket", "term")
         )
@@ -442,18 +455,15 @@ def build_index(
             .repartition(nparts, "bucket", "tgrp", "salt")
             .sortWithinPartitions("term", "doc_id")
         )
-        fancy_segs = fancy_stream.mapInPandas(fancy_fn, schema=SEGMENTS_SCHEMA)
+        fancy_stream.mapInPandas(
+            fancy_fn, schema=SEGMENTS_SCHEMA
+        ).sortWithinPartitions("term", "first_doc").write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(seg_tmp)
 
-        # sort within files by (term, first_doc): parquet row-group min/max
-        # stats then prune term probes inside each bucket file
-        segs.unionByName(fancy_segs).sortWithinPartitions(
-            "term", "kind", "first_doc"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
-            postings_dir + f"_tmp_g{gi}"
-        )
         # idempotent move of finished bucket dirs into place
-        _move_bucket_dirs(postings_dir + f"_tmp_g{gi}", postings_dir)
-        _move_bucket_dirs(lexicon_dir + f"_tmp_g{gi}", lexicon_dir)
+        _move_bucket_dirs(seg_tmp, postings_dir)
+        _move_bucket_dirs(lex_tmp, lexicon_dir)
         lin.record(step, buckets=buckets, wall_s=round(time.time() - t0, 3))
 
     # ---- publish ------------------------------------------------------------
