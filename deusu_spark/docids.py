@@ -30,6 +30,10 @@ def assign_doc_ids(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    # both jobs below must observe the SAME partitioning; pin the lineage
+    # (build.py avoids this by persisting (_pid, _rn) into its staged output)
+    ordered = ordered.persist()
+    ordered.count()
 
     sizes = (
         ordered.withColumn("_pid", F.spark_partition_id())

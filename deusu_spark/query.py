@@ -208,7 +208,12 @@ class SearchEngine:
         if decoded is None:
             return [], 0
 
-        scored = self._score_rows(decoded, terms, w, mode=mode)
+        # decoded row count is known from segment metadata: broadcast the
+        # candidate stream when it is small (saves a full docmeta shuffle)
+        est_rows = int(seg_meta["n"].sum()) if not seg_meta.empty else 0
+        scored = self._score_rows(
+            decoded, terms, w, mode=mode, broadcast_decoded=0 < est_rows < 2_000_000
+        )
         pos_df = scored.where(F.col("ti").isin([t.ti for t in pos]))
         # per-term scores are each clamped; saturating sequential addition of
         # non-negative terms equals min(sum, clamp) (searchservernew.dpr:926)
@@ -373,7 +378,12 @@ class SearchEngine:
 
     # -- scoring -------------------------------------------------------------
     def _score_rows(
-        self, decoded: DataFrame, terms: list[PlanTerm], w, mode: str = "deusu"
+        self,
+        decoded: DataFrame,
+        terms: list[PlanTerm],
+        w,
+        mode: str = "deusu",
+        broadcast_decoded: bool = False,
     ) -> DataFrame:
         """Join sidecars and compute per-posting scores, vectorized.
 
@@ -394,6 +404,10 @@ class SearchEngine:
         max_bl = int(self.meta["max_backlinks"])
         n_docs = int(self.meta["n_docs"])
         avgdl = self.avgdl if mode == "bm25" else 1.0
+        if broadcast_decoded:
+            # candidate set is known-small (block-max path): broadcast it so
+            # the sidecar join is a map-side lookup over cached docmeta
+            decoded = F.broadcast(decoded)
         joined = decoded.join(self._docmeta_cols, "doc_id")
 
         def score_fn(iterator):
@@ -510,7 +524,7 @@ class SearchEngine:
         decoded = segs.mapInPandas(
             _decode_only_fn(t.ti), schema=DECODED_SCHEMA
         )
-        scored = self._score_rows(decoded, [t], w)
+        scored = self._score_rows(decoded, [t], w, broadcast_decoded=True)
         rows = scored.select("doc_id", "score").collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
