@@ -4,8 +4,14 @@ per the driver note): run the SAME index build + query set at local[8] and
 local[32] on identical input, report throughput at both plus scaling
 efficiency into BENCH.md.
 
+Each parallelism level runs in a FRESH python process (JVM state, python
+worker pools and page-cache warmup would otherwise cross-contaminate the
+measurement). The corpus must be large enough that compute dominates fixed
+per-task overhead — default 100k conversations (~1M turns, ~42M postings);
+override with SPARK_GRAFT_SCALE_CONVS.
+
 Efficiency definition (work-normalized): with T_p = wall at parallelism p,
-  eff = (T_8 / T_32) / (32/8)  -- 1.0 = perfect linear scaling.
+  eff = (T_8 / T_32) / (32/8)  — 1.0 = perfect linear scaling.
 """
 
 from __future__ import annotations
@@ -13,19 +19,18 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from deusu_spark import synth  # noqa: E402
-from deusu_spark.session import get_spark  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 QUERIES = [
     "linux",
     "w0042",
-    "linux ubuntu",
+    "linux w0001",
     "linux -google",
     "intitle:assistant linux",
     "host:conv00000017",
@@ -34,77 +39,114 @@ QUERIES = [
 ]
 
 
-def run_at(cores: int, n_convs: int) -> dict:
-    from pyspark.sql import SparkSession
+def run_level(cores: int, n_convs: int) -> dict:
+    """Executed in a child process: build + query at one parallelism."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    from deusu_spark import synth
+    from deusu_spark.build import build_index
+    from deusu_spark.query import SearchEngine
+    from deusu_spark.query_local import LocalSearcher
+    from deusu_spark.session import get_spark
 
-    active = SparkSession.getActiveSession()
-    if active:
-        active.stop()
     spark = get_spark(
         app=f"deusu-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from deusu_spark.build import build_index
-    from deusu_spark.query import SearchEngine
-
     corpus = synth.gen_transcripts(n_convs)
     sdf = spark.createDataFrame(corpus)
     idx_dir = tempfile.mkdtemp(prefix=f"deusu_scale_{cores}_")
     t0 = time.time()
     metrics = build_index(
-        spark, sdf, idx_dir, fancy_threshold=max(1000, n_convs // 4), bucket_groups=2
+        spark, sdf, idx_dir, fancy_threshold=max(1000, n_convs // 4),
+        bucket_groups=2,
     )
     build_s = time.time() - t0
 
     eng = SearchEngine(spark, idx_dir)
     t0 = time.time()
-    for q in QUERIES:
+    for q in QUERIES[:4]:
         eng.search(q, k=10)
-    query_s = time.time() - t0
+    dist_s = time.time() - t0
+
+    ls = LocalSearcher(idx_dir)
+    ls.search("linux", k=10)
+    t0 = time.time()
+    for _ in range(3):
+        for q in QUERIES:
+            ls.search(q, k=10)
+    serve_s = time.time() - t0
     shutil.rmtree(idx_dir, ignore_errors=True)
-    spark.stop()
     return {
         "cores": cores,
         "build_s": round(build_s, 2),
         "postings": metrics["n_postings"],
         "postings_per_s": round(metrics["n_postings"] / build_s, 1),
-        "query_s": round(query_s, 2),
-        "queries_per_s": round(len(QUERIES) / query_s, 3),
+        "dist_query_s": round(dist_s, 2),
+        "dist_qps": round(4 / dist_s, 3),
+        "serving_qps": round(3 * len(QUERIES) / serve_s, 2),
     }
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "20000"))
-    lo = run_at(8, n_convs)
-    hi = run_at(32, n_convs)
+    if len(sys.argv) == 3 and sys.argv[1] == "--level":
+        print(
+            "RESULT " + json.dumps(
+                run_level(int(sys.argv[2]), int(os.environ["_SCALE_CONVS"]))
+            )
+        )
+        return
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "100000"))
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ, _SCALE_CONVS=str(n_convs), PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            raise SystemExit(f"level {cores} failed")
+        results[cores] = json.loads(line[-1][7:])
+
+    lo, hi = results[8], results[32]
     speedup = lo["build_s"] / hi["build_s"]
     eff = speedup / (32 / 8)
-    out = {"low": lo, "high": hi, "build_speedup": round(speedup, 3),
-           "scaling_efficiency": round(eff, 3), "n_convs": n_convs}
+    out = {
+        "low": lo,
+        "high": hi,
+        "build_speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "n_convs": n_convs,
+    }
     print(json.dumps(out, indent=1))
 
     md = f"""# BENCH — engine throughput & scaling (local[8] vs local[32] proxy)
 
 Input: deterministic synthetic transcript corpus, {n_convs} conversations
-({lo['postings']} postings). Same input, same job, two parallelism levels
-(sandbox proxy for N vs 4N executors — no real cluster available).
+({lo['postings']} postings). Same input, same job, two parallelism levels,
+each in a fresh process (sandbox proxy for N vs 4N executors — no real
+cluster available in this environment).
 
-| parallelism | build wall (s) | postings/s | query set (s) | queries/s |
+| parallelism | build wall (s) | postings/s | batch qps (Spark) | serving qps (LocalSearcher) |
 |---|---|---|---|---|
-| local[8]  | {lo['build_s']} | {lo['postings_per_s']} | {lo['query_s']} | {lo['queries_per_s']} |
-| local[32] | {hi['build_s']} | {hi['postings_per_s']} | {hi['query_s']} | {hi['queries_per_s']} |
+| local[8]  | {lo['build_s']} | {lo['postings_per_s']} | {lo['dist_qps']} | {lo['serving_qps']} |
+| local[32] | {hi['build_s']} | {hi['postings_per_s']} | {hi['dist_qps']} | {hi['serving_qps']} |
 
-Build speedup 8→32 cores (4× resources): **{speedup:.2f}×** →
-scaling efficiency **{eff:.2f}** (target ≥ 0.8 of linear would be 4.0×;
-efficiency = speedup/4).
+Build speedup 8→32 cores (4x resources): **{speedup:.2f}x** →
+scaling efficiency **{eff:.2f}** (1.0 = perfect linear; target ≥ 0.8).
 
-Interactive query latency is dominated by fixed per-job scheduling overhead
-at this corpus size, so query-side scaling is reported for completeness but
-build throughput is the capacity-relevant number.
+Serving-path queries run driver-side (numpy + pyarrow segment reads — the
+architectural twin of the reference's query server) and do not scale with
+executor count by design; the distributed path is the batch-scoring story
+and the build is the capacity-relevant scaling number.
 """
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
 
