@@ -272,6 +272,7 @@ def build_index(
     seg_size: int = SEGMENT_SIZE,
     n_salts: int = 8,
     bucket_groups: int = 4,
+    doc_id_offset: int = 0,
     scatter_files_per_bucket: int = 1,
 ) -> dict:
     """Build (or resume) the index under ``out_dir`` and atomically publish.
@@ -345,14 +346,14 @@ def build_index(
         # stage_docs is already (conv_id, turn_idx)-range-partitioned and
         # sorted, and doc_id is monotone in (_pid, _rn) — write through
         # without another shuffle; files stay doc_id-ordered.
-        sd = _with_doc_id(spark.read.parquet(stage_docs))
+        sd = _with_doc_id(spark.read.parquet(stage_docs), doc_id_offset)
         sd.drop("terms", "tflags").write.mode("overwrite").parquet(docmeta_dir)
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
     if "scatter" not in lin.done:
         t0 = time.time()
-        sd = _with_doc_id(spark.read.parquet(stage_docs))
+        sd = _with_doc_id(spark.read.parquet(stage_docs), doc_id_offset)
         postings = (
             sd.select(
                 "doc_id",
@@ -509,14 +510,15 @@ def build_index(
     return metrics
 
 
-def _with_doc_id(stage_docs_df: DataFrame) -> DataFrame:
-    """doc_id = prefix_offset(_pid) + _rn over the staged, already
-    (conv_id, turn_idx)-sorted docs. The offset table is one row per sort
-    partition — broadcast-joined, so this scales to any corpus size."""
+def _with_doc_id(stage_docs_df: DataFrame, doc_id_offset: int = 0) -> DataFrame:
+    """doc_id = doc_id_offset + prefix_offset(_pid) + _rn over the staged,
+    already (conv_id, turn_idx)-sorted docs. The offset table is one row per
+    sort partition — broadcast-joined, so this scales to any corpus size.
+    doc_id_offset > 0 appends after an existing corpus (incremental.py)."""
     spark = stage_docs_df.sparkSession
     sizes = stage_docs_df.groupBy("_pid").count().collect()
     counts = {r["_pid"]: r["count"] for r in sizes}
-    rows, acc = [], 0
+    rows, acc = [], doc_id_offset
     for pid in sorted(counts):
         rows.append((pid, acc))
         acc += counts[pid]
