@@ -69,8 +69,12 @@ def main() -> None:
         from deusu_spark.build import build_index
         from deusu_spark.query import SearchEngine
 
-        corpus = synth.gen_transcripts(n_convs)
-        sdf = spark.createDataFrame(corpus)
+        corpus_path = os.path.join(
+            tempfile.gettempdir(), f"deusu_bench_corpus_{n_convs}.parquet"
+        )
+        if not os.path.exists(corpus_path):
+            synth.write_parquet(synth.gen_transcripts(n_convs), corpus_path)
+        sdf = spark.read.parquet(corpus_path)
         idx_dir = tempfile.mkdtemp(prefix="deusu_bench_idx_")
         t0 = time.time()
         metrics = build_index(

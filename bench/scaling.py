@@ -54,8 +54,14 @@ def run_level(cores: int, n_convs: int) -> dict:
         shuffle_partitions=cores,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = synth.gen_transcripts(n_convs)
-    sdf = spark.createDataFrame(corpus)
+    # the production input is a table, not a driver-side frame: stage the
+    # deterministic corpus to parquet (untimed) and build from the table
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"deusu_scale_corpus_{n_convs}.parquet"
+    )
+    if not os.path.exists(corpus_path):
+        synth.write_parquet(synth.gen_transcripts(n_convs), corpus_path)
+    sdf = spark.read.parquet(corpus_path)
     idx_dir = tempfile.mkdtemp(prefix=f"deusu_scale_{cores}_")
     t0 = time.time()
     metrics = build_index(
