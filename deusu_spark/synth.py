@@ -124,4 +124,7 @@ def doc_domain_rank(host: str) -> int:
 
 
 def write_parquet(df: pd.DataFrame, path: str) -> None:
+    df = df.copy()
+    # Spark cannot read TIMESTAMP(NANOS); store microsecond precision
+    df["ts"] = df["ts"].astype("datetime64[us, UTC]")
     df.to_parquet(path, index=False)
