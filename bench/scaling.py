@@ -105,20 +105,29 @@ def main() -> None:
         return
 
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "100000"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     results = {}
-    for cores in (8, 32):
-        env = dict(os.environ, _SCALE_CONVS=str(n_convs), PYTHONPATH=REPO)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
-            capture_output=True,
-            text=True,
-            env=env,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"level {cores} failed")
-        results[cores] = json.loads(line[-1][7:])
+    # interleave levels and keep the best trial per level: the sandbox host
+    # has noisy neighbors (observed 2x wall-clock swings between identical
+    # runs), and minimum-of-trials is the standard noise filter
+    for trial in range(trials):
+        for cores in (8, 32):
+            env = dict(os.environ, _SCALE_CONVS=str(n_convs), PYTHONPATH=REPO)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            line = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")
+            ]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"level {cores} failed")
+            res = json.loads(line[-1][7:])
+            if cores not in results or res["build_s"] < results[cores]["build_s"]:
+                results[cores] = res
 
     lo, hi = results[8], results[32]
     speedup = lo["build_s"] / hi["build_s"]

@@ -385,6 +385,10 @@ def build_index(
                 "bucket",
                 F.pmod(F.col("doc_id"), F.lit(scatter_files_per_bucket)),
             )
+            # term-sorted scatter files: the fancy job's hot-term probe then
+            # prunes row groups via parquet min/max stats instead of scanning
+            # the whole posting stream
+            .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(stage_postings)
@@ -440,27 +444,41 @@ def build_index(
             "bucket"
         ).parquet(lex_tmp)
 
-        # fancy accelerator lists: hot terms only (broadcast semi-join +
-        # rank-window filter, GenDb.dpr:1053-1071) — appended to the same tmp
+        # fancy accelerator lists: hot terms only, rank-window filtered
+        # (GenDb.dpr:1053-1071) — appended to the same tmp. Hot terms are few
+        # by definition; when the list is collectable, push it down as a
+        # literal isin so parquet row-group stats (term-sorted scatter files)
+        # prune the scan; fall back to a broadcast semi-join otherwise.
         hot = (
             spark.read.parquet(lex_tmp)
             .where(F.col("df") > fancy_threshold)
             .select("bucket", "term")
         )
-        fancy_stream = (
-            _salted(
-                pg.join(F.broadcast(hot), ["bucket", "term"]).where(
-                    (F.col("rank") > FANCY_RANK_LO) & (F.col("rank") < FANCY_RANK_HI)
-                )
+        hot_rows = hot.limit(10_001).collect()
+        if len(hot_rows) == 0:
+            hot_src = None
+        elif len(hot_rows) <= 10_000:
+            hot_src = pg.where(
+                F.col("term").isin([r["term"] for r in hot_rows])
             )
-            .repartition(nparts, "bucket", "tgrp", "salt")
-            .sortWithinPartitions("term", "doc_id")
-        )
-        fancy_stream.mapInPandas(
-            fancy_fn, schema=SEGMENTS_SCHEMA
-        ).sortWithinPartitions("term", "first_doc").write.mode(
-            "append"
-        ).partitionBy("bucket").parquet(seg_tmp)
+        else:
+            hot_src = pg.join(F.broadcast(hot), ["bucket", "term"])
+        if hot_src is not None:
+            fancy_stream = (
+                _salted(
+                    hot_src.where(
+                        (F.col("rank") > FANCY_RANK_LO)
+                        & (F.col("rank") < FANCY_RANK_HI)
+                    )
+                )
+                .repartition(nparts, "bucket", "tgrp", "salt")
+                .sortWithinPartitions("term", "doc_id")
+            )
+            fancy_stream.mapInPandas(
+                fancy_fn, schema=SEGMENTS_SCHEMA
+            ).sortWithinPartitions("term", "first_doc").write.mode(
+                "append"
+            ).partitionBy("bucket").parquet(seg_tmp)
 
         # idempotent move of finished bucket dirs into place
         _move_bucket_dirs(seg_tmp, postings_dir)
