@@ -20,6 +20,13 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Keep freed large allocations in the process heap instead of returning
+    # them to the OS: virtualized hosts fault fresh pages orders of magnitude
+    # slower than they stream warm ones, and numpy/Arrow pipelines allocate
+    # large temporaries per task. Retained heaps keep worker pages warm
+    # across tasks (python workers are reused).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     b = (
         SparkSession.builder.appName(app)
