@@ -127,6 +127,49 @@ def static_scores(
     return (1.0 - rank_v * RANK_FACTOR) * v / np.asarray(he, dtype=np.float64)
 
 
+def static_score_col(max_bl: int, w: dict[str, int] | None = None):
+    """JVM column-expression twin of static_scores() (same formula,
+    searchservernew.dpr:874-897 with the acSet backlink add): evaluated
+    inside whole-stage codegen at scatter time so posting rows carry a
+    single float instead of four sidecar columns through the shuffle and
+    into the Python encoders.
+
+    Parity note: all terms except the backlink value are integer-valued and
+    exact in float64; JVM Math.log vs libm log may differ by ~1 ulp, so
+    block-max consumers must treat bounds with a ±1 score-point margin
+    (query.py does)."""
+    w = w or DEFAULT_WEIGHTS
+    fd = F.col("fd")
+    flags = F.col("flags")
+    v = F.lit(float(w["b1"]))
+    v = v + F.when(flags.bitwiseAND(F.lit(1)) != 0, float(w["b2"])).otherwise(0.0)
+    v = v + F.when(flags.bitwiseAND(F.lit(2)) != 0, float(w["b3"])).otherwise(0.0)
+    v = v + F.when(flags.bitwiseAND(F.lit(4)) != 0, float(w["b4"])).otherwise(0.0)
+    v = v + F.when(fd.bitwiseAND(F.lit(128)) != 0, float(w["b5"])).otherwise(0.0)
+    v = v + F.when(fd.bitwiseAND(F.lit(64)) != 0, float(w["b6"])).otherwise(0.0)
+    if PREFER_DE:
+        v = v + F.when(fd.bitwiseAND(F.lit(32)) != 0, float(LANG_BONUS)).otherwise(0.0)
+    if PREFER_EN:
+        v = v + F.when(fd.bitwiseAND(F.lit(32)) == 0, float(LANG_BONUS)).otherwise(0.0)
+    v = v + (F.lit(31) - fd.bitwiseAND(F.lit(31))).cast("double") * float(w["b7"])
+    ln_mbl = math.log(max_bl) if max_bl > 0 else 0.0
+    bl = F.col("backlinks")
+    if ln_mbl > 0:
+        blv = F.when(bl == 0, 1.0).otherwise(
+            F.lit(2500.0) * F.log(bl.cast("double")) / F.lit(ln_mbl)
+        )
+    else:
+        blv = F.when(bl == 0, 1.0).otherwise(0.0)
+    v = v + F.bround(blv, 0)  # HALF_EVEN, like Pascal Round / np.round
+    rank_v = F.col("rank") + F.lit(1)
+    rank_v = F.when(rank_v == 0, UNRANKED_RANK_VALUE).otherwise(rank_v)
+    return (
+        (F.lit(1.0) - rank_v.cast("double") * F.lit(RANK_FACTOR))
+        * v
+        / F.col("he").cast("double")
+    )
+
+
 def _tokenize_partition(iterator):
     """mapInPandas worker: tokenize + derive sidecars for a batch of docs.
 
@@ -172,7 +215,7 @@ def _tokenize_partition(iterator):
         yield pd.DataFrame(out)
 
 
-def _encode_partition_fn(seg_size: int, max_bl: int, kind: str):
+def _encode_partition_fn(seg_size: int, kind: str):
     """mapInPandas factory: encode a whole shuffle partition of posting rows
     — pre-sorted by (term, doc_id) via sortWithinPartitions — into bounded
     self-contained varbyte segments + block-max metadata. One Arrow stream
@@ -202,14 +245,7 @@ def _encode_partition_fn(seg_size: int, max_bl: int, kind: str):
         salts = pdf["salt"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         flags = pdf["flags"].to_numpy(np.int64)
-        statics = static_scores(
-            flags,
-            pdf["fd"].to_numpy(np.int64),
-            pdf["he"].to_numpy(np.int64),
-            pdf["rank"].to_numpy(np.int64),
-            pdf["backlinks"].to_numpy(np.int64),
-            max_bl,
-        )
+        statics = pdf["static"].to_numpy(np.float64)  # precomputed JVM-side
         buckets = pdf["bucket"].to_numpy()
         # run boundary = term OR salt change: two salt ranges of one term may
         # share a partition (key-hash collision) while the range between them
@@ -378,6 +414,11 @@ def build_index(
                     "int"
                 ),
             )
+            # fold the four sidecar columns into the single pre-IDF static
+            # score while still JVM-side (whole-stage codegen); only `rank`
+            # survives for the fancy rank-window filter
+            .withColumn("static", static_score_col(int(max_bl)))
+            .select("bucket", "term", "doc_id", "flags", "static", "rank")
         )
         (
             postings.repartition(
@@ -405,8 +446,8 @@ def build_index(
     groups = [
         list(range(g, N_TERM_BUCKETS, bucket_groups)) for g in range(bucket_groups)
     ]
-    full_fn = _encode_partition_fn(seg_size, int(max_bl), "full")
-    fancy_fn = _encode_partition_fn(seg_size, int(max_bl), "fancy")
+    full_fn = _encode_partition_fn(seg_size, "full")
+    fancy_fn = _encode_partition_fn(seg_size, "fancy")
     n_tgrp = 8
     nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
 
@@ -428,7 +469,7 @@ def build_index(
         # sort within files by (term, first_doc): parquet row-group min/max
         # stats then prune term probes inside each bucket file
         stream = (
-            _salted(pg)
+            _salted(pg.drop("rank"))
             .repartition(nparts, "bucket", "tgrp", "salt")
             .sortWithinPartitions("term", "doc_id")
         )
@@ -469,7 +510,7 @@ def build_index(
                     hot_src.where(
                         (F.col("rank") > FANCY_RANK_LO)
                         & (F.col("rank") < FANCY_RANK_HI)
-                    )
+                    ).drop("rank")
                 )
                 .repartition(nparts, "bucket", "tgrp", "salt")
                 .sortWithinPartitions("term", "doc_id")

@@ -501,8 +501,11 @@ class SearchEngine:
         # round 2: any remaining segment whose bound can still reach the kth
         # score (ties included) must be decoded; after that the top-k is exact
         # because bounds are true per-segment maxima of round(static * idf).
+        # The -1 margin covers the <=1-point rounding drift between the
+        # JVM-computed max_static and numpy query-side scores (build.py
+        # static_score_col parity note).
         theta = heap[fetch - 1][1]
-        rest = [i for i in order[pos:] if bounds[i] >= theta]
+        rest = [i for i in order[pos:] if bounds[i] >= theta - 1]
         if rest:
             heap.extend(
                 self._decode_segments(t, [int(firsts[i]) for i in rest], use_fancy, w)

@@ -135,7 +135,8 @@ def test_block_max_is_true_upper_bound(spark, tiny_index_dir, oracle_index):
         s = static_scores(
             flags.astype(np.int64), fd[docs], he[docs], rank[docs], bl[docs], max_bl
         )
-        assert s.max() <= row.max_static + 1e-12
+        # JVM-computed max_static may differ from numpy by ~1 ulp of log()
+        assert s.max() <= row.max_static + abs(row.max_static) * 1e-9 + 1e-9
 
 
 def test_per_turn_text_equality(spark, tiny_corpus):
