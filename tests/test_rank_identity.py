@@ -79,6 +79,17 @@ def test_local_searcher_bm25(local_searcher, oracle_index, q):
         assert abs(sa - se) < 1e-5, q
 
 
+@pytest.mark.parametrize("q", ["linux", "linux -google", "w0100 w0005 linux"])
+def test_custom_weights_rank_identity(engine, oracle_index, q):
+    # b1..b6 arrive as 0..32 multiplied by 256, b7 raw
+    # (searchservernew.dpr:1779-1787); non-default weights disable the
+    # block-max fast path (bounds are built for default weights)
+    w = {"b1": 4 * 256, "b2": 8 * 256, "b3": 1 * 256, "b7": 3}
+    expected = oracle.search(oracle_index, q, k=10, weights=w)
+    actual = engine.search(q, k=10, weights=w)
+    assert actual == expected, q
+
+
 def test_prune_matches_noprune(engine):
     for q in ("linux", "linux ubuntu", "w0042 linux"):
         assert engine.search(q, k=20, prune=True) == engine.search(
