@@ -161,6 +161,33 @@ class SearchEngine:
         )
         return [(d, int(s)) for d, s in rows[:k]]
 
+    def search_page(
+        self,
+        query: str,
+        startwith: int = 1,
+        showcount: int = 10,
+        **kw,
+    ) -> list[tuple[int, int]]:
+        """Pagination semantics — searchservernew.dpr:1820-1821,1328-1363:
+        startwith clamped 1..991, showcount 10..1000, results beyond 1000
+        never shown (startwith > 991 yields nothing beyond the top-1000)."""
+        startwith = min(max(startwith, 1), 991)
+        showcount = min(max(showcount, 10), 1000)
+        rows = self.search(query, k=min(startwith + showcount - 1, 1000), **kw)
+        return rows[startwith - 1 :]
+
+    def query_info(self, query: str) -> dict:
+        """Corpus/term statistics echoed by the reference response
+        (searchservernew.dpr:1349-1357): corpussize + per-term df and idf."""
+        terms = self.compile(query)
+        return {
+            "corpussize": int(self.meta["n_docs"]),
+            "keywords": [
+                {"keyword": t.key, "occurrences": t.df, "idf": round(t.idf, 6)}
+                for t in terms
+            ],
+        }
+
     # -- one pass -------------------------------------------------------------
     def _run_pass(
         self,

@@ -130,6 +130,15 @@ class LocalSearcher:
         docs, vals = self._run_pass(terms, w, use_fancy=False)
         return self._topk(docs, vals, k)
 
+    def search_page(
+        self, query: str, startwith: int = 1, showcount: int = 10, **kw
+    ) -> list[tuple[int, int]]:
+        """Pagination — searchservernew.dpr:1820-1821,1328-1363."""
+        startwith = min(max(startwith, 1), 991)
+        showcount = min(max(showcount, 10), 1000)
+        rows = self.search(query, k=min(startwith + showcount - 1, 1000), **kw)
+        return rows[startwith - 1 :]
+
     @staticmethod
     def _topk(docs, vals, k, is_float=False):
         if len(docs) == 0:
