@@ -29,6 +29,9 @@ def test_segment_read_pushdown(spark, tiny_index_dir):
 
 
 def test_lexicon_read_pushdown(spark, tiny_index_dir):
+    # the engine fixture caches the lexicon; drop cached relations so this
+    # inspects the parquet scan, not an InMemoryTableScan substitution
+    spark.catalog.clearCache()
     vdir = current_index_dir(tiny_index_dir)
     lx = spark.read.parquet(f"{vdir}/lexicon")
     q = lx.where((F.col("bucket") == 21) & (F.col("term") == "linux"))
