@@ -4,7 +4,8 @@ Pipeline (mirrors GenDb's passes, re-expressed as one Spark DAG with durable
 stage boundaries — GenDb.dpr:1315-1352's gendb.progress becomes a lineage
 journal + idempotent per-stage reruns):
 
-  stage docs     tokenize every turn (Arrow mapInPandas, no per-row Python),
+  stage docs     tokenize every turn (pure JVM column expressions — fold,
+                 regexp tokenize, stopword filter, dedup, flags; zero Python),
                  assign dense doc_id over (conv_id, turn_idx), derive per-doc
                  sidecar values (filter byte, host elements, domain rank,
                  backlinks — GenDb.dpr:343-426)
@@ -171,7 +172,10 @@ def static_score_col(max_bl: int, w: dict[str, int] | None = None):
 
 
 def _tokenize_partition(iterator):
-    """mapInPandas worker: tokenize + derive sidecars for a batch of docs.
+    """Pure-Python tokenize stage — retained ONLY as the parity oracle for
+    tokenized_docs (tests/test_textproc.py compares the two row for row).
+    The build itself uses the JVM column-expression twin below; this Arrow
+    path is never on the hot path anymore.
 
     Also stamps (_pid, _rn) = (physical partition, local row number) into the
     output. Persisting these makes the dense doc_id assignment deterministic:
@@ -215,12 +219,186 @@ def _tokenize_partition(iterator):
         yield pd.DataFrame(out)
 
 
-def _encode_partition_fn(seg_size: int, kind: str):
+# --- JVM tokenize stage -------------------------------------------------
+# Column-expression twin of _tokenize_partition / textproc.py. The whole
+# fold → tokenize → stopword-filter → dedup → flags pipeline runs inside the
+# JVM (whole-stage codegen for the scalar parts, JVM higher-order functions
+# for the array parts) — no Python in the build hot path, which is what the
+# tokenize stage's scaling depends on (VERDICT r1 #1).
+#
+# Semantics mirrored (and parity-tested in tests/test_textproc.py):
+#   fold            ParserClass.pas:436-528 / searchservernew.dpr:1790-1817
+#   body tokens     ParserClass.pas:1173-1204   [a-z0-9][a-z0-9_-]* cap 255
+#   title tokens    ParserClass.pas:1136-1149   [a-z_-]+ on first 255 chars
+#   stopword gate   Words.pas:25-89 via AddToWordList ParserClass.pas:710-714
+#   10k term cap    DbTypes.pas:67 (cMaxKeywords)
+#   location flags  ImportData.dpr:316-320 (substring containment)
+#   filter byte     GenDb.dpr:381-402;  host elements GenDb.dpr:111-156
+
+# Python str.strip() whitespace (ASCII \s plus the unicode spaces Python
+# treats as whitespace) — Spark trim() only strips ' ', so strip via regexp.
+_WS_CLASS = (
+    "[\\s\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f"
+    "\\u3000\\x1c-\\x1f]"
+)
+
+
+def _strip_col(c):
+    return F.regexp_replace(c, f"^{_WS_CLASS}+|{_WS_CLASS}+$", "")
+
+
+def _fold_col(c):
+    """JVM twin of textproc.fold(): lowercase, entity decode, umlauts.
+
+    Sequential replaces equal the oracle's single-pass regex because no
+    entity is a prefix of another and no replacement text contains '&'
+    except &amp;'s, which therefore runs last."""
+    from .textproc import _ENTITIES
+
+    c = F.lower(c)
+    folded = c
+    for k, v in _ENTITIES.items():
+        if k == "&amp;" or k != k.lower():
+            continue  # uppercase entity names cannot survive lower()
+        folded = F.replace(folded, F.lit(k), F.lit(v))
+    folded = F.replace(folded, F.lit("&amp;"), F.lit("&"))
+    c = F.when(c.contains("&"), folded).otherwise(c)
+    for k, v in (("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss")):
+        c = F.replace(c, F.lit(k), F.lit(v))
+    return c
+
+
+def _not_fill(t):
+    from .constants import MIN_TOKEN_LEN, STOPWORDS
+
+    return (F.length(t) >= MIN_TOKEN_LEN) & ~t.isin(sorted(STOPWORDS))
+
+
+def tokenized_docs(docs: DataFrame) -> DataFrame:
+    """stage-docs projection, all column expressions (DOCS_SCHEMA output).
+
+    Input: the range-partitioned, (conv_id, turn_idx)-sorted transcript
+    stream with rank/backlinks sidecars. (_pid, _rn) come from
+    spark_partition_id() + monotonically_increasing_id()'s per-partition
+    counter (consecutive from 0 within each task), evaluated in the same
+    stage as the sort — so the persisted doc order is the sorted order,
+    exactly like the old mapInPandas stamping."""
+    from .constants import (
+        FLAG_IN_DESCRIPTION,
+        FLAG_IN_TITLE,
+        FLAG_IN_URL,
+        GERMAN_WORDS,
+        MAX_TERMS_PER_DOC,
+        MAX_TOKEN_LEN,
+    )
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    title = F.coalesce(F.col("role"), F.lit(""))
+    tool = F.coalesce(F.col("tool"), F.lit(""))
+    url = F.concat_ws("/", "conv_id", F.col("turn_idx").cast("string"))
+
+    body_re = F.lit("[a-z0-9][a-z0-9_\\-]*")
+    d = docs.select(
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias("_rn"),
+        "conv_id",
+        "turn_idx",
+        url.alias("url"),
+        F.col("conv_id").alias("host"),
+        title.alias("title"),
+        _strip_col(F.substring(text, 1, 255)).alias("description"),
+        "rank",
+        "backlinks",
+        F.transform(
+            F.regexp_extract_all(_fold_col(text), body_re, F.lit(0)),
+            lambda t: F.substring(t, 1, MAX_TOKEN_LEN),
+        ).alias("_btoks"),
+        F.regexp_extract_all(
+            F.substring(_fold_col(title), 1, 255), F.lit("[a-z_\\-]+"), F.lit(0)
+        ).alias("_ttoks"),
+        F.transform(
+            F.regexp_extract_all(_fold_col(tool), body_re, F.lit(0)),
+            lambda t: F.substring(t, 1, MAX_TOKEN_LEN),
+        ).alias("_etoks"),
+    )
+    d = d.withColumn("dl", F.size("_btoks").cast("int")).withColumn(
+        "german",
+        F.exists("_btoks", lambda t: t.isin(sorted(GERMAN_WORDS))),
+    )
+    d = d.withColumn(
+        "terms",
+        F.slice(
+            F.array_distinct(
+                F.concat(
+                    F.filter("_ttoks", _not_fill),
+                    F.filter("_btoks", _not_fill),
+                    F.filter("_etoks", _not_fill),
+                )
+            ),
+            1,
+            MAX_TERMS_PER_DOC,
+        ),
+    ).drop("_btoks", "_ttoks", "_etoks")
+
+    url_l = F.lower(F.col("url"))
+    title_l = F.lower(F.col("title"))
+    desc_l = F.lower(F.col("description"))
+    d = d.withColumn(
+        "tflags",
+        F.transform(
+            "terms",
+            lambda t: (
+                F.when(F.instr(desc_l, t) > 0, FLAG_IN_DESCRIPTION).otherwise(0)
+                + F.when(F.instr(title_l, t) > 0, FLAG_IN_TITLE).otherwise(0)
+                + F.when(F.instr(url_l, t) > 0, FLAG_IN_URL).otherwise(0)
+            ).cast("int"),
+        ),
+    )
+
+    # filter byte — GenDb.dpr:381-402 (slash is 1-based Pascal Pos())
+    u = F.col("url")
+    slash = F.locate("/", u)
+    www = F.lower(u).startswith("www.")
+    ulen_no_www = F.when(www, F.length(u) - 4).otherwise(F.length(u))
+    fd = (
+        F.when((slash > 0) & (slash == F.length(u)), 128)
+        .otherwise(0)
+        + F.when(
+            www & (slash > 1) & (u.substr(slash - F.lit(1), F.lit(1)) != "."),
+            64,
+        ).otherwise(0)
+        + F.when(F.col("german"), 32).otherwise(0)
+        + F.least(F.greatest(ulen_no_www - 1, F.lit(0)), F.lit(31))
+    )
+    # host elements — GenDb.dpr:111-156; only (rank2 & 15) + 1 is consumed
+    host_str = F.substring_index(u, "/", 1)
+    host_elems = (
+        F.length(host_str) - F.length(F.replace(host_str, F.lit("."), F.lit(""))) + 1
+    )
+    d = d.withColumn("fd", fd.cast("int")).withColumn(
+        "he", (F.least(host_elems, F.lit(15)) + 1).cast("int")
+    )
+    return d.select(*DOCS_SCHEMA.fieldNames())
+
+
+def _encode_partition_fn(
+    seg_size: int,
+    hot_terms_bc=None,
+    rank_lo: int = FANCY_RANK_LO,
+    rank_hi: int = FANCY_RANK_HI,
+):
     """mapInPandas factory: encode a whole shuffle partition of posting rows
     — pre-sorted by (term, doc_id) via sortWithinPartitions — into bounded
     self-contained varbyte segments + block-max metadata. One Arrow stream
     per task instead of one applyInPandas call per term: per-group overhead
     disappears and a hot term's salted sub-ranges encode in parallel tasks.
+
+    When ``hot_terms_bc`` (a broadcast set) is given, terms in it also emit
+    rank-window-filtered 'fancy' accelerator segments (GenDb.dpr:1053-1071)
+    from the SAME pass — the posting stream is shuffled and scanned exactly
+    once per bucket group instead of once for 'full' plus once for 'fancy'.
     Mirrors GenDb pass 2 (:512-705) and the codec rwi.pas:76-153."""
 
     cols = [
@@ -239,6 +417,7 @@ def _encode_partition_fn(seg_size: int, kind: str):
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        hot = hot_terms_bc.value if hot_terms_bc is not None else frozenset()
         # rows arrive sorted by (term, doc_id); salt is monotone in doc_id
         # within a term, so (term, salt) runs are already contiguous
         terms = pdf["term"].to_numpy()
@@ -247,6 +426,7 @@ def _encode_partition_fn(seg_size: int, kind: str):
         flags = pdf["flags"].to_numpy(np.int64)
         statics = pdf["static"].to_numpy(np.float64)  # precomputed JVM-side
         buckets = pdf["bucket"].to_numpy()
+        ranks = pdf["rank"].to_numpy(np.int64) if "rank" in pdf else None
         # run boundary = term OR salt change: two salt ranges of one term may
         # share a partition (key-hash collision) while the range between them
         # lives elsewhere — splitting on salt keeps segment doc-ranges
@@ -258,22 +438,33 @@ def _encode_partition_fn(seg_size: int, kind: str):
             )
         )
         rows = []
-        for bi, s in enumerate(starts):
-            e = starts[bi + 1] if bi + 1 < len(starts) else len(terms)
-            for lo in range(s, e, seg_size):
-                hi = min(lo + seg_size, e)
+
+        def emit(kind, s, lo_i, d, f, st):
+            for lo in range(0, len(d), seg_size):
+                hi = min(lo + seg_size, len(d))
                 rows.append(
                     (
                         int(buckets[s]),
                         terms[s],
                         kind,
-                        int(docs[lo]),
-                        int(docs[hi - 1]),
+                        int(d[lo]),
+                        int(d[hi - 1]),
                         hi - lo,
-                        float(statics[lo:hi].max()),
-                        codec.encode(docs[lo:hi], flags[lo:hi], prev_doc=0),
+                        float(st[lo:hi].max()),
+                        codec.encode(d[lo:hi], f[lo:hi], prev_doc=0),
                     )
                 )
+
+        for bi, s in enumerate(starts):
+            e = starts[bi + 1] if bi + 1 < len(starts) else len(terms)
+            emit("full", s, s, docs[s:e], flags[s:e], statics[s:e])
+            if ranks is not None and terms[s] in hot:
+                m = (ranks[s:e] > rank_lo) & (ranks[s:e] < rank_hi)
+                if m.any():
+                    emit(
+                        "fancy", s, s,
+                        docs[s:e][m], flags[s:e][m], statics[s:e][m],
+                    )
         yield pd.DataFrame(rows, columns=cols)
 
     return encode_partition
@@ -354,9 +545,7 @@ def build_index(
         ordered = docs.repartitionByRange(
             n_sort, "conv_id", "turn_idx"
         ).sortWithinPartitions("conv_id", "turn_idx")
-        ordered.mapInPandas(_tokenize_partition, schema=DOCS_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(stage_docs)
+        tokenized_docs(ordered).write.mode("overwrite").parquet(stage_docs)
         sd = spark.read.parquet(stage_docs)
         stats = sd.agg(
             F.count("*").alias("n"),
@@ -441,13 +630,11 @@ def build_index(
     # over tasks, salt = contiguous doc-range splits hot terms WITHOUT
     # needing their df (no join against the postings stream). A term's rows
     # land term-contiguous after sortWithinPartitions(term, doc_id), so one
-    # streaming pass per task cuts exact segments. Fancy accelerator lists
-    # are a second, tiny job over hot terms only (broadcast semi-join).
+    # streaming pass per task cuts exact segments — full AND fancy kinds in
+    # the same pass (hot-term set broadcast from the lexicon job).
     groups = [
         list(range(g, N_TERM_BUCKETS, bucket_groups)) for g in range(bucket_groups)
     ]
-    full_fn = _encode_partition_fn(seg_size, "full")
-    fancy_fn = _encode_partition_fn(seg_size, "fancy")
     n_tgrp = 8
     nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
 
@@ -465,65 +652,46 @@ def build_index(
         seg_tmp = postings_dir + f"_tmp_g{gi}"
         lex_tmp = lexicon_dir + f"_tmp_g{gi}"
 
-        # one full-data pass: shuffle + in-partition sort + stream-encode.
-        # sort within files by (term, first_doc): parquet row-group min/max
-        # stats then prune term probes inside each bucket file
-        stream = (
-            _salted(pg.drop("rank"))
-            .repartition(nparts, "bucket", "tgrp", "salt")
-            .sortWithinPartitions("term", "doc_id")
-        )
-        stream.mapInPandas(full_fn, schema=SEGMENTS_SCHEMA).sortWithinPartitions(
-            "term", "first_doc"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(seg_tmp)
-
-        # lexicon dfs aggregate SEGMENT metadata (rows ∝ segments, not
-        # postings) — no second scan of the posting stream
-        segs_written = spark.read.parquet(seg_tmp)
-        lex = segs_written.groupBy("bucket", "term").agg(F.sum("n").alias("df"))
+        # lexicon first: per-term df is a map-side-combined hash aggregate
+        # over the scatter files (output rows ∝ vocabulary, not postings)
+        lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df"))
         lex.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(lex_tmp)
 
-        # fancy accelerator lists: hot terms only, rank-window filtered
-        # (GenDb.dpr:1053-1071) — appended to the same tmp. Hot terms are few
-        # by definition; when the list is collectable, push it down as a
-        # literal isin so parquet row-group stats (term-sorted scatter files)
-        # prune the scan; fall back to a broadcast semi-join otherwise.
-        hot = (
-            spark.read.parquet(lex_tmp)
+        # hot terms (df > threshold) get fancy accelerator lists
+        # (GenDb.dpr:1053-1071). Hot terms are few BY DEFINITION (each holds
+        # > threshold postings, so there are < n_postings/threshold of them)
+        # — a broadcast set keeps the whole segments stage to ONE shuffle:
+        # the encode workers emit full + rank-filtered fancy segments from
+        # the same sorted stream.
+        hot_terms = frozenset(
+            r["term"]
+            for r in spark.read.parquet(lex_tmp)
             .where(F.col("df") > fancy_threshold)
-            .select("bucket", "term")
+            .select("term")
+            .collect()
         )
-        hot_rows = hot.limit(10_001).collect()
-        if len(hot_rows) == 0:
-            hot_src = None
-        elif len(hot_rows) <= 10_000:
-            hot_src = pg.where(
-                F.col("term").isin([r["term"] for r in hot_rows])
-            )
-        else:
-            hot_src = pg.join(F.broadcast(hot), ["bucket", "term"])
-        if hot_src is not None:
-            fancy_stream = (
-                _salted(
-                    hot_src.where(
-                        (F.col("rank") > FANCY_RANK_LO)
-                        & (F.col("rank") < FANCY_RANK_HI)
-                    ).drop("rank")
-                )
-                .repartition(nparts, "bucket", "tgrp", "salt")
-                .sortWithinPartitions("term", "doc_id")
-            )
-            fancy_stream.mapInPandas(
-                fancy_fn, schema=SEGMENTS_SCHEMA
-            ).sortWithinPartitions("term", "first_doc").write.mode(
-                "append"
-            ).partitionBy("bucket").parquet(seg_tmp)
+        hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
+        encode_fn = _encode_partition_fn(seg_size, hot_terms_bc=hot_bc)
+
+        # one full-data pass: shuffle + in-partition sort + stream-encode.
+        # sort within files by (term, first_doc): parquet row-group min/max
+        # stats then prune term probes inside each bucket file
+        stream = (
+            _salted(pg)
+            .repartition(nparts, "bucket", "tgrp", "salt")
+            .sortWithinPartitions("term", "doc_id")
+        )
+        stream.mapInPandas(encode_fn, schema=SEGMENTS_SCHEMA).sortWithinPartitions(
+            "term", "first_doc"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(seg_tmp)
 
         # idempotent move of finished bucket dirs into place
         _move_bucket_dirs(seg_tmp, postings_dir)
         _move_bucket_dirs(lex_tmp, lexicon_dir)
+        if hot_bc is not None:
+            hot_bc.unpersist()
         lin.record(step, buckets=buckets, wall_s=round(time.time() - t0, 3))
 
     # ---- publish ------------------------------------------------------------
