@@ -235,43 +235,9 @@ def _tokenize_partition(iterator):
 #   location flags  ImportData.dpr:316-320 (substring containment)
 #   filter byte     GenDb.dpr:381-402;  host elements GenDb.dpr:111-156
 
-# Python str.strip() whitespace (ASCII \s plus the unicode spaces Python
-# treats as whitespace) — Spark trim() only strips ' ', so strip via regexp.
-_WS_CLASS = (
-    "[\\s\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f"
-    "\\u3000\\x1c-\\x1f]"
-)
-
-
-def _strip_col(c):
-    return F.regexp_replace(c, f"^{_WS_CLASS}+|{_WS_CLASS}+$", "")
-
-
-def _fold_col(c):
-    """JVM twin of textproc.fold(): lowercase, entity decode, umlauts.
-
-    Sequential replaces equal the oracle's single-pass regex because no
-    entity is a prefix of another and no replacement text contains '&'
-    except &amp;'s, which therefore runs last."""
-    from .textproc import _ENTITIES
-
-    c = F.lower(c)
-    folded = c
-    for k, v in _ENTITIES.items():
-        if k == "&amp;" or k != k.lower():
-            continue  # uppercase entity names cannot survive lower()
-        folded = F.replace(folded, F.lit(k), F.lit(v))
-    folded = F.replace(folded, F.lit("&amp;"), F.lit("&"))
-    c = F.when(c.contains("&"), folded).otherwise(c)
-    for k, v in (("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss")):
-        c = F.replace(c, F.lit(k), F.lit(v))
-    return c
-
-
-def _not_fill(t):
-    from .constants import MIN_TOKEN_LEN, STOPWORDS
-
-    return (F.length(t) >= MIN_TOKEN_LEN) & ~t.isin(sorted(STOPWORDS))
+from .colfns import fold_col as _fold_col
+from .colfns import not_fill as _not_fill
+from .colfns import strip_col as _strip_col
 
 
 def tokenized_docs(docs: DataFrame) -> DataFrame:

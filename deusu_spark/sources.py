@@ -60,14 +60,39 @@ def normalize_url(url: str) -> str | None:
     return url
 
 
+def normalize_url_col(c):
+    """Column-expression twin of normalize_url() — the URL stream is the
+    largest web-mode input, so normalization must stay JVM-side (no
+    EvalPython node; gated by tests/test_plans.py). Returns NULL for
+    discarded URLs, exactly like the Python oracle returns None."""
+    from .colfns import strip_col
+
+    u = strip_col(c)
+    u = F.regexp_replace(u, "(?i)^(http://)+", "")
+    slash = F.locate("/", u)
+    colon = F.locate(":", u)
+    bad_colon = (colon > 0) & (colon < slash)
+    empty = F.length(u) == 0
+    u = F.when(slash == 0, F.concat(u, F.lit("/"))).otherwise(u)
+    u = F.regexp_replace(u, "//$", "/")
+    low = F.lower(u)
+    first = F.substring(u, 1, 1)
+    discard = bad_colon | empty | (F.length(u) > MAX_URL_LENGTH)
+    discard = discard | (first == "/") | (first < "1")
+    for b in _BLOCKED_SUBSTRINGS:
+        discard = discard | low.contains(b)
+    discard = discard | low.contains("'") | low.endswith(".z")
+    return F.when(discard, F.lit(None).cast("string")).otherwise(u)
+
+
 def import_urls(links: DataFrame, url_col: str = "url") -> DataFrame:
     """S5 (ImportUrls): normalize + dedupe URLs and count in-links — the
     reference increments InLinkCount on every re-encounter of a URL
     (ImportUrls.dpr:141-145), i.e. in_link_count = occurrences in the link
-    stream. One hash aggregation; map-side combine handles hot URLs."""
-    norm = F.udf(normalize_url)
+    stream. One hash aggregation; map-side combine handles hot URLs.
+    Normalization is pure column expressions (whole-stage codegen)."""
     return (
-        links.select(norm(F.col(url_col)).alias("url"))
+        links.select(normalize_url_col(F.col(url_col)).alias("url"))
         .where(F.col("url").isNotNull())
         .groupBy(F.lower("url").alias("url_key"))
         .agg(
@@ -90,10 +115,15 @@ def import_rank_list(csv_df: DataFrame, domain_col: str = "domain") -> DataFrame
     """S7 (ImportAlexa): rank = line/row number of the list
     (ImportAlexa.dpr:29-77). Input must carry an explicit order column
     ('line_no'); a file line number is not a distributed concept, so the
-    caller materializes it at read time."""
-    w = Window.orderBy("line_no")
-    return csv_df.select(
-        domain_col, F.row_number().over(w).alias("domain_rank")
+    caller materializes it at read time.
+
+    Two-phase zip-with-index (docids.assign_doc_ids) instead of a global
+    row_number() window — a no-partition window funnels the whole list
+    through one task, which a 10^9-row rank list would not survive."""
+    from .docids import assign_doc_ids
+
+    return assign_doc_ids(csv_df, order_cols=("line_no",)).select(
+        domain_col, (F.col("doc_id") + 1).cast("int").alias("domain_rank")
     )
 
 
@@ -107,12 +137,19 @@ def prepare_frontier(
     by crc32(url) for crawl politeness (:215-235)."""
     host = F.lower(F.split(F.col(url_col), "/").getItem(0))
     w = Window.partitionBy("host").orderBy(url_col)
+    # scatter order: range-partition on the crc + sort within partitions —
+    # the partition-local form of orderBy(crc32), stated explicitly so the
+    # materialized output is parallel-written in scatter order at any scale
+    scatter = F.crc32(F.encode(F.col(url_col), "UTF-8"))
     return (
         urls.withColumn("host", host)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_urls_per_host)
         .drop("_rn")
-        .orderBy(F.crc32(F.encode(F.col(url_col), "UTF-8")))
+        .withColumn("_scatter", scatter)
+        .repartitionByRange("_scatter")
+        .sortWithinPartitions("_scatter")
+        .drop("_scatter")
     )
 
 

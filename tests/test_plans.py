@@ -40,6 +40,17 @@ def test_lexicon_read_pushdown(spark, tiny_index_dir):
     assert "EqualTo(term,linux)" in plan
 
 
+def test_import_urls_stays_jvm_side(spark):
+    """S5 normalization must be column expressions, not a Python UDF
+    (VERDICT r1 'what's wrong' #1)."""
+    from deusu_spark import sources
+
+    links = spark.createDataFrame([("http://a.com/x",)], ["url"])
+    plan = _plan(sources.import_urls(links))
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Aggregate" in plan  # one JVM aggregation (hash or sort based)
+
+
 def test_agg_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
     from deusu_spark import pipelines
 

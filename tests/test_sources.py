@@ -40,6 +40,29 @@ def test_blocked_extensions():
     assert not sources.has_blocked_extension("a.com/dir.zip/page")
 
 
+def test_normalize_url_col_parity(spark):
+    """Column-expression normalizer vs the Python oracle, case by case."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "http://Example.com", "http://http://a.com/x", "a.com//", "a.com///",
+        "mailto:x@y.com", "a.com:8080/x", "a.com:8080", "wiki.com/a:b",
+        "a.com/it's", "a" * 100 + ".com/", "/rooted", "", "   ", "0.com/x",
+        "HTTP://UPPER.com", "a.com/file.Z", "a.com/x.z", "tel:123",
+        "a.com/cgi-map/x", "  spaced.com/x  ", "a.com", ".dot.com/",
+        "a.com/x.htm/y", "9.com/ok",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["url"])
+    got = {
+        r["url"]: r["norm"]
+        for r in df.select(
+            "url", sources.normalize_url_col(F.col("url")).alias("norm")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == sources.normalize_url(c), repr(c)
+
+
 def test_import_urls_counts_inlinks(spark):
     links = spark.createDataFrame(
         [("http://a.com/x",), ("A.com/x",), ("a.com/y",), ("mailto:z",)],
