@@ -12,16 +12,27 @@ Scale levers (all exercised even though tests run on local[32]):
   - bucket+term predicate pushdown into the parquet/Iceberg scan (the
     crc32&63 partition layout mirrors keys00..63, GenDb.dpr:349)
   - segment metadata (first_doc/last_doc/n/max_static) is read without blobs
-    (column pruning) and drives driver-side pruning:
+    (column pruning) and is BOUNDED on the driver: when the estimated
+    segment count for the query terms exceeds driver_meta_cap, metadata is
+    first aggregated distributedly into <= ~4096 doc-range blocks per term
+    (two-level metadata) so a df≈10^11 hot term never ships millions of
+    rows to the driver
+  - pruning decisions reach the scan as <= 64 (first_doc, last_doc) range
+    predicates — never multi-megabyte isin literals — so parquet row-group
+    min/max stats prune inside each bucket file:
       * AND queries: doc-range interval intersection across terms — only
         segments overlapping every term's coverage are decoded
-      * single-term queries: block-max pruning (WAND-style) — segments whose
-        score upper bound cannot reach the current top-k threshold are never
-        decoded; exact because bounds are true maxima and ties (bound == θ)
-        are always decoded
+      * single-term queries: block-max pruning — segments whose score upper
+        bound cannot reach the current top-k threshold are never decoded
+      * multi-term AND: block-max WAND — per-range summed score bounds;
+        phase A decodes the highest-bound ranges to establish θ, phase B
+        decodes every range whose bound can still reach θ (exact: bounds
+        are true maxima, the margin covers JVM/numpy log rounding drift,
+        and a thin phase A falls back to the full intersection)
   - two-pass fancy-hits execution (searchservernew.dpr:1836-1855): pass 1
     reads the rank-filtered accelerator lists, falls back to full postings
     when fewer than 1000 results — block-max WAND's semantic ancestor
+    (GenDb.dpr:975-1109)
 """
 
 from __future__ import annotations
@@ -37,7 +48,7 @@ from pyspark.sql import types as T
 
 from . import codec
 from .build import current_index_dir, static_scores
-from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
+from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP, SEGMENT_SIZE
 from .queryplan import PlanTerm, compile_query
 from .synth import crc32
 
@@ -72,6 +83,13 @@ class SearchEngine:
         ).cache()  # the reference's in-RAM sidecar vectors (LoadCacheData)
         self.lexicon = self.lexicon.cache()
         self._avgdl: float | None = None
+        # above this estimated segment count, metadata is block-aggregated
+        # distributedly before the (bounded) driver collect
+        self.driver_meta_cap = 100_000
+        # pruning decisions reach the scan as at most this many range
+        # predicates (coarsened supersets beyond that — correct, less tight)
+        self.max_range_predicates = 64
+        self.last_stats: dict = {}
 
     @property
     def avgdl(self) -> float:
@@ -206,6 +224,7 @@ class SearchEngine:
         fetch = max(k, MAX_RESULTS + 1) if need_count else k
         pos = [t for t in terms if t.action in ("SET", "AND")]
         neg = [t for t in terms if t.action == "NOT"]
+        plain_pos = [t for t in pos if t.host is None]
 
         single_plain = (
             prune
@@ -217,6 +236,11 @@ class SearchEngine:
         )
 
         seg_meta = self._segment_meta(terms, use_fancy)
+        self.last_stats = {
+            "segments_total": int(len(seg_meta)),
+            "segments_selected": int(len(seg_meta)),
+            "strategy": "full",
+        }
         if single_plain:
             # every posting of a single plain term is a result, so the result
             # count is known from segment metadata without decoding
@@ -226,18 +250,70 @@ class SearchEngine:
 
         # host terms read from docmeta, not segments — they carry no segment
         # coverage and must not constrain the interval intersection
-        allowed = (
-            _interval_intersection(seg_meta, [t.ti for t in pos if t.host is None])
-            if prune
-            else None
-        )
-        decoded = self._decode(terms, use_fancy, seg_meta, allowed)
-        if decoded is None:
-            return [], 0
+        intervals = None
+        if prune and len(plain_pos) >= 2:
+            intervals, empty = _intersect_coverage(
+                seg_meta, [t.ti for t in plain_pos]
+            )
+            if empty:
+                self.last_stats.update(strategy="empty_and", segments_selected=0)
+                return [], 0
 
-        # decoded row count is known from segment metadata: broadcast the
-        # candidate stream when it is small (saves a full docmeta shuffle)
-        est_rows = int(seg_meta["n"].sum()) if not seg_meta.empty else 0
+        # multi-term block-max WAND: exact, score-bound-pruned AND execution
+        if (
+            prune
+            and mode == "deusu"
+            and len(plain_pos) == len(pos) >= 2
+            and not seg_meta.empty
+        ):
+            return self._multi_term_blockmax(
+                terms, pos, neg, seg_meta, intervals, fetch, w, use_fancy, mode
+            )
+
+        rows = self._execute(
+            terms, pos, neg, seg_meta, intervals, fetch, w, use_fancy, mode
+        )
+        if intervals is not None:
+            self.last_stats.update(
+                strategy="interval",
+                segments_selected=_count_selected(seg_meta, intervals),
+            )
+        return rows, len(rows)
+
+    def _execute(
+        self,
+        terms: list[PlanTerm],
+        pos: list[PlanTerm],
+        neg: list[PlanTerm],
+        seg_meta: pd.DataFrame,
+        intervals: np.ndarray | None,
+        fetch: int,
+        w: dict[str, int],
+        use_fancy: bool,
+        mode: str,
+    ) -> list[tuple[int, int]]:
+        """Decode → score → AND/NOT → top-k, restricted to ``intervals``
+        (None = everything). One declarative plan; no driver funnels."""
+        if intervals is not None:
+            intervals = _coarsen_intervals(intervals, self.max_range_predicates)
+        decoded = self._decode(terms, use_fancy, intervals)
+        if decoded is None:
+            return []
+
+        # decoded row count is bounded by the selected segment metadata:
+        # broadcast the candidate stream when it is small (saves a full
+        # docmeta shuffle)
+        if seg_meta.empty:
+            est_rows = 0
+        elif intervals is None:
+            est_rows = int(seg_meta["n"].sum())
+        else:
+            keep = _overlaps_any(
+                seg_meta["first_doc"].to_numpy(np.int64),
+                seg_meta["last_doc"].to_numpy(np.int64),
+                intervals,
+            )
+            est_rows = int(seg_meta["n"].to_numpy(np.int64)[keep].sum())
         scored = self._score_rows(
             decoded, terms, w, mode=mode, broadcast_decoded=0 < est_rows < 2_000_000
         )
@@ -263,12 +339,132 @@ class SearchEngine:
         rows = (
             cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(fetch).collect()
         )
-        return [(r["doc_id"], r["score"]) for r in rows], len(rows)
+        return [(r["doc_id"], r["score"]) for r in rows]
 
-    # -- segment metadata (no blobs) -------------------------------------------
+    # -- multi-term block-max WAND ---------------------------------------------
+    def _multi_term_blockmax(
+        self,
+        terms: list[PlanTerm],
+        pos: list[PlanTerm],
+        neg: list[PlanTerm],
+        seg_meta: pd.DataFrame,
+        intervals: np.ndarray | None,
+        fetch: int,
+        w: dict[str, int],
+        use_fancy: bool,
+        mode: str,
+    ) -> tuple[list[tuple[int, int]], int]:
+        """Exact top-k for multi-term AND with score-bound pruning — the
+        multi-term generalization of _single_term_blockmax (the reference's
+        accelerator-list ancestor: GenDb.dpr:975-1109 +
+        searchservernew.dpr:1836-1855).
+
+        Atomic doc-range sweep: segment boundaries of all positive terms cut
+        the doc space into ranges on which each term's active segment (and
+        hence its score bound) is constant. A range is a candidate iff every
+        positive term covers it; its bound = Σ round(max_static·idf) of the
+        active segments — a true upper bound on any doc's score inside it.
+
+        Phase A decodes the highest-bound ranges (≈2·fetch docs of span) to
+        establish θ = the fetch-th score; phase B decodes every candidate
+        range whose bound ≥ θ - len(pos) (the margin covers the ≤1-point
+        JVM-vs-numpy rounding drift per term). Every doc scoring ≥ θ lies in
+        a phase-B range, and phase A's top-fetch all score ≥ θ, so phase B
+        alone yields the exact global top-fetch (ties included). A thin
+        phase A (< fetch matches) falls back to the full interval
+        intersection — no pruning, plain correctness."""
+        idf = {t.ti: t.idf for t in pos}
+        los, his, bnds = [], [], []
+        for t in pos:
+            sub = seg_meta[seg_meta["ti"] == t.ti]
+            if sub.empty:
+                self.last_stats.update(strategy="wand_empty", segments_selected=0)
+                return [], 0
+            los.append(sub["first_doc"].to_numpy(np.int64))
+            his.append(sub["last_doc"].to_numpy(np.int64))
+            bnds.append(
+                np.minimum(
+                    np.round(sub["max_static"].to_numpy(np.float64) * idf[t.ti]),
+                    SCORE_CLAMP,
+                )
+            )
+        starts = np.concatenate(los)
+        ends = np.concatenate(his) + 1
+        sb = np.concatenate(bnds)
+        pts = np.concatenate([starts, ends])
+        dcnt = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        dbnd = np.concatenate([sb, -sb])
+        order = np.argsort(pts, kind="stable")
+        pts, dcnt, dbnd = pts[order], dcnt[order], dbnd[order]
+        upts, uidx = np.unique(pts, return_index=True)
+        cum_c = np.cumsum(np.add.reduceat(dcnt, uidx))
+        cum_b = np.cumsum(np.add.reduceat(dbnd, uidx))
+        act = cum_c[:-1] == len(pos)  # covered by every positive term
+        alo = upts[:-1][act]
+        ahi = (upts[1:] - 1)[act]
+        ab = cum_b[:-1][act]
+        if len(alo) == 0:
+            self.last_stats.update(strategy="wand_empty", segments_selected=0)
+            return [], 0
+
+        # phase A: highest-bound ranges spanning ~2*fetch docs
+        by_bound = np.argsort(-ab, kind="stable")
+        span = (ahi - alo + 1)[by_bound]
+        n_a = min(int(np.searchsorted(np.cumsum(span), 2 * fetch)) + 1, len(by_bound))
+        if n_a == len(by_bound):
+            # everything is already in phase A — single pass, no pruning
+            iv = _merge_intervals(np.stack([alo, ahi], axis=1))
+            rows = self._execute(
+                terms, pos, neg, seg_meta, iv, fetch, w, use_fancy, mode
+            )
+            self.last_stats.update(
+                strategy="wand_all", segments_selected=_count_selected(seg_meta, iv)
+            )
+            return rows, len(rows)
+        sel_a = by_bound[:n_a]
+        iv_a = _merge_intervals(np.stack([alo[sel_a], ahi[sel_a]], axis=1))
+        rows_a = self._execute(
+            terms, pos, neg, seg_meta, iv_a, fetch, w, use_fancy, mode
+        )
+        if len(rows_a) < fetch:
+            rows = self._execute(
+                terms, pos, neg, seg_meta, intervals, fetch, w, use_fancy, mode
+            )
+            self.last_stats.update(
+                strategy="wand_fallback",
+                segments_selected=_count_selected(seg_meta, intervals),
+            )
+            return rows, len(rows)
+        theta = rows_a[fetch - 1][1]
+        sel_b = ab >= (theta - len(pos))
+        iv_b = _merge_intervals(np.stack([alo[sel_b], ahi[sel_b]], axis=1))
+        rows = self._execute(
+            terms, pos, neg, seg_meta, iv_b, fetch, w, use_fancy, mode
+        )
+        self.last_stats.update(
+            strategy="wand", segments_selected=_count_selected(seg_meta, iv_b)
+        )
+        return rows, len(rows)
+
+    # -- segment metadata (no blobs, bounded driver copy) -----------------------
     def _segment_meta(self, terms: list[PlanTerm], use_fancy: bool) -> pd.DataFrame:
+        """Per-query-term segment metadata for pruning decisions.
+
+        The driver copy is BOUNDED: when the lexicon dfs predict more than
+        driver_meta_cap segment rows, the metadata is first aggregated
+        distributedly into doc-range blocks (<= ~4096 per term) whose
+        (first_doc, last_doc, Σn, max max_static) are a correct coarse view
+        — every pruning consumer treats rows as coverage+bound, so coarser
+        rows only loosen pruning, never correctness. This is the two-level
+        metadata that replaces round 1's unbounded toPandas() (a df≈10^11
+        term would otherwise ship ~3M rows per query)."""
         conds = []
         ti_of = {}
+        est_segments = 0
+        seg_size = max(int(self.meta.get("seg_size", SEGMENT_SIZE)), 1)
+        n_salts = int(self.meta.get("n_salts", 8))
         for t in terms:
             if t.host is not None:
                 continue
@@ -284,18 +480,33 @@ class SearchEngine:
                 & (F.col("kind") == kind)
             )
             ti_of.setdefault((t.key, kind), []).append(t.ti)
+            est_segments += t.df // seg_size + n_salts + 1
+        empty = pd.DataFrame(
+            columns=["ti", "term", "kind", "first_doc", "last_doc", "n", "max_static"]
+        )
         if not conds:
-            return pd.DataFrame(
-                columns=["ti", "term", "kind", "first_doc", "last_doc", "n", "max_static"]
-            )
+            return empty
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
-        pdf = (
-            self.postings.where(cond)
-            .select("term", "kind", "first_doc", "last_doc", "n", "max_static")
-            .toPandas()
+        sel = self.postings.where(cond).select(
+            "term", "kind", "first_doc", "last_doc", "n", "max_static"
         )
+        if est_segments > self.driver_meta_cap:
+            blk = max(1, int(self.meta["n_docs"]) // 4096)
+            sel = (
+                sel.groupBy(
+                    "term", "kind", (F.floor(F.col("first_doc") / blk)).alias("_b")
+                )
+                .agg(
+                    F.min("first_doc").alias("first_doc"),
+                    F.max("last_doc").alias("last_doc"),
+                    F.sum("n").cast("int").alias("n"),
+                    F.max("max_static").alias("max_static"),
+                )
+                .drop("_b")
+            )
+        pdf = sel.toPandas()
         out = []
         for (key, kind), tis in ti_of.items():
             sub = pdf[(pdf["term"] == key) & (pdf["kind"] == kind)]
@@ -304,9 +515,7 @@ class SearchEngine:
                 s["ti"] = ti
                 out.append(s)
         if not out:
-            return pd.DataFrame(
-                columns=["ti", "term", "kind", "first_doc", "last_doc", "n", "max_static"]
-            )
+            return empty
         return pd.concat(out, ignore_index=True)
 
     # -- decode ------------------------------------------------------------------
@@ -314,13 +523,16 @@ class SearchEngine:
         self,
         terms: list[PlanTerm],
         use_fancy: bool,
-        seg_meta: pd.DataFrame,
-        allowed: dict[int, np.ndarray] | None,
+        intervals: np.ndarray | None,
     ) -> DataFrame | None:
         """DataFrame (ti, doc_id, flags) of all query-term postings after
-        location filters; host terms contribute docmeta-derived rows."""
-        spark = self.spark
+        location filters; host terms contribute docmeta-derived rows.
+
+        ``intervals`` (already coarsened to <= max_range_predicates) reaches
+        the scan as (first_doc <= hi AND last_doc >= lo) range predicates —
+        parquet row-group stats prune them; no isin literals."""
         parts: list[DataFrame] = []
+        iv_expr = _interval_filter_expr(intervals) if intervals is not None else None
 
         # plain terms: read blobs (partition-pruned), decode in mapInPandas
         term_specs: dict[tuple[str, str], list[tuple[int, bool, bool]]] = {}
@@ -341,12 +553,8 @@ class SearchEngine:
                 & (F.col("term") == t.key)
                 & (F.col("kind") == kind)
             )
-            # interval pruning: restrict decoded segments to those that can
-            # still matter (segments are identified by first_doc)
-            if allowed is not None and t.ti in allowed and len(allowed[t.ti]) > 0:
-                c = c & F.col("first_doc").isin([int(x) for x in allowed[t.ti]])
-            elif allowed is not None and t.ti in allowed:
-                c = c & F.lit(False)
+            if iv_expr is not None:
+                c = c & iv_expr
             conds.append(c)
 
         if conds:
@@ -385,11 +593,22 @@ class SearchEngine:
 
             parts.append(segs.mapInPandas(decode_fn, schema=DECODED_SCHEMA))
 
-        # host terms: host_postings ≡ docmeta filtered by host
+        # host terms: host_postings ≡ docmeta filtered by host. When an AND
+        # interval restriction exists, docs outside it cannot be candidates
+        # (they lack some plain term's coverage) — filter them at the scan.
         for t in terms:
             if t.host is not None:
+                hc = F.col("host") == t.host
+                if intervals is not None:
+                    doc_iv = None
+                    for lo, hi in intervals:
+                        e = (F.col("doc_id") >= int(lo)) & (
+                            F.col("doc_id") <= int(hi)
+                        )
+                        doc_iv = e if doc_iv is None else (doc_iv | e)
+                    hc = hc & doc_iv
                 parts.append(
-                    self.docmeta.where(F.col("host") == t.host).select(
+                    self.docmeta.where(hc).select(
                         F.lit(t.ti).cast("int").alias("ti"),
                         "doc_id",
                         F.lit(0).cast("int").alias("flags"),
@@ -504,7 +723,11 @@ class SearchEngine:
     ) -> list[tuple[int, int]]:
         """Exact WAND-style top-k for a single plain term: decode segments in
         descending score-bound order; stop once no remaining segment's bound
-        can reach the current kth score (strict <; ties are decoded)."""
+        can reach the current kth score (strict <; ties are decoded).
+
+        seg_meta rows may be coarse doc-range blocks (two-level metadata) —
+        the algorithm is unchanged; ranges just prune less tightly, and the
+        per-doc dedup below absorbs any cross-round overlap."""
         sm = seg_meta[seg_meta["ti"] == t.ti]
         if sm.empty:
             return []
@@ -512,6 +735,10 @@ class SearchEngine:
         bounds = np.minimum(np.round(sm["max_static"].to_numpy() * t.idf), SCORE_CLAMP)
         order = np.argsort(-bounds, kind="stable")
         firsts = sm["first_doc"].to_numpy(np.int64)
+        lasts = sm["last_doc"].to_numpy(np.int64)
+
+        def _iv(sel):
+            return _merge_intervals(np.stack([firsts[sel], lasts[sel]], axis=1))
 
         # round 1: decode the highest-bound segments covering >= fetch postings
         got, pos = 0, 0
@@ -520,8 +747,9 @@ class SearchEngine:
             batch.append(order[pos])
             got += int(ns[order[pos]])
             pos += 1
-        heap = self._decode_segments(t, [int(firsts[i]) for i in batch], use_fancy, w)
+        heap = self._decode_segments(t, _iv(np.array(batch)), use_fancy, w)
         heap.sort(key=lambda r: (-r[1], r[0]))
+        self.last_stats.update(strategy="single_blockmax", segments_selected=len(batch))
         if pos >= len(order) or len(heap) < fetch:
             return heap[:fetch]
 
@@ -532,24 +760,27 @@ class SearchEngine:
         # JVM-computed max_static and numpy query-side scores (build.py
         # static_score_col parity note).
         theta = heap[fetch - 1][1]
-        rest = [i for i in order[pos:] if bounds[i] >= theta - 1]
-        if rest:
-            heap.extend(
-                self._decode_segments(t, [int(firsts[i]) for i in rest], use_fancy, w)
-            )
+        rest = np.array([i for i in order[pos:] if bounds[i] >= theta - 1])
+        if len(rest):
+            heap.extend(self._decode_segments(t, _iv(rest), use_fancy, w))
+            # range decodes may overlap across rounds; duplicates carry the
+            # same exact score — keep one per doc
+            heap = list({d: (d, s) for d, s in heap}.values())
             heap.sort(key=lambda r: (-r[1], r[0]))
+            self.last_stats["segments_selected"] = len(batch) + len(rest)
         return heap[:fetch]
 
     def _decode_segments(
-        self, t: PlanTerm, first_docs: list[int], use_fancy: bool, w
+        self, t: PlanTerm, intervals: np.ndarray, use_fancy: bool, w
     ) -> list[tuple[int, int]]:
         kind = "fancy" if use_fancy and t.df > self.meta["fancy_threshold"] else "full"
         b = crc32(t.key) % 64
+        iv = _coarsen_intervals(intervals, self.max_range_predicates)
         segs = self.postings.where(
             (F.col("bucket") == b)
             & (F.col("term") == t.key)
             & (F.col("kind") == kind)
-            & F.col("first_doc").isin(first_docs)
+            & _interval_filter_expr(iv)
         ).select("blob")
         decoded = segs.mapInPandas(
             _decode_only_fn(t.ti), schema=DECODED_SCHEMA
@@ -589,37 +820,69 @@ def _bl_value(bl: np.ndarray, max_bl: int) -> np.ndarray:
     return np.where(bl == 0, 1.0, 2500.0 * np.log(np.maximum(bl, 1)) / ln_mbl)
 
 
-def _interval_intersection(
+def _intersect_coverage(
     seg_meta: pd.DataFrame, pos_tis: list[int]
-) -> dict[int, np.ndarray] | None:
+) -> tuple[np.ndarray | None, bool]:
     """Doc-range pruning for AND queries: a doc can only match if every
-    positive term has a segment covering it. Returns, per ti, the first_doc
-    keys of segments overlapping the global intersection (None = no pruning
-    possible / single positive term)."""
+    positive term has a segment covering it. Returns (merged global
+    intersection intervals, empty_flag). intervals None = no pruning
+    possible; empty_flag True = the AND result is provably empty."""
     if len(pos_tis) < 2 or seg_meta.empty:
-        return None
-    coverages = {}
+        return None, False
+    inter = None
     for ti in pos_tis:
         sub = seg_meta[seg_meta["ti"] == ti]
         if sub.empty:
-            # a positive term with no postings: AND result is empty — signal
-            # by allowing nothing anywhere
-            return {t: np.array([], dtype=np.int64) for t in seg_meta["ti"].unique()}
-        iv = sub[["first_doc", "last_doc"]].to_numpy(np.int64)
-        coverages[ti] = _merge_intervals(iv)
-    inter = None
-    for iv in coverages.values():
+            # a positive term with no postings: AND result is empty
+            return None, True
+        iv = _merge_intervals(sub[["first_doc", "last_doc"]].to_numpy(np.int64))
         inter = iv if inter is None else _intersect_intervals(inter, iv)
         if len(inter) == 0:
-            break
-    allowed: dict[int, np.ndarray] = {}
-    for ti in seg_meta["ti"].unique():
-        sub = seg_meta[seg_meta["ti"] == ti]
-        lo = sub["first_doc"].to_numpy(np.int64)
-        hi = sub["last_doc"].to_numpy(np.int64)
-        keep = _overlaps_any(lo, hi, inter)
-        allowed[int(ti)] = lo[keep]
-    return allowed
+            return inter, True
+    return inter, False
+
+
+def _coarsen_intervals(iv: np.ndarray, max_n: int) -> np.ndarray:
+    """Reduce a sorted, disjoint interval list to <= max_n intervals by
+    closing the smallest gaps — a SUPERSET of the input, so pruning built on
+    it stays correct; it just decodes a few extra segments. This is what
+    bounds every scan filter to a fixed number of range predicates instead
+    of multi-megabyte literals."""
+    if len(iv) <= max_n:
+        return iv
+    gaps = iv[1:, 0] - iv[:-1, 1]
+    keep = np.sort(np.argsort(-gaps, kind="stable")[: max_n - 1])
+    out, prev = [], 0
+    for g in keep:
+        out.append([iv[prev, 0], iv[g, 1]])
+        prev = g + 1
+    out.append([iv[prev, 0], iv[-1, 1]])
+    return np.array(out, dtype=np.int64)
+
+
+def _interval_filter_expr(iv: np.ndarray):
+    """OR-chain of (first_doc <= hi AND last_doc >= lo) range predicates —
+    pushed into the parquet scan (row-group min/max pruning)."""
+    c = None
+    for lo, hi in iv:
+        e = (F.col("first_doc") <= int(hi)) & (F.col("last_doc") >= int(lo))
+        c = e if c is None else (c | e)
+    return c if c is not None else F.lit(False)
+
+
+def _count_selected(seg_meta: pd.DataFrame, intervals: np.ndarray | None) -> int:
+    """Driver-side bookkeeping: how many metadata rows the current pruning
+    selects (exposed via SearchEngine.last_stats for tests/telemetry)."""
+    if seg_meta.empty:
+        return 0
+    if intervals is None:
+        return int(len(seg_meta))
+    keep = _overlaps_any(
+        seg_meta["first_doc"].to_numpy(np.int64),
+        seg_meta["last_doc"].to_numpy(np.int64),
+        intervals,
+    )
+    return int(keep.sum())
 
 
 def _merge_intervals(iv: np.ndarray) -> np.ndarray:
