@@ -467,11 +467,22 @@ def build_index(
     bucket_groups: int = 4,
     doc_id_offset: int = 0,
     scatter_files_per_bucket: int = 1,
+    io=None,
 ) -> dict:
     """Build (or resume) the index under ``out_dir`` and atomically publish.
 
+    ``io`` (a tableio.TableIO) is the storage seam for the PUBLISHED tables
+    (docmeta/lexicon/postings) and the atomic generation publish — Iceberg
+    when its runtime + a catalog are configured, parquet dirs + CURRENT
+    pointer otherwise. Stage checkpoints (stage_docs/stage_postings and the
+    per-group tmp dirs) are transient scratch and always live on the
+    filesystem — they are the resume granularity, not the published state.
+
     Returns the build metrics dict (postings/sec, bytes, per-stage walls).
     """
+    from .tableio import TableIO
+
+    io = io or TableIO(spark)
     os.makedirs(out_dir, exist_ok=True)
     version = _pending_version(out_dir)
     vdir = os.path.join(out_dir, version)
@@ -538,7 +549,7 @@ def build_index(
         # sorted, and doc_id is monotone in (_pid, _rn) — write through
         # without another shuffle; files stay doc_id-ordered.
         sd = _with_doc_id(spark.read.parquet(stage_docs), doc_id_offset)
-        sd.drop("terms", "tflags").write.mode("overwrite").parquet(docmeta_dir)
+        io.write(sd.drop("terms", "tflags"), docmeta_dir)
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
@@ -621,9 +632,23 @@ def build_index(
         # lexicon first: per-term df is a map-side-combined hash aggregate
         # over the scatter files (output rows ∝ vocabulary, not postings)
         lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df"))
-        lex.sortWithinPartitions("term").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(lex_tmp)
+        if io.backend == "parquet":
+            # per-group tmp dir + idempotent bucket-dir move (a crashed group
+            # rerun overwrites its tmp, never the published dir)
+            io.write(
+                lex.sortWithinPartitions("term"), lex_tmp, partition_by=["bucket"]
+            )
+            lex_read = spark.read.parquet(lex_tmp)
+        else:
+            # iceberg: each group owns disjoint buckets — dynamic partition
+            # overwrite makes the group write idempotent under resume
+            io.write(
+                lex.sortWithinPartitions("term"),
+                lexicon_dir,
+                mode="overwrite_partitions",
+                bucket_transform=(N_TERM_BUCKETS, "term"),
+            )
+            lex_read = io.read(lexicon_dir).where(F.col("bucket").isin(buckets))
 
         # hot terms (df > threshold) get fancy accelerator lists
         # (GenDb.dpr:1053-1071). Hot terms are few BY DEFINITION (each holds
@@ -633,8 +658,7 @@ def build_index(
         # the same sorted stream.
         hot_terms = frozenset(
             r["term"]
-            for r in spark.read.parquet(lex_tmp)
-            .where(F.col("df") > fancy_threshold)
+            for r in lex_read.where(F.col("df") > fancy_threshold)
             .select("term")
             .collect()
         )
@@ -649,13 +673,21 @@ def build_index(
             .repartition(nparts, "bucket", "tgrp", "salt")
             .sortWithinPartitions("term", "doc_id")
         )
-        stream.mapInPandas(encode_fn, schema=SEGMENTS_SCHEMA).sortWithinPartitions(
-            "term", "first_doc"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(seg_tmp)
-
-        # idempotent move of finished bucket dirs into place
-        _move_bucket_dirs(seg_tmp, postings_dir)
-        _move_bucket_dirs(lex_tmp, lexicon_dir)
+        encoded = stream.mapInPandas(
+            encode_fn, schema=SEGMENTS_SCHEMA
+        ).sortWithinPartitions("term", "first_doc")
+        if io.backend == "parquet":
+            io.write(encoded, seg_tmp, partition_by=["bucket"])
+            # idempotent move of finished bucket dirs into place
+            _move_bucket_dirs(seg_tmp, postings_dir)
+            _move_bucket_dirs(lex_tmp, lexicon_dir)
+        else:
+            io.write(
+                encoded,
+                postings_dir,
+                mode="overwrite_partitions",
+                bucket_transform=(N_TERM_BUCKETS, "term"),
+            )
         if hot_bc is not None:
             hot_bc.unpersist()
         lin.record(step, buckets=buckets, wall_s=round(time.time() - t0, 3))
@@ -664,7 +696,7 @@ def build_index(
     if "publish" not in lin.done:
         t0 = time.time()
         seg_stats = (
-            spark.read.parquet(postings_dir)
+            io.read(postings_dir)
             .agg(
                 F.sum(F.length("blob")).alias("bytes"),
                 F.sum(F.when(F.col("kind") == "full", F.col("n"))).alias("postings"),
@@ -688,11 +720,9 @@ def build_index(
         lin.record("publish", wall_s=round(time.time() - t0, 3), **{
             "bytes": int(seg_stats["bytes"])
         })
-        # atomic pointer swap — the ready2.dat analog
-        tmp = os.path.join(out_dir, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, os.path.join(out_dir, "CURRENT"))
+        # atomic generation publish — CURRENT-pointer swap (ready2.dat
+        # analog) on parquet, snapshot/version table on iceberg
+        io.publish(out_dir, version)
 
     build_wall = sum(r.get("wall_s", 0) for r in lin.done.values())
     metrics["wall_s"] = round(build_wall, 3)

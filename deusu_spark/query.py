@@ -70,14 +70,17 @@ SCORED_SCHEMA = T.StructType(
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_root: str):
+    def __init__(self, spark: SparkSession, index_root: str, io=None):
+        from .tableio import TableIO
+
         self.spark = spark
+        self.io = io or TableIO(spark)
         self.vdir = current_index_dir(index_root)
         with open(os.path.join(self.vdir, "meta.json")) as f:
             self.meta = json.load(f)
-        self.docmeta = spark.read.parquet(os.path.join(self.vdir, "docmeta"))
-        self.lexicon = spark.read.parquet(os.path.join(self.vdir, "lexicon"))
-        self.postings = spark.read.parquet(os.path.join(self.vdir, "postings"))
+        self.docmeta = self.io.read(os.path.join(self.vdir, "docmeta"))
+        self.lexicon = self.io.read(os.path.join(self.vdir, "lexicon"))
+        self.postings = self.io.read(os.path.join(self.vdir, "postings"))
         self._docmeta_cols = self.docmeta.select(
             "doc_id", "fd", "he", "rank", "backlinks", "dl"
         ).cache()  # the reference's in-RAM sidecar vectors (LoadCacheData)

@@ -1,0 +1,167 @@
+"""TableIO — the storage seam between the engine and its index tables
+(SURVEY §7's promised iceberg→parquet abstraction; north rule: "global
+term-partitioned index stored in Iceberg").
+
+Two backends, one contract (write partitioned table / read / atomic
+publish):
+
+``iceberg``
+    Real Iceberg tables in a configured Spark catalog. The term-partitioned
+    postings/lexicon use the ``bucket(64, term)`` partition transform (the
+    crc32&63 layout the reference bakes into file names, GenDb.dpr:349,
+    becomes a declarative transform the scanner prunes on); publish is a
+    snapshot commit, giving real atomicity + time travel instead of the
+    hand-rolled CURRENT pointer. Selected automatically when the
+    iceberg-spark runtime jars are on the classpath AND a catalog name is
+    supplied.
+
+``parquet``
+    Directory layout with ``bucket=NN`` partition dirs and the CURRENT
+    pointer swap (the ready2.dat dual-path analog, GenDb.dpr:1354-1357).
+    This is the fallback used in this container (no Iceberg jars baked in)
+    and is byte-for-byte the layout the rest of the engine reads.
+
+The seam is deliberately thin: callers express intent (write this table
+partitioned by these columns, atomically publish this version) and the
+backend supplies the mechanism. Nothing else in the engine knows which
+backend is active.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime is on the Spark classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Backend-dispatching table reader/writer for the index's tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        backend: str = "auto",
+        catalog: str | None = None,
+        namespace: str = "deusu",
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        if backend == "auto":
+            backend = (
+                "iceberg"
+                if catalog is not None and iceberg_available(spark)
+                else "parquet"
+            )
+        if backend == "iceberg" and not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg backend requested but the iceberg-spark runtime "
+                "jars are not on the classpath"
+            )
+        if backend == "iceberg" and catalog is None:
+            raise RuntimeError("iceberg backend requires a catalog name")
+        self.backend = backend
+
+    # -- naming ---------------------------------------------------------------
+    def _ident(self, table: str) -> str:
+        """Iceberg table identifier for a logical table path."""
+        # logical names arrive as filesystem-ish paths; flatten to one name
+        flat = table.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+        return f"{self.catalog}.{self.namespace}.{flat}"
+
+    # -- write ----------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+        bucket_transform: tuple[int, str] | None = None,
+    ) -> None:
+        """Write ``df`` as the table's content.
+
+        bucket_transform=(n, col): on Iceberg, declare ``bucket(n, col)``
+        as the partition transform instead of identity partitioning on the
+        precomputed bucket column — the scanner then prunes term probes by
+        transform, no physical column needed. On parquet, the precomputed
+        column in partition_by provides the same pruning.
+        """
+        if self.backend == "parquet":
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(table)
+            return
+        ident = self._ident(table)
+        writer = df.writeTo(ident)
+        if bucket_transform is not None:
+            from pyspark.sql import functions as F
+
+            n, col = bucket_transform
+            writer = writer.partitionedBy(F.bucket(n, col))
+        elif partition_by:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in partition_by]
+            writer = writer.partitionedBy(*cols)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "overwrite_partitions":
+            # dynamic partition overwrite: replaces exactly the partitions
+            # present in df — the idempotent per-bucket-group commit
+            if self.spark.catalog.tableExists(ident):
+                writer.overwritePartitions()
+            else:
+                writer.create()
+        else:
+            try:
+                writer.append()
+            except Exception:
+                writer.create()
+
+    # -- read -----------------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        if self.backend == "parquet":
+            return self.spark.read.parquet(table)
+        return self.spark.read.table(self._ident(table))
+
+    def exists(self, table: str) -> bool:
+        if self.backend == "parquet":
+            return os.path.isdir(table)
+        return self.spark.catalog.tableExists(self._ident(table))
+
+    # -- atomic publish ---------------------------------------------------------
+    def publish(self, root: str, version: str) -> None:
+        """Make ``version`` the index generation readers see.
+
+        parquet: atomic CURRENT-pointer rename (the ready2.dat analog).
+        iceberg: committing the version's tables already published them as
+        snapshots; record the version tag in a one-row bookkeeping table so
+        readers and time travel agree on generations."""
+        if self.backend == "parquet":
+            tmp = os.path.join(root, "CURRENT.tmp")
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, os.path.join(root, "CURRENT"))
+            return
+        self.spark.createDataFrame(
+            [(root, version)], ["root", "version"]
+        ).writeTo(self._ident(os.path.join(root, "_current"))).createOrReplace()
+
+    def current(self, root: str) -> str:
+        if self.backend == "parquet":
+            with open(os.path.join(root, "CURRENT")) as f:
+                return f.read().strip()
+        row = self.read(os.path.join(root, "_current")).first()
+        return row["version"]

@@ -1,0 +1,77 @@
+"""TableIO storage seam: parquet backend roundtrip + publish semantics;
+iceberg backend exercised only when the runtime jars are present (they are
+not baked into this container — the test documents the contract either
+way)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deusu_spark.tableio import TableIO, iceberg_available
+
+
+def test_parquet_roundtrip_partitioned(spark):
+    io = TableIO(spark)
+    assert io.backend == "parquet"
+    d = tempfile.mkdtemp(prefix="tio_")
+    t = os.path.join(d, "tbl")
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    io.write(df, t, partition_by=["bucket"])
+    assert io.exists(t)
+    back = io.read(t)
+    assert back.count() == 100
+    assert sorted(os.listdir(t))[0].startswith("bucket=") or any(
+        n.startswith("bucket=") for n in os.listdir(t)
+    )
+    # partition pruning reaches the scan
+    plan = (
+        back.where(F.col("bucket") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_parquet_publish_atomic(spark):
+    io = TableIO(spark)
+    d = tempfile.mkdtemp(prefix="tio_pub_")
+    io.publish(d, "v_0001")
+    assert io.current(d) == "v_0001"
+    io.publish(d, "v_0002")
+    assert io.current(d) == "v_0002"
+    assert not os.path.exists(os.path.join(d, "CURRENT.tmp"))
+
+
+def test_auto_backend_without_catalog_is_parquet(spark):
+    assert TableIO(spark, backend="auto").backend == "parquet"
+    # requesting iceberg without jars must fail loudly, not silently degrade
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError):
+            TableIO(spark, backend="iceberg", catalog="local")
+
+
+@pytest.mark.skipif(
+    True, reason="iceberg-spark runtime jars are not baked into this container"
+)
+def test_iceberg_roundtrip(spark):  # pragma: no cover - needs iceberg jars
+    io = TableIO(spark, backend="iceberg", catalog="local")
+    df = spark.range(100).withColumn("term", F.concat(F.lit("t"), F.col("id")))
+    io.write(df, "idx/postings", bucket_transform=(64, "term"))
+    assert io.read("idx/postings").count() == 100
+
+
+def test_build_on_seam(spark, tiny_index_dir):
+    """The published index layout written through the seam is readable and
+    carries the partition dirs the query engine prunes on."""
+    from deusu_spark.build import current_index_dir
+
+    vdir = current_index_dir(tiny_index_dir)
+    io = TableIO(spark)
+    for table in ("docmeta", "lexicon", "postings"):
+        assert io.exists(os.path.join(vdir, table)), table
+    assert any(
+        n.startswith("bucket=") for n in os.listdir(os.path.join(vdir, "postings"))
+    )
