@@ -65,12 +65,40 @@ def _simhash_sql() -> str:
     """
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB recomputes the identical md5-parity hyperplanes in pure SQL
+    (dim-agnostic), so the banded-LSH candidate pairs are fully
+    oracle-checked. Sign comparison is float-order-robust except for dot
+    products within ~1e-13 of zero (probability ~0 on real data)."""
+    from deusu_spark.pipelines import ANN_BAND_SIZE, ANN_PLANES
+
+    parity = (
+        "CASE WHEN (strpos('0123456789abcdef', substr(md5('h' || p || ':' || i), 1, 1)) - 1) % 2 = 1 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+             ex AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                    FROM e, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)),
+             bits AS (SELECT vec_id, p,
+                             CASE WHEN sum(x * {parity}) > 0
+                                  THEN '1' ELSE '0' END AS bit
+                      FROM ex, LATERAL (SELECT unnest(range(0, {ANN_PLANES})) AS p)
+                      GROUP BY vec_id, p),
+             sig AS (SELECT vec_id, CAST(p // {ANN_BAND_SIZE} AS INT) AS bd,
+                            string_agg(bit, '' ORDER BY p) AS s
+                     FROM bits GROUP BY vec_id, p // {ANN_BAND_SIZE}),
+             bands AS (SELECT vec_id, 'b' || bd || ':' || s AS band FROM sig)
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+        ORDER BY vec_a, vec_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
-    # 'ann_lsh_buckets' is intentionally absent (numpy hyperplanes → driver
-    # records the weaker rows-only check); its exact baseline
-    # 'embedding_cosine_topk' is fully oracle-checked.
     return {
         "simhash": _simhash_sql(),
+        "ann_lsh_candidates": _ann_lsh_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

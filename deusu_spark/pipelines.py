@@ -449,42 +449,82 @@ def q_simhash(spark, sf_dir):
     )
 
 
-def q_ann_lsh_buckets(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane LSH over embeddings — 8 deterministic
-    hyperplanes → 8-bit bucket signature; candidate neighbors share buckets.
-    (Exact brute-force baseline: embedding_cosine_topk; rows-only check since
-    the hyperplanes live in numpy.)"""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+ANN_PLANES = 16
+ANN_BAND_SIZE = 4
 
-    e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((8, dim)).astype(np.float64)
 
-    schema = T.StructType(
+def lsh_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: parity of the first hex digit of
+    md5(f"h{p}:{i}"). No RNG state — any engine (hashlib here, md5() in the
+    DuckDB oracle) reproduces the identical planes, which is what makes the
+    LSH bucketing fully oracle-checkable."""
+    import hashlib
+
+    hexdigits = "0123456789abcdef"
+    return [
         [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("bucket", T.IntegerType()),
+            1.0
+            if hexdigits.index(hashlib.md5(f"h{p}:{i}".encode()).hexdigest()[0]) % 2
+            else -1.0
+            for i in range(dim)
         ]
-    )
+        for p in range(n_planes)
+    ]
 
-    def fn(iterator):
-        for pdf in iterator:
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            if len(vecs) == 0:
-                continue
-            signs = (vecs @ planes.T) > 0
-            bucket = signs.dot(1 << np.arange(8)).astype(np.int32)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": bucket})
 
+def hyperplane_bands(
+    e: DataFrame,
+    n_planes: int = ANN_PLANES,
+    band_size: int = ANN_BAND_SIZE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, band) rows for banded random-hyperplane LSH — the ANN scale path.
+
+    Bit p = sign of <v, w_p> with the md5-parity ±1 planes above, embedded
+    as literal arrays so the dot products run as JVM whole-stage-codegen
+    folds (no Python, no shuffle until the band self-join). Bands of
+    ``band_size`` bits: two vectors are candidates iff they share ANY band
+    — the standard b×r trade: P(candidate) = 1-(1-p^r)^b for per-bit
+    agreement p = 1 - angle/π. Candidate generation is a hash join on the
+    band key — no all-pairs work, the same shape as the MinHash operator."""
+    dim = len(e.select(emb_col).first()[emb_col])
+    ws = lsh_plane_weights(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        warr = F.array(*[F.lit(w) for w in ws[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    bands = [
+        F.concat(F.lit(f"b{b}:"), *bits[b * band_size : (b + 1) * band_size])
+        for b in range(n_planes // band_size)
+    ]
+    return e.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+
+
+def q_ann_lsh_candidates(spark, sf_dir):
+    """ANN candidate pairs via banded hyperplane LSH (16 planes, 4 bands of
+    4) — vectors sharing any band bucket. Exact brute-force baseline:
+    embedding_cosine_topk; recall vs that baseline is asserted on clustered
+    vectors in tests/test_ann.py. vec_id < 500 bounds the pair blow-up at
+    larger sf (same convention as the other pair queries)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    bands = hyperplane_bands(e)
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
-        e.select("vec_id", "embedding")
-        .mapInPandas(fn, schema=schema)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vectors"))
-        .orderBy("bucket")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -512,5 +552,5 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "simhash": q_simhash,
-    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_candidates": q_ann_lsh_candidates,
 }

@@ -1,0 +1,91 @@
+"""ANN (banded hyperplane LSH) quality + oracle parity.
+
+Recall is measured on deliberately CLUSTERED vectors (the driver's test
+embeddings are near-isotropic, where "nearest neighbor" is geometrically
+meaningless); the operator itself is the same one the driver query uses.
+Oracle parity runs the DuckDB SQL from __spark_entry__ on the sf0.001
+embeddings and requires identical candidate-pair sets."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deusu_spark import pipelines
+
+N_CLUSTERS = 8
+PER_CLUSTER = 25
+DIM = 32
+NOISE = 0.05
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for c in range(N_CLUSTERS):
+        pts = centers[c] + NOISE * rng.standard_normal((PER_CLUSTER, DIM))
+        vecs.append(pts)
+        labels += [c] * PER_CLUSTER
+    V = np.concatenate(vecs)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    return df, V
+
+
+def test_lsh_recall_vs_bruteforce(spark, clustered):
+    df, V = clustered
+    n = len(V)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+
+    bands = pipelines.hyperplane_bands(df, n_planes=24, band_size=6).collect()
+    by_id: dict[int, set] = {}
+    for r in bands:
+        by_id.setdefault(r["vec_id"], set()).add(r["band"])
+
+    recalls, cand_sizes = [], []
+    for q in range(0, n, 17):  # a spread of query vectors
+        exact = np.argsort(-sims[q])
+        top10 = [int(d) for d in exact if d != q][:10]
+        cands = {
+            other
+            for other, bs in by_id.items()
+            if other != q and bs & by_id[q]
+        }
+        recalls.append(len(set(top10) & cands) / 10)
+        cand_sizes.append(len(cands))
+    assert np.mean(recalls) >= 0.8, (np.mean(recalls), recalls)
+    # selectivity: candidates must be a small fraction of the corpus,
+    # otherwise "high recall" would be trivial
+    assert np.mean(cand_sizes) < 0.35 * n, np.mean(cand_sizes)
+
+
+def test_plane_weights_deterministic():
+    a = pipelines.lsh_plane_weights(4, 16)
+    b = pipelines.lsh_plane_weights(4, 16)
+    assert a == b
+    assert all(w in (1.0, -1.0) for row in a for w in row)
+    # not degenerate: both signs occur in every plane
+    assert all(1.0 in row and -1.0 in row for row in a)
+
+
+def test_ann_candidates_match_duckdb_oracle(spark):
+    """The driver-gate parity, run locally at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in pipelines.q_ann_lsh_candidates(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(entry._ann_lsh_sql()).fetchall()}
+    assert got == want
+    assert len(got) > 0
