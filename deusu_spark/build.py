@@ -204,7 +204,9 @@ def _tokenize_partition(iterator):
             out["conv_id"].append(row.conv_id)
             out["turn_idx"].append(row.turn_idx)
             out["url"].append(url)
-            out["host"].append(row.conv_id)
+            # host = conv_id up to the first '/': the bare conv_id for
+            # transcripts, the site host in web mode (conv_id = page URL)
+            out["host"].append(row.conv_id.split("/", 1)[0])
             out["title"].append(title)
             out["description"].append(desc)
             out["dl"].append(dl)
@@ -240,7 +242,7 @@ from .colfns import not_fill as _not_fill
 from .colfns import strip_col as _strip_col
 
 
-def tokenized_docs(docs: DataFrame) -> DataFrame:
+def tokenized_docs(docs: DataFrame, index_gate: str | None = None) -> DataFrame:
     """stage-docs projection, all column expressions (DOCS_SCHEMA output).
 
     Input: the range-partitioned, (conv_id, turn_idx)-sorted transcript
@@ -248,7 +250,13 @@ def tokenized_docs(docs: DataFrame) -> DataFrame:
     spark_partition_id() + monotonically_increasing_id()'s per-partition
     counter (consecutive from 0 within each task), evaluated in the same
     stage as the sort — so the persisted doc order is the sorted order,
-    exactly like the old mapInPandas stamping."""
+    exactly like the old mapInPandas stamping.
+
+    index_gate (P7, ParserClass.pas:1265-1267): 'de_only' drops non-German
+    docs. The gate filters BEFORE the (_pid, _rn) stamping (Catalyst never
+    reorders the non-deterministic id projection across the filter), so the
+    surviving docs still get gap-free per-partition row numbers and the
+    dense doc_id assignment stays collision-free."""
     from .constants import (
         FLAG_IN_DESCRIPTION,
         FLAG_IN_TITLE,
@@ -265,14 +273,13 @@ def tokenized_docs(docs: DataFrame) -> DataFrame:
 
     body_re = F.lit("[a-z0-9][a-z0-9_\\-]*")
     d = docs.select(
-        F.spark_partition_id().alias("_pid"),
-        F.monotonically_increasing_id()
-        .bitwiseAND(F.lit((1 << 33) - 1))
-        .alias("_rn"),
         "conv_id",
         "turn_idx",
         url.alias("url"),
-        F.col("conv_id").alias("host"),
+        # host = conv_id up to the first '/' (bare conv_id for transcripts,
+        # the site host in web mode where conv_id is the page URL) — this is
+        # what host: queries, per-host collapse and the ignore gate key on
+        F.substring_index("conv_id", "/", 1).alias("host"),
         title.alias("title"),
         _strip_col(F.substring(text, 1, 255)).alias("description"),
         "rank",
@@ -345,6 +352,13 @@ def tokenized_docs(docs: DataFrame) -> DataFrame:
     )
     d = d.withColumn("fd", fd.cast("int")).withColumn(
         "he", (F.least(host_elems, F.lit(15)) + 1).cast("int")
+    )
+    if index_gate == "de_only":
+        d = d.where(F.col("german"))
+    elif index_gate is not None:
+        raise ValueError(f"unknown index_gate: {index_gate!r}")
+    d = d.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     )
     return d.select(*DOCS_SCHEMA.fieldNames())
 
@@ -468,6 +482,9 @@ def build_index(
     doc_id_offset: int = 0,
     scatter_files_per_bucket: int = 1,
     io=None,
+    ignore_hosts=None,
+    drop_quote_urls: bool = False,
+    index_gate: str | None = None,
 ) -> dict:
     """Build (or resume) the index under ``out_dir`` and atomically publish.
 
@@ -513,8 +530,32 @@ def build_index(
             ),
         )
         docs = docs.select(
-            "conv_id", "turn_idx", "role", "text", "tool", "rank", "backlinks"
+            "conv_id", "turn_idx", "role", "text", "tool", "rank", "backlinks",
+            "url_tmp",
         )
+        # G1 ignore-list gate (GenDb.dpr:302-341): drop ignored hosts (the
+        # conv_id up to its first '/' — bare conv_id for transcripts, site
+        # host in web mode) and, in web mode, URLs with a quote. A DataFrame
+        # ignore list anti-joins (broadcast — ignore lists are small); a
+        # Python list becomes an isin filter.
+        doc_host = F.lower(F.substring_index("conv_id", "/", 1))
+        if ignore_hosts is not None:
+            if isinstance(ignore_hosts, DataFrame):
+                igc = ignore_hosts.columns[0]
+                ig = ignore_hosts.select(
+                    F.lower(F.col(igc)).alias("_ign_host")
+                ).distinct()
+                docs = docs.join(
+                    F.broadcast(ig),
+                    doc_host == ig["_ign_host"],
+                    "left_anti",
+                )
+            else:
+                lowered = [h.lower() for h in ignore_hosts]
+                docs = docs.where(~doc_host.isin(lowered))
+        if drop_quote_urls:
+            docs = docs.where(~F.col("url_tmp").contains("'"))
+        docs = docs.drop("url_tmp")
         # global (conv_id, turn_idx) order → per-partition order + persisted
         # (_pid, _rn); the dense doc_id derives from the *staged* output so it
         # is deterministic (no resampled-range re-execution).
@@ -522,7 +563,9 @@ def build_index(
         ordered = docs.repartitionByRange(
             n_sort, "conv_id", "turn_idx"
         ).sortWithinPartitions("conv_id", "turn_idx")
-        tokenized_docs(ordered).write.mode("overwrite").parquet(stage_docs)
+        tokenized_docs(ordered, index_gate=index_gate).write.mode(
+            "overwrite"
+        ).parquet(stage_docs)
         sd = spark.read.parquet(stage_docs)
         stats = sd.agg(
             F.count("*").alias("n"),
@@ -630,15 +673,29 @@ def build_index(
         lex_tmp = lexicon_dir + f"_tmp_g{gi}"
 
         # lexicon first: per-term df is a map-side-combined hash aggregate
-        # over the scatter files (output rows ∝ vocabulary, not postings)
-        lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df"))
+        # over the scatter files (output rows ∝ vocabulary, not postings).
+        # persist → hot-term collect and the write share ONE aggregation,
+        # and nothing re-reads the tmp dir (which is schema-less when a
+        # group happens to hold zero postings — gated/tiny corpora).
+        lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df")).persist()
+        # hot terms (df > threshold) get fancy accelerator lists
+        # (GenDb.dpr:1053-1071). Hot terms are few BY DEFINITION (each holds
+        # > threshold postings, so there are < n_postings/threshold of them)
+        # — a broadcast set keeps the whole segments stage to ONE shuffle:
+        # the encode workers emit full + rank-filtered fancy segments from
+        # the same sorted stream.
+        hot_terms = frozenset(
+            r["term"]
+            for r in lex.where(F.col("df") > fancy_threshold)
+            .select("term")
+            .collect()
+        )
         if io.backend == "parquet":
             # per-group tmp dir + idempotent bucket-dir move (a crashed group
             # rerun overwrites its tmp, never the published dir)
             io.write(
                 lex.sortWithinPartitions("term"), lex_tmp, partition_by=["bucket"]
             )
-            lex_read = spark.read.parquet(lex_tmp)
         else:
             # iceberg: each group owns disjoint buckets — dynamic partition
             # overwrite makes the group write idempotent under resume
@@ -648,20 +705,7 @@ def build_index(
                 mode="overwrite_partitions",
                 bucket_transform=(N_TERM_BUCKETS, "term"),
             )
-            lex_read = io.read(lexicon_dir).where(F.col("bucket").isin(buckets))
-
-        # hot terms (df > threshold) get fancy accelerator lists
-        # (GenDb.dpr:1053-1071). Hot terms are few BY DEFINITION (each holds
-        # > threshold postings, so there are < n_postings/threshold of them)
-        # — a broadcast set keeps the whole segments stage to ONE shuffle:
-        # the encode workers emit full + rank-filtered fancy segments from
-        # the same sorted stream.
-        hot_terms = frozenset(
-            r["term"]
-            for r in lex_read.where(F.col("df") > fancy_threshold)
-            .select("term")
-            .collect()
-        )
+        lex.unpersist()
         hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
         encode_fn = _encode_partition_fn(seg_size, hot_terms_bc=hot_bc)
 
@@ -695,15 +739,23 @@ def build_index(
     # ---- publish ------------------------------------------------------------
     if "publish" not in lin.done:
         t0 = time.time()
-        seg_stats = (
-            io.read(postings_dir)
-            .agg(
-                F.sum(F.length("blob")).alias("bytes"),
-                F.sum(F.when(F.col("kind") == "full", F.col("n"))).alias("postings"),
-                F.count("*").alias("segments"),
+        if io.backend == "parquet" and not os.path.isdir(postings_dir):
+            # fully-gated / empty corpus: publish a valid empty generation
+            seg_stats = {"bytes": 0, "postings": 0, "segments": 0}
+            os.makedirs(postings_dir, exist_ok=True)
+            os.makedirs(lexicon_dir, exist_ok=True)
+        else:
+            seg_stats = (
+                io.read(postings_dir)
+                .agg(
+                    F.coalesce(F.sum(F.length("blob")), F.lit(0)).alias("bytes"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("kind") == "full", F.col("n"))), F.lit(0)
+                    ).alias("postings"),
+                    F.count("*").alias("segments"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
         meta = {
             "n_docs": int(n_docs),
             "max_backlinks": int(max_bl),

@@ -182,6 +182,44 @@ class SearchEngine:
         )
         return [(d, int(s)) for d, s in rows[:k]]
 
+    def fetch_results(self, rows: list[tuple[int, int]]) -> list:
+        """Q15 (ShowLink, searchservernew.dpr:1166-1204): join the engine's
+        (doc_id, score) rows back to display fields as rerank.ResultRow
+        objects, preserving engine order. rows is a top-k list (<= 1000) —
+        the collect is bounded."""
+        from .rerank import ResultRow
+
+        if not rows:
+            return []
+        ids = [int(d) for d, _ in rows]
+        fetched = {
+            r["doc_id"]: r
+            for r in self.docmeta.where(F.col("doc_id").isin(ids))
+            .select(
+                "doc_id", "url", "host", "title", "description",
+                "rank", "backlinks",
+            )
+            .collect()
+        }
+        out = []
+        for doc_id, score in rows:
+            m = fetched.get(int(doc_id))
+            if m is None:
+                continue
+            out.append(
+                ResultRow(
+                    url=m["url"],
+                    title=m["title"],
+                    snippet=m["description"],
+                    host=m["host"],
+                    value=int(score),
+                    backlinks=int(m["backlinks"]),
+                    domain_rank=int(m["rank"]),
+                    doc_id=int(doc_id),
+                )
+            )
+        return out
+
     def search_page(
         self,
         query: str,

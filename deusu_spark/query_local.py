@@ -60,6 +60,15 @@ class LocalSearcher:
             os.path.join(self.vdir, "lexicon"), partitioning="hive"
         )
         self._df_cache: dict[str, int] = {}
+        # Q14 result cache — searchservernew.dpr:1077-1101: 2048 slots keyed
+        # by crc32 of (query, weights, mode); a slot holds ONE entry (new
+        # queries evict colliding ones), hits must match the full key. The
+        # reference caches the whole top-1000 so pagination re-slices for
+        # free; we do the same.
+        self._result_cache: dict[int, tuple[str, list]] = {}
+        self.cache_slots = 2048
+        self.cache_hits = 0
+        self.cache_misses = 0
         self.n_docs = int(self.meta["n_docs"])
         self.max_bl = int(self.meta["max_backlinks"])
         self.avgdl = float(self.dl.mean()) if len(self.dl) else 1.0
@@ -115,20 +124,79 @@ class LocalSearcher:
         w = dict(DEFAULT_WEIGHTS)
         if weights:
             w.update(weights)
+        # Q14: the top-1000 for (query, weights, mode) is cached whole; any k
+        # (and any pagination slice) is served from the cached list
+        cache_key = f"{query}\x00{mode}\x00{sorted(w.items())}"
+        slot = crc32(cache_key) % self.cache_slots
+        hit = self._result_cache.get(slot)
+        if hit is not None and hit[0] == cache_key:
+            self.cache_hits += 1
+            return hit[1][:k]
+        self.cache_misses += 1
+        rows = self._search_uncached(query, k, w, mode)
+        self._result_cache[slot] = (cache_key, rows)
+        return rows[:k]
+
+    def _search_uncached(
+        self, query: str, k: int, w: dict[str, int], mode: str
+    ) -> list[tuple[int, int]]:
         terms = self.compile(query)
         if not terms:
             return []
+        fetch = max(k, MAX_RESULTS)  # cache the full top-1000
         if mode == "bm25":
             docs, vals = self._run_pass(terms, w, use_fancy=False, mode="bm25")
-            return self._topk(docs, vals, k, is_float=True)
+            return self._topk(docs, vals, fetch, is_float=True)
         if any(
             t.host is None and t.df > self.meta["fancy_threshold"] for t in terms
         ):
             docs, vals = self._run_pass(terms, w, use_fancy=True)
             if len(docs) >= MAX_RESULTS:
-                return self._topk(docs, vals, k)
+                return self._topk(docs, vals, fetch)
         docs, vals = self._run_pass(terms, w, use_fancy=False)
-        return self._topk(docs, vals, k)
+        return self._topk(docs, vals, fetch)
+
+    def fetch_results(self, rows: list[tuple[int, int]]) -> list:
+        """Q15 (ShowLink, searchservernew.dpr:1166-1204): join the engine's
+        (doc_id, score) rows back to their display fields and build
+        rerank.ResultRow objects in engine order — the input to the R1-R4
+        post-processing layer. Reads only the shown rows' docmeta (pyarrow
+        predicate pushdown on the doc_id-ordered files)."""
+        from .rerank import ResultRow
+
+        if not rows:
+            return []
+        ids = [int(d) for d, _ in rows]
+        dm = pads.dataset(
+            os.path.join(self.vdir, "docmeta"), partitioning="hive"
+        ).to_table(
+            filter=pads.field("doc_id").isin(ids),
+            columns=[
+                "doc_id", "url", "host", "title", "description",
+                "rank", "backlinks",
+            ],
+        )
+        by_id = {
+            int(r["doc_id"]): r for r in dm.to_pylist()
+        }
+        out = []
+        for doc_id, score in rows:
+            m = by_id.get(int(doc_id))
+            if m is None:
+                continue
+            out.append(
+                ResultRow(
+                    url=m["url"],
+                    title=m["title"],
+                    snippet=m["description"],
+                    host=m["host"],
+                    value=int(score),
+                    backlinks=int(m["backlinks"]),
+                    domain_rank=int(m["rank"]),
+                    doc_id=int(doc_id),
+                )
+            )
+        return out
 
     def search_page(
         self, query: str, startwith: int = 1, showcount: int = 10, **kw

@@ -1,0 +1,92 @@
+"""Q15 + the CGI lifecycle: engine top-k → display-field fetch →
+adjust_ranking → post_process, on REAL engine output over the synthetic
+corpus (the r1 gap: R1-R4 were only ever tested on hand-built rows).
+
+Cross-check: the distributed engine and the serving engine must render the
+identical page through the same composition. Plus the Q14 serving result
+cache semantics."""
+
+import pytest
+
+from deusu_spark import serving
+from deusu_spark.constants import MAX_RESULTS
+
+
+@pytest.fixture(scope="module")
+def local_searcher(tiny_index_dir):
+    from deusu_spark.query_local import LocalSearcher
+
+    return LocalSearcher(tiny_index_dir)
+
+
+def test_fetch_results_joins_display_fields(engine, local_searcher):
+    rows = local_searcher.search("linux", k=10)
+    res = local_searcher.fetch_results(rows)
+    assert len(res) == len(rows)
+    for (doc_id, score), r in zip(rows, res):
+        assert r.doc_id == doc_id and r.value == score
+        assert r.url and "/" in r.url
+        assert r.host == r.url.split("/")[0]  # host = conv_id
+        assert r.title in ("user", "assistant", "system", "tool")
+        assert r.snippet  # first-255 trimmed text
+    # the distributed engine fetch must agree field by field
+    res2 = engine.fetch_results(rows)
+    assert [(r.url, r.title, r.snippet, r.backlinks, r.domain_rank) for r in res] == [
+        (r.url, r.title, r.snippet, r.backlinks, r.domain_rank) for r in res2
+    ]
+
+
+@pytest.mark.parametrize("q", ["linux", "linux ubuntu", "w0042", "intitle:assistant linux"])
+def test_render_engines_agree(engine, local_searcher, q):
+    a = serving.search_render(local_searcher, q, showcount=10)
+    b = serving.search_render(engine, q, showcount=10)
+    assert [(r.doc_id, r.value, r.indent) for r in a] == [
+        (r.doc_id, r.value, r.indent) for r in b
+    ], q
+
+
+def test_render_per_host_collapse(local_searcher):
+    """host = conv_id, so collapse means <= 3 turns per conversation on the
+    rendered page, with indenting under the first."""
+    page = serving.search_render(local_searcher, "linux", showcount=30)
+    assert page
+    from collections import Counter
+
+    per_host = Counter(r.host for r in page)
+    assert max(per_host.values()) <= 3
+    # indent flags: first row of a host-run is never indented
+    for i, r in enumerate(page):
+        if i == 0 or page[i - 1].host != r.host:
+            assert not r.indent
+
+
+def test_render_host_query_disables_collapse(local_searcher):
+    page = serving.search_render(local_searcher, "host:conv00000017", showcount=20)
+    hosts = {r.host for r in page}
+    assert hosts == {"conv00000017"}
+    assert len(page) > 3  # all turns of the conversation, no 3-cap
+
+
+def test_result_cache_hits(local_searcher):
+    ls = local_searcher
+    h0, m0 = ls.cache_hits, ls.cache_misses
+    a = ls.search("google w0003", k=10)
+    b = ls.search("google w0003", k=10)
+    assert a == b
+    assert ls.cache_hits == h0 + 1 and ls.cache_misses == m0 + 1
+    # different k reuses the cached top-1000
+    c = ls.search("google w0003", k=25)
+    assert ls.cache_hits == h0 + 2
+    assert c[:10] == a
+    # different weights -> different key -> miss
+    ls.search("google w0003", k=10, weights={"b1": 4 * 256})
+    assert ls.cache_misses == m0 + 2
+
+
+def test_cache_consistent_with_uncached(local_searcher):
+    from deusu_spark.constants import DEFAULT_WEIGHTS
+
+    q = "linux -google"
+    fresh = local_searcher._search_uncached(q, MAX_RESULTS, dict(DEFAULT_WEIGHTS), "deusu")
+    cached = local_searcher.search(q, k=MAX_RESULTS)
+    assert cached == fresh[:MAX_RESULTS]
