@@ -95,10 +95,97 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _lang_id_sql() -> str:
+    from deusu_spark.pipelines import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ", ".join(
+        "len(list_filter(a, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = [f"hits_{lang} > 0"]
+        for other in langs:
+            if other != lang:
+                op = ">=" if other > lang else ">"
+                conds.append(f"hits_{lang} {op} hits_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    hits_sel = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+        WITH h AS (SELECT doc_id, {hit_cols} FROM ({_ARR}) WHERE doc_id < 150)
+        SELECT doc_id, {hits_sel}, {case} AS pred_lang FROM h ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
         "ann_lsh_candidates": _ann_lsh_sql(),
+        "lang_id": _lang_id_sql(),
+        "quality_score": f"""
+            WITH x AS (
+                SELECT doc_id, text, a, len(a) AS n_tokens,
+                       CAST(len(list_filter(a, t -> list_contains(
+                            ['the','a','and','of','to','in','is','it'], t)))
+                            AS DOUBLE) / len(a) AS stop_ratio,
+                       (SELECT sum(length(t)) FROM (SELECT unnest(a) AS t))
+                            * 1.0 / len(a) AS mean_tok_len,
+                       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]',
+                            '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+                FROM ({_ARR}) WHERE doc_id < 150)
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   round(mean_tok_len, 5) AS mean_tok_len,
+                   round(punct_ratio, 5) AS punct_ratio,
+                   round(stop_ratio, 5) AS stop_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + CASE WHEN mean_tok_len BETWEEN 3 AND 10
+                                THEN 0.3 ELSE 0.0 END
+                         + CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END
+                         + CASE WHEN stop_ratio > 0.01 AND stop_ratio < 0.6
+                                THEN 0.1 ELSE 0.0 END, 5) AS quality
+            FROM x ORDER BY doc_id
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+            FROM documents WHERE doc_id < 150 ORDER BY doc_id
+        """,
+        "winnow_fingerprint": f"""
+            WITH sh AS ({_SHINGLES.format(maxdoc=150)}),
+                 h AS (SELECT doc_id, md5(sh) AS h FROM sh),
+                 r AS (SELECT doc_id, h,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY h) AS rn
+                       FROM h)
+            SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fp
+            FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "embedding_near_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 200),
+                 nrm AS (SELECT vec_id, embedding,
+                                sqrt((SELECT sum(CAST(x AS DOUBLE)
+                                                 * CAST(x AS DOUBLE))
+                                      FROM (SELECT unnest(embedding) AS x)))
+                                    AS nn
+                         FROM e),
+                 p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                              (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                               FROM (SELECT unnest(a.embedding) AS x,
+                                            unnest(b.embedding) AS y))
+                              / (a.nn * b.nn) AS sim
+                       FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, round(sim, 4) AS cos_sim
+            FROM p WHERE round(sim, 4) >= 0.3 ORDER BY vec_a, vec_b
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -106,15 +106,25 @@ def main() -> None:
 
         ls = LocalSearcher(idx_dir)
         ls.search("linux", k=10)  # warm lexicon/segment caches
-        reps = 3
+        # cold = every query computed (distinct keys); cached = repeats
+        # served from the Q14 result cache (the reference's cache behaves
+        # the same — report both so the compute number stays honest)
+        t0 = time.time()
+        for q in ENGINE_QUERIES:
+            ls.search(q, k=10)
+        cold_s = time.time() - t0
+        reps = 20
         t0 = time.time()
         for _ in range(reps):
             for q in ENGINE_QUERIES:
                 ls.search(q, k=10)
-        qs = time.time() - t0
-        times["fts_query_serving"] = round(qs, 3)
-        engine_stats["queries_per_s_serving"] = round(
-            reps * len(ENGINE_QUERIES) / qs, 3
+        warm_s = time.time() - t0
+        times["fts_query_serving"] = round(cold_s, 3)
+        engine_stats["queries_per_s_serving_cold"] = round(
+            len(ENGINE_QUERIES) / cold_s, 3
+        )
+        engine_stats["queries_per_s_serving_cached"] = round(
+            reps * len(ENGINE_QUERIES) / warm_s, 1
         )
         shutil.rmtree(idx_dir, ignore_errors=True)
     except Exception as e:  # keep the bench line emitting even on failure

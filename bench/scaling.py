@@ -79,9 +79,8 @@ def run_level(cores: int, n_convs: int) -> dict:
     ls = LocalSearcher(idx_dir)
     ls.search("linux", k=10)
     t0 = time.time()
-    for _ in range(3):
-        for q in QUERIES:
-            ls.search(q, k=10)
+    for q in QUERIES:  # distinct keys -> every query computed (cache miss)
+        ls.search(q, k=10)
     serve_s = time.time() - t0
     shutil.rmtree(idx_dir, ignore_errors=True)
     return {
@@ -91,7 +90,7 @@ def run_level(cores: int, n_convs: int) -> dict:
         "postings_per_s": round(metrics["n_postings"] / build_s, 1),
         "dist_query_s": round(dist_s, 2),
         "dist_qps": round(4 / dist_s, 3),
-        "serving_qps": round(3 * len(QUERIES) / serve_s, 2),
+        "serving_qps": round(len(QUERIES) / serve_s, 2),
     }
 
 

@@ -449,6 +449,147 @@ def q_simhash(spark, sf_dir):
     )
 
 
+# language-ID marker sets (n-gram-heuristic-style language ID: tiny
+# high-frequency function-word lists, the classic cheap signal). The synth
+# documents' text does not correlate with their lang column, so this
+# operator is validated for engine identity (Spark == DuckDB), which is
+# what the driver gate checks.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "nicht", "ein", "ist", "zu"),
+    "es": ("el", "la", "los", "y", "que", "de", "un", "es"),
+    "fr": ("le", "la", "les", "et", "que", "des", "un", "est"),
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per doc, count hits in each language's marker
+    set; predict the argmax (deterministic tie-break by language name)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    def _hits(markers):
+        # (a two-parameter lambda would be read by pyspark as an
+        # (element, index) higher-order function — keep markers in a closure)
+        return F.size(F.filter(arr, lambda x: x.isin(*markers)))
+
+    hits = {lang: _hits(m) for lang, m in LANG_MARKERS.items()}
+    pred = F.lit("unknown")
+    # a language wins with >0 hits, strictly beating every alphabetically
+    # earlier language and tying-or-beating every later one (ties resolve
+    # alphabetically — same shape as the first-match CASE in the oracle)
+    for lang in sorted(LANG_MARKERS):
+        cond = hits[lang] > 0
+        for other in sorted(LANG_MARKERS):
+            if other != lang:
+                cond = cond & (
+                    hits[lang] >= hits[other]
+                    if other > lang
+                    else hits[lang] > hits[other]
+                )
+        pred = F.when(cond, lang).otherwise(pred)
+    cols = [hits[lang].alias(f"hits_{lang}") for lang in sorted(LANG_MARKERS)]
+    return d.select("doc_id", *cols, pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    """Text-quality signals: token count, mean token length, punctuation
+    ratio, stopword ratio, and a composite quality score — the standard
+    cheap pretraining-data filters."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    n_tok = F.size(arr)
+    mean_len = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n_tok
+    punct = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+    punct_ratio = punct / F.length("text")
+    stop = F.size(F.filter(arr, lambda x: x.isin(*LANG_MARKERS["en"])))
+    stop_ratio = stop / n_tok
+    quality = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + F.when((mean_len >= 3) & (mean_len <= 10), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+        + F.when((stop_ratio > 0.01) & (stop_ratio < 0.6), 0.1).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 5).alias("mean_tok_len"),
+        F.round(punct_ratio, 5).alias("punct_ratio"),
+        F.round(stop_ratio, 5).alias("stop_ratio"),
+        F.round(quality, 5).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation — the usual
+    pre-tokenizer shape)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != ""))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)
+        )
+    )
+    return d.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    ).orderBy("doc_id")
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: the 4 lexicographically
+    smallest hashes of the doc's word-3-gram shingles, concatenated — a
+    compact near-dup sketch (the rolling-hash fingerprint family)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    sh = _shingles(d).withColumn("h", F.md5("sh"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .groupBy("doc_id")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("h"))).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: exact pairwise cosine over a bounded
+    vector set, pairs above threshold — the exact baseline of the
+    embedding-dedup family (LSH candidates + this verify = the scale
+    pipeline)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    dot = F.aggregate(
+        F.zip_with("a_e", "b_e", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_e"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_e"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm(F.col("a_e")) * norm(F.col("b_e"))), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 ANN_PLANES = 16
 ANN_BAND_SIZE = 4
 
@@ -553,4 +694,9 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "simhash": q_simhash,
     "ann_lsh_candidates": q_ann_lsh_candidates,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count_bpe": q_token_count_bpe,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
