@@ -69,6 +69,9 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("backlinks", T.LongType()),
         T.StructField("terms", T.ArrayType(T.StringType())),
         T.StructField("tflags", T.ArrayType(T.IntegerType())),
+        # n_terms duplicated as a scalar so the post-stage stats job reads
+        # NO array columns (column pruning keeps it metadata-sized)
+        T.StructField("nt", T.IntegerType()),
     ]
 )
 
@@ -218,6 +221,7 @@ def _tokenize_partition(iterator):
             out["backlinks"].append(row.backlinks)
             out["terms"].append(terms)
             out["tflags"].append(tflags)
+            out["nt"].append(len(terms))
         yield pd.DataFrame(out)
 
 
@@ -357,6 +361,7 @@ def tokenized_docs(docs: DataFrame, index_gate: str | None = None) -> DataFrame:
         d = d.where(F.col("german"))
     elif index_gate is not None:
         raise ValueError(f"unknown index_gate: {index_gate!r}")
+    d = d.withColumn("nt", F.size("terms").cast("int"))
     d = d.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_rn", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     )
@@ -567,10 +572,12 @@ def build_index(
             "overwrite"
         ).parquet(stage_docs)
         sd = spark.read.parquet(stage_docs)
+        # nt (scalar term count) instead of size(terms): the stats job then
+        # reads zero array columns — no second pass over the heavy data
         stats = sd.agg(
             F.count("*").alias("n"),
             F.max("backlinks").alias("max_bl"),
-            F.sum(F.size("terms")).alias("n_postings"),
+            F.sum("nt").alias("n_postings"),
         ).collect()[0]
         lin.record(
             "docs",
@@ -592,7 +599,7 @@ def build_index(
         # sorted, and doc_id is monotone in (_pid, _rn) — write through
         # without another shuffle; files stay doc_id-ordered.
         sd = _with_doc_id(spark.read.parquet(stage_docs), doc_id_offset)
-        io.write(sd.drop("terms", "tflags"), docmeta_dir)
+        io.write(sd.drop("terms", "tflags", "nt"), docmeta_dir)
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------

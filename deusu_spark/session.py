@@ -43,6 +43,13 @@ def get_spark(
         # posting blobs are already delta+varbyte packed; snappy on top is
         # cheap and still helps the metadata columns.
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # split scans finer than the 128 MB default so a handful of input
+        # files still yields enough map tasks to feed every core (the input
+        # side of the first shuffle otherwise caps build parallelism)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,125 @@
+"""Structured Streaming operators (SURVEY §2 streaming analogs).
+
+The reference is batch-only (the deusu.sh loop re-runs GenDb); its Spark
+rebuild adds the streaming shapes a transcript/event firehose needs:
+
+  hourly_counts_stream   watermarked tumbling-window aggregation — the
+                         streaming twin of pipelines.q_events_hourly; late
+                         rows beyond the watermark are dropped, state is
+                         bounded by (watermark + window) per key
+  sessionize_stream      custom stateful operator via applyInPandasWithState
+                         — the streaming twin of pipelines.q_user_sessions
+                         (30-min-gap sessionization); per-user state carries
+                         (session_start, last_ts, n_events), closed sessions
+                         emit downstream, the open tail stays in state
+
+Both are tested for BATCH EQUIVALENCE: the same events parquet pushed
+through the stream (availableNow trigger → memory sink) must produce the
+rows the batch pipeline computes. That is the property that lets one
+codebase serve the backfill and the live feed.
+
+Incremental INDEX maintenance (the streaming sink that appends index
+segments) lives in incremental.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 1800
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """(hour, event_type, n, sum_value) over a streaming events source.
+
+    Tumbling 1-hour event-time windows with a watermark: state per
+    (window, event_type) is dropped once the watermark passes the window
+    end, so state size is O(active windows), not O(stream length)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Per-user sessionizer: fold this batch's events into (start, last, n)
+    runs split on > SESSION_GAP_S gaps; emit every CLOSED session, keep the
+    open tail in state. Event-time ordering within the batch is restored by
+    sorting (micro-batches preserve no order)."""
+    rows = []
+    ts_all = []
+    for pdf in pdf_iter:
+        ts_all.append(pd.to_datetime(pdf["ts"]))
+    if ts_all:
+        ts = pd.concat(ts_all).sort_values()
+        us = (ts.astype("int64") // 1000).to_numpy()  # microseconds
+    else:
+        us = []
+
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+
+    (uid,) = key
+    for t in us:
+        if start_us < 0:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > SESSION_GAP_S * 1_000_000:
+            rows.append((uid, start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    if start_us >= 0:
+        state.update((int(start_us), int(last_us), int(n)))
+    if rows:
+        out = pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Closed 30-min-gap sessions per user — custom stateful streaming
+    operator (applyInPandasWithState). The open tail of each user's stream
+    stays in state until a later event closes it (production would add a
+    timeout to flush idle sessions; the batch-equivalence test accounts for
+    the open tail)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

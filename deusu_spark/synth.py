@@ -127,4 +127,8 @@ def write_parquet(df: pd.DataFrame, path: str) -> None:
     df = df.copy()
     # Spark cannot read TIMESTAMP(NANOS); store microsecond precision
     df["ts"] = df["ts"].astype("datetime64[us, UTC]")
-    df.to_parquet(path, index=False)
+    # bounded row groups: pandas' default writes ONE row group, which is
+    # unsplittable — Spark would read (and range-shuffle-write) the whole
+    # corpus in a single map task, serializing the build's first stage.
+    # 50k-row groups (~20 MB) give the scan row-group-granular parallelism.
+    df.to_parquet(path, index=False, row_group_size=50_000)

@@ -1,0 +1,110 @@
+"""Streaming operators vs their batch twins — the same events parquet pushed
+through readStream (availableNow → memory sink) must reproduce the batch
+pipeline's rows."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deusu_spark import streaming
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark):
+    # stream source dir = a copy of the events parquet
+    d = tempfile.mkdtemp(prefix="deusu_stream_")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_counts_stream_matches_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = _run_stream(
+        spark, streaming.hourly_counts_stream(src), "hourly_stream"
+    ).collect()
+    want = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    )
+    g = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"]) for r in got}
+    # append mode emits a window only once the watermark passes its end:
+    # windows inside the final 2h-watermark horizon stay in state (correct
+    # streaming semantics) — compare against the batch result below that
+    # horizon
+    import datetime
+
+    max_ts = (
+        spark.read.parquet(events_stream_dir).agg(F.max("ts")).first()[0]
+    )
+    horizon = max_ts - datetime.timedelta(hours=2)
+    w = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in want
+        if r["hour"] + datetime.timedelta(hours=1) <= horizon
+    }
+    assert w.items() <= g.items(), sorted(w.items() - g.items())[:3]
+    extra = g.keys() - w.keys()
+    # anything extra must sit inside the horizon window
+    assert all(h + datetime.timedelta(hours=1) > horizon for h, _ in extra)
+    assert len(g) > 10
+
+
+def test_sessionize_stream_matches_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = _run_stream(
+        spark, streaming.sessionize_stream(src), "sessions_stream"
+    ).collect()
+    closed = {}
+    for r in got:
+        closed.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"], r["n_events"])
+        )
+
+    # batch truth: per-user 30-min-gap sessions; the stream emits all but
+    # each user's LAST (still-open) session
+    ev = (
+        spark.read.parquet(events_stream_dir)
+        .select("user_id", "ts")
+        .orderBy("user_id", "ts")
+        .collect()
+    )
+    sessions: dict[int, list] = {}
+    for r in ev:
+        u, t = r["user_id"], r["ts"]
+        runs = sessions.setdefault(u, [])
+        if runs and (t - runs[-1][1]).total_seconds() <= streaming.SESSION_GAP_S:
+            s, _, n = runs[-1]
+            runs[-1] = (s, t, n + 1)
+        else:
+            runs.append((t, t, 1))
+    expected_closed = {
+        u: runs[:-1] for u, runs in sessions.items() if len(runs) > 1
+    }
+    assert closed.keys() == expected_closed.keys()
+    for u, runs in expected_closed.items():
+        assert sorted(closed[u]) == sorted(runs), u
+    # sanity: a meaningful number of closed sessions streamed out
+    assert sum(len(v) for v in closed.values()) > 50
