@@ -104,6 +104,46 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def dedup_media(media: DataFrame) -> DataFrame:
+    """Exact media dedup: group by payload content hash — the binary-column
+    member of the dedup family (same single-hash-groupBy shape as the text
+    dedup; scales with no all-pairs work). Returns one row per distinct
+    payload with the representative (min) media_id and the duplicate
+    count."""
+    hashed = media.select(
+        "media_id", "kind", F.sha2("payload", 256).alias("payload_sha256")
+    )
+    return (
+        hashed.groupBy("payload_sha256")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keep_media_id")
+    )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: one row per chunk to decode
+    (media_id, chunk_start_ms, chunk_end_ms) — pure column ops; the decode
+    runs in a downstream mapInPandas like extract_features."""
+    a = media.where(F.col("kind") == "audio")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(chunk_ms)
+    )
+    return a.select(
+        "media_id",
+        F.explode(starts).alias("chunk_start_ms"),
+        "duration_ms",
+    ).select(
+        "media_id",
+        "chunk_start_ms",
+        F.least(
+            F.col("chunk_start_ms") + chunk_ms, F.col("duration_ms")
+        ).alias("chunk_end_ms"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame to decode
     (media_id, frame_ts_ms) — pure column ops (sequence + explode), the

@@ -28,6 +28,9 @@ QUERIES = [
     "nosuchterm12345",  # empty result
     "w0007 -w0002",  # cold AND + NOT
     "google w0003",
+    "google java",  # hot-hot AND (multi-term block-max WAND path)
+    "linux ubuntu java",  # 3-way hot AND (WAND + interval intersection)
+    "w0001 w0002",  # common-common AND (many matches, WAND theta pruning)
 ]
 
 
