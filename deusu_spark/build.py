@@ -572,23 +572,28 @@ def build_index(
             "overwrite"
         ).parquet(stage_docs)
         sd = spark.read.parquet(stage_docs)
-        # nt (scalar term count) instead of size(terms): the stats job then
-        # reads zero array columns — no second pass over the heavy data
-        stats = sd.agg(
+        # ONE grouped stats job (no array columns read): global counts plus
+        # the per-partition row counts the dense doc_id assignment needs —
+        # persisted in lineage so later stages never re-aggregate them
+        per_pid = sd.groupBy("_pid").agg(
             F.count("*").alias("n"),
             F.max("backlinks").alias("max_bl"),
             F.sum("nt").alias("n_postings"),
-        ).collect()[0]
+        ).collect()
         lin.record(
             "docs",
-            rows=stats["n"],
-            postings=stats["n_postings"],
-            max_bl=stats["max_bl"],
+            rows=int(sum(r["n"] for r in per_pid)),
+            postings=int(sum(r["n_postings"] for r in per_pid)),
+            max_bl=int(max((r["max_bl"] for r in per_pid), default=0)),
+            pid_counts={str(r["_pid"]): int(r["n"]) for r in per_pid},
             wall_s=round(time.time() - t0, 3),
         )
     n_docs = lin.done["docs"]["rows"]
     max_bl = lin.done["docs"]["max_bl"]
     total_postings = lin.done["docs"]["postings"]
+    pid_counts = {
+        int(k): v for k, v in (lin.done["docs"].get("pid_counts") or {}).items()
+    } or None
     metrics["n_docs"] = n_docs
     metrics["n_postings"] = total_postings
 
@@ -598,14 +603,18 @@ def build_index(
         # stage_docs is already (conv_id, turn_idx)-range-partitioned and
         # sorted, and doc_id is monotone in (_pid, _rn) — write through
         # without another shuffle; files stay doc_id-ordered.
-        sd = _with_doc_id(spark.read.parquet(stage_docs), doc_id_offset)
+        sd = _with_doc_id(
+            spark.read.parquet(stage_docs), doc_id_offset, pid_counts
+        )
         io.write(sd.drop("terms", "tflags", "nt"), docmeta_dir)
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
     if "scatter" not in lin.done:
         t0 = time.time()
-        sd = _with_doc_id(spark.read.parquet(stage_docs), doc_id_offset)
+        sd = _with_doc_id(
+            spark.read.parquet(stage_docs), doc_id_offset, pid_counts
+        )
         postings = (
             sd.select(
                 "doc_id",
@@ -792,14 +801,22 @@ def build_index(
     return metrics
 
 
-def _with_doc_id(stage_docs_df: DataFrame, doc_id_offset: int = 0) -> DataFrame:
+def _with_doc_id(
+    stage_docs_df: DataFrame,
+    doc_id_offset: int = 0,
+    pid_counts: dict[int, int] | None = None,
+) -> DataFrame:
     """doc_id = doc_id_offset + prefix_offset(_pid) + _rn over the staged,
     already (conv_id, turn_idx)-sorted docs. The offset table is one row per
     sort partition — broadcast-joined, so this scales to any corpus size.
-    doc_id_offset > 0 appends after an existing corpus (incremental.py)."""
+    doc_id_offset > 0 appends after an existing corpus (incremental.py).
+    pid_counts (from the build's lineage) skips the counting job."""
     spark = stage_docs_df.sparkSession
-    sizes = stage_docs_df.groupBy("_pid").count().collect()
-    counts = {r["_pid"]: r["count"] for r in sizes}
+    if pid_counts is not None:
+        counts = pid_counts
+    else:
+        sizes = stage_docs_df.groupBy("_pid").count().collect()
+        counts = {r["_pid"]: r["count"] for r in sizes}
     rows, acc = [], doc_id_offset
     for pid in sorted(counts):
         rows.append((pid, acc))
