@@ -48,7 +48,7 @@ from pyspark.sql import types as T
 
 from . import codec
 from .build import current_index_dir, static_scores
-from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP, SEGMENT_SIZE
+from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
 from .queryplan import PlanTerm, compile_query
 from .synth import crc32
 
@@ -86,13 +86,22 @@ class SearchEngine:
         ).cache()  # the reference's in-RAM sidecar vectors (LoadCacheData)
         self.lexicon = self.lexicon.cache()
         self._avgdl: float | None = None
-        # above this estimated segment count, metadata is block-aggregated
-        # distributedly before the (bounded) driver collect
+        # above this estimated per-query segment count, metadata is
+        # block-aggregated distributedly before the (bounded) driver collect
         self.driver_meta_cap = 100_000
         # pruning decisions reach the scan as at most this many range
         # predicates (coarsened supersets beyond that — correct, less tight)
         self.max_range_predicates = 64
         self.last_stats: dict = {}
+        # per-term metadata cache (the searchserver analog of LoadCacheData's
+        # in-RAM lexicon): one Spark job fetches a query's unseen terms —
+        # df derivation, fancy decisions, and BOTH passes reuse it, so a
+        # query costs one metadata job instead of three, zero when warm
+        self._term_meta: dict[str, pd.DataFrame] = {}
+        self._term_meta_max = 50_000  # bound the driver cache
+        # multi-term WAND pays 2-3 plan executions; below this many
+        # intersection-surviving postings a single unpruned pass wins
+        self.wand_min_postings = 500_000
 
     @property
     def avgdl(self) -> float:
@@ -112,8 +121,53 @@ class SearchEngine:
         )
         return int(rows[0]["df"]) if rows else 0
 
+    def _fetch_term_meta(self, keys: list[str]) -> None:
+        """One bucket/term-pruned metadata job for every unseen key (both
+        kinds, no blobs), ALWAYS through the two-level doc-range-block
+        aggregation: block size n_docs/4096 means a block row degenerates to
+        exactly one segment on small corpora (block smaller than any
+        segment span) and caps a df≈10^11 term at ~4096 rows on huge ones —
+        the driver copy is bounded at every scale with one code path. df is
+        exact at any granularity (n sums are preserved). Every pruning
+        consumer treats rows as coverage+bound, so coarser rows only loosen
+        pruning, never correctness.
+
+        driver_meta_cap=0 is the test hook that forces visibly-coarse
+        blocks even on a tiny corpus (pins granularity-independence)."""
+        missing = sorted(set(keys) - self._term_meta.keys())
+        if not missing:
+            return
+        if len(self._term_meta) + len(missing) > self._term_meta_max:
+            self._term_meta.clear()
+        cond = None
+        for t in missing:
+            c = (F.col("bucket") == crc32(t) % 64) & (F.col("term") == t)
+            cond = c if cond is None else (cond | c)
+        n_docs = int(self.meta["n_docs"])
+        blk = max(1, n_docs // 4096)
+        if not self.driver_meta_cap:
+            blk = max(blk, n_docs // 64, 1)
+        pdf = (
+            self.postings.where(cond)
+            .select("term", "kind", "first_doc", "last_doc", "n", "max_static")
+            .groupBy(
+                "term", "kind", (F.floor(F.col("first_doc") / blk)).alias("_b")
+            )
+            .agg(
+                F.min("first_doc").alias("first_doc"),
+                F.max("last_doc").alias("last_doc"),
+                F.sum("n").cast("int").alias("n"),
+                F.max("max_static").alias("max_static"),
+            )
+            .drop("_b")
+            .toPandas()
+        )
+        for t in missing:
+            self._term_meta[t] = pdf[pdf["term"] == t].reset_index(drop=True)
+
     def compile(self, query: str) -> list[PlanTerm]:
-        # prefetch all candidate dfs with ONE bucket-pruned lexicon read
+        # prefetch all candidate terms' metadata with ONE pruned job; df
+        # derives from the full-kind row counts (sum n)
         from .queryplan import host_of, parse_query
 
         cands = set()
@@ -121,17 +175,16 @@ class SearchEngine:
             key = kw[1:] if kw[:1] in "+-" else kw
             if host_of(key) is None and ":" not in key:
                 cands.add(key)
-        dfs: dict[str, int] = {}
-        if cands:
-            conds = None
-            for t in cands:
-                c = (F.col("bucket") == crc32(t) % 64) & (F.col("term") == t)
-                conds = c if conds is None else (conds | c)
-            for r in self.lexicon.where(conds).select("term", "df").collect():
-                dfs[r["term"]] = int(r["df"])
-        return compile_query(
-            query, self.meta["n_docs"], lambda t: dfs.get(t, 0)
-        )
+        self._fetch_term_meta(sorted(cands))
+
+        def df_of(t: str) -> int:
+            sub = self._term_meta.get(t)
+            if sub is None or sub.empty:
+                return 0
+            full = sub[sub["kind"] == "full"]
+            return int(full["n"].sum())
+
+        return compile_query(query, self.meta["n_docs"], df_of)
 
     # -- public API ----------------------------------------------------------
     def search(
@@ -300,12 +353,17 @@ class SearchEngine:
                 self.last_stats.update(strategy="empty_and", segments_selected=0)
                 return [], 0
 
-        # multi-term block-max WAND: exact, score-bound-pruned AND execution
+        # multi-term block-max WAND: exact, score-bound-pruned AND execution.
+        # Engaged only when enough postings survive the interval intersection
+        # to amortize its extra plan executions (phase A + phase B each run
+        # the full decode/score plan): below the floor, one unpruned pass is
+        # strictly cheaper than two pruned ones.
         if (
             prune
             and mode == "deusu"
             and len(plain_pos) == len(pos) >= 2
             and not seg_meta.empty
+            and _count_selected_postings(seg_meta, intervals) >= self.wand_min_postings
         ):
             return self._multi_term_blockmax(
                 terms, pos, neg, seg_meta, intervals, fetch, w, use_fancy, mode
@@ -340,24 +398,12 @@ class SearchEngine:
         decoded = self._decode(terms, use_fancy, intervals)
         if decoded is None:
             return []
-
-        # decoded row count is bounded by the selected segment metadata:
-        # broadcast the candidate stream when it is small (saves a full
-        # docmeta shuffle)
-        if seg_meta.empty:
-            est_rows = 0
-        elif intervals is None:
-            est_rows = int(seg_meta["n"].sum())
-        else:
-            keep = _overlaps_any(
-                seg_meta["first_doc"].to_numpy(np.int64),
-                seg_meta["last_doc"].to_numpy(np.int64),
-                intervals,
-            )
-            est_rows = int(seg_meta["n"].to_numpy(np.int64)[keep].sum())
-        scored = self._score_rows(
-            decoded, terms, w, mode=mode, broadcast_decoded=0 < est_rows < 2_000_000
-        )
+        # the docmeta sidecar join's physical strategy is left to AQE: it
+        # broadcasts whichever runtime side is small (the decoded candidate
+        # stream for selective queries, never the cached docmeta at scale)
+        # without the extra eager-materialization job an explicit
+        # broadcast() hint costs per pass
+        scored = self._score_rows(decoded, terms, w, mode=mode)
         pos_df = scored.where(F.col("ti").isin([t.ti for t in pos]))
         # per-term scores are each clamped; saturating sequential addition of
         # non-negative terms equals min(sum, clamp) (searchservernew.dpr:926)
@@ -421,14 +467,20 @@ class SearchEngine:
             if sub.empty:
                 self.last_stats.update(strategy="wand_empty", segments_selected=0)
                 return [], 0
-            los.append(sub["first_doc"].to_numpy(np.int64))
-            his.append(sub["last_doc"].to_numpy(np.int64))
-            bnds.append(
+            # the sweep's count==n_pos test needs per-term DISJOINT coverage
+            # (block-aggregated rows may overlap when a segment spans a
+            # block boundary) — merge overlapping rows, bound = max
+            lo, hi, b = _disjoint_bounded(
+                sub["first_doc"].to_numpy(np.int64),
+                sub["last_doc"].to_numpy(np.int64),
                 np.minimum(
                     np.round(sub["max_static"].to_numpy(np.float64) * idf[t.ti]),
                     SCORE_CLAMP,
-                )
+                ),
             )
+            los.append(lo)
+            his.append(hi)
+            bnds.append(b)
         starts = np.concatenate(los)
         ends = np.concatenate(his) + 1
         sb = np.concatenate(bnds)
@@ -491,21 +543,14 @@ class SearchEngine:
 
     # -- segment metadata (no blobs, bounded driver copy) -----------------------
     def _segment_meta(self, terms: list[PlanTerm], use_fancy: bool) -> pd.DataFrame:
-        """Per-query-term segment metadata for pruning decisions.
-
-        The driver copy is BOUNDED: when the lexicon dfs predict more than
-        driver_meta_cap segment rows, the metadata is first aggregated
-        distributedly into doc-range blocks (<= ~4096 per term) whose
-        (first_doc, last_doc, Σn, max max_static) are a correct coarse view
-        — every pruning consumer treats rows as coverage+bound, so coarser
-        rows only loosen pruning, never correctness. This is the two-level
-        metadata that replaces round 1's unbounded toPandas() (a df≈10^11
-        term would otherwise ship ~3M rows per query)."""
-        conds = []
-        ti_of = {}
-        est_segments = 0
-        seg_size = max(int(self.meta.get("seg_size", SEGMENT_SIZE)), 1)
-        n_salts = int(self.meta.get("n_salts", 8))
+        """Per-query-term segment metadata for pruning decisions — assembled
+        from the term-metadata cache (populated by compile()'s single
+        fetch job); this method itself runs NO Spark job, so the fancy and
+        full passes share one metadata read per query."""
+        self._fetch_term_meta(
+            sorted({t.key for t in terms if t.host is None})
+        )
+        out = []
         for t in terms:
             if t.host is not None:
                 continue
@@ -514,49 +559,18 @@ class SearchEngine:
                 if use_fancy and t.df > self.meta["fancy_threshold"]
                 else "full"
             )
-            b = crc32(t.key) % 64
-            conds.append(
-                (F.col("bucket") == b)
-                & (F.col("term") == t.key)
-                & (F.col("kind") == kind)
-            )
-            ti_of.setdefault((t.key, kind), []).append(t.ti)
-            est_segments += t.df // seg_size + n_salts + 1
-        empty = pd.DataFrame(
-            columns=["ti", "term", "kind", "first_doc", "last_doc", "n", "max_static"]
-        )
-        if not conds:
-            return empty
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond | c
-        sel = self.postings.where(cond).select(
-            "term", "kind", "first_doc", "last_doc", "n", "max_static"
-        )
-        if est_segments > self.driver_meta_cap:
-            blk = max(1, int(self.meta["n_docs"]) // 4096)
-            sel = (
-                sel.groupBy(
-                    "term", "kind", (F.floor(F.col("first_doc") / blk)).alias("_b")
-                )
-                .agg(
-                    F.min("first_doc").alias("first_doc"),
-                    F.max("last_doc").alias("last_doc"),
-                    F.sum("n").cast("int").alias("n"),
-                    F.max("max_static").alias("max_static"),
-                )
-                .drop("_b")
-            )
-        pdf = sel.toPandas()
-        out = []
-        for (key, kind), tis in ti_of.items():
-            sub = pdf[(pdf["term"] == key) & (pdf["kind"] == kind)]
-            for ti in tis:
-                s = sub.copy()
-                s["ti"] = ti
-                out.append(s)
+            sub = self._term_meta.get(t.key)
+            if sub is None:
+                continue
+            s = sub[sub["kind"] == kind].copy()
+            s["ti"] = t.ti
+            out.append(s)
         if not out:
-            return empty
+            return pd.DataFrame(
+                columns=[
+                    "ti", "term", "kind", "first_doc", "last_doc", "n", "max_static"
+                ]
+            )
         return pd.concat(out, ignore_index=True)
 
     # -- decode ------------------------------------------------------------------
@@ -670,7 +684,6 @@ class SearchEngine:
         terms: list[PlanTerm],
         w,
         mode: str = "deusu",
-        broadcast_decoded: bool = False,
     ) -> DataFrame:
         """Join sidecars and compute per-posting scores, vectorized.
 
@@ -691,10 +704,6 @@ class SearchEngine:
         max_bl = int(self.meta["max_backlinks"])
         n_docs = int(self.meta["n_docs"])
         avgdl = self.avgdl if mode == "bm25" else 1.0
-        if broadcast_decoded:
-            # candidate set is known-small (block-max path): broadcast it so
-            # the sidecar join is a map-side lookup over cached docmeta
-            decoded = F.broadcast(decoded)
         joined = decoded.join(self._docmeta_cols, "doc_id")
 
         def score_fn(iterator):
@@ -826,7 +835,7 @@ class SearchEngine:
         decoded = segs.mapInPandas(
             _decode_only_fn(t.ti), schema=DECODED_SCHEMA
         )
-        scored = self._score_rows(decoded, [t], w, broadcast_decoded=True)
+        scored = self._score_rows(decoded, [t], w)
         rows = scored.select("doc_id", "score").collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -911,6 +920,23 @@ def _interval_filter_expr(iv: np.ndarray):
     return c if c is not None else F.lit(False)
 
 
+def _count_selected_postings(
+    seg_meta: pd.DataFrame, intervals: np.ndarray | None
+) -> int:
+    """Σn of the metadata rows the current pruning selects — the estimated
+    decode volume that decides whether WAND's extra passes pay off."""
+    if seg_meta.empty:
+        return 0
+    if intervals is None:
+        return int(seg_meta["n"].sum())
+    keep = _overlaps_any(
+        seg_meta["first_doc"].to_numpy(np.int64),
+        seg_meta["last_doc"].to_numpy(np.int64),
+        intervals,
+    )
+    return int(seg_meta["n"].to_numpy(np.int64)[keep].sum())
+
+
 def _count_selected(seg_meta: pd.DataFrame, intervals: np.ndarray | None) -> int:
     """Driver-side bookkeeping: how many metadata rows the current pruning
     selects (exposed via SearchEngine.last_stats for tests/telemetry)."""
@@ -924,6 +950,31 @@ def _count_selected(seg_meta: pd.DataFrame, intervals: np.ndarray | None) -> int
         intervals,
     )
     return int(keep.sum())
+
+
+def _disjoint_bounded(
+    lo: np.ndarray, hi: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge STRICTLY overlapping (not merely adjacent) intervals, keeping
+    the max bound — preserves per-interval bound tightness while giving the
+    WAND sweep the disjoint per-term coverage it requires."""
+    order = np.argsort(lo, kind="stable")
+    out_lo: list[int] = []
+    out_hi: list[int] = []
+    out_b: list[float] = []
+    for i in order:
+        if out_lo and lo[i] <= out_hi[-1]:
+            out_hi[-1] = max(out_hi[-1], int(hi[i]))
+            out_b[-1] = max(out_b[-1], float(b[i]))
+        else:
+            out_lo.append(int(lo[i]))
+            out_hi.append(int(hi[i]))
+            out_b.append(float(b[i]))
+    return (
+        np.array(out_lo, dtype=np.int64),
+        np.array(out_hi, dtype=np.int64),
+        np.array(out_b, dtype=np.float64),
+    )
 
 
 def _merge_intervals(iv: np.ndarray) -> np.ndarray:

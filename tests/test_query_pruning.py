@@ -65,12 +65,22 @@ def test_intersect_coverage_signals():
     assert iv is None and not empty
 
 
+@pytest.fixture(scope="module")
+def wand_engine(spark, tiny_index_dir):
+    """Engine with the WAND cost floor disabled so the multi-term block-max
+    path executes on the tiny corpus (in production it engages only above
+    wand_min_postings surviving the interval intersection)."""
+    eng = SearchEngine(spark, tiny_index_dir)
+    eng.wand_min_postings = 0
+    return eng
+
+
 @pytest.mark.parametrize("q", MULTI)
-def test_wand_matches_unpruned(engine, q):
-    assert engine.search(q, k=10, prune=True) == engine.search(
+def test_wand_matches_unpruned(wand_engine, q):
+    assert wand_engine.search(q, k=10, prune=True) == wand_engine.search(
         q, k=10, prune=False
     ), q
-    assert engine.search(q, k=1000, prune=True) == engine.search(
+    assert wand_engine.search(q, k=1000, prune=True) == wand_engine.search(
         q, k=1000, prune=False
     ), q
 
