@@ -63,6 +63,34 @@ def test_normalize_url_col_parity(spark):
         assert got[c] == sources.normalize_url(c), repr(c)
 
 
+def test_normalize_url_col_fuzz_parity(spark):
+    """400 seeded gnarly URLs through both normalizers — identical."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    pieces = [
+        "http://", "HTTP://", "hTtP://", "www.", "a.com", "b.de", "/", "//",
+        ":", ":8080", "?q=1", "#f", "'", ".z", ".Z", "mailto:", "tel:",
+        "x" * 30, " ", "\t", "..", "9", "0", ".htm/", "/cgi-map/", "~", "%20",
+    ]
+    cases = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 8)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["url"])
+    got = [
+        r["norm"]
+        for r in df.select(
+            sources.normalize_url_col(F.col("url")).alias("norm")
+        ).collect()
+    ]
+    want = [sources.normalize_url(c) for c in cases]
+    for c, g, w in zip(cases, got, want):
+        assert g == w, (repr(c), g, w)
+
+
 def test_import_urls_counts_inlinks(spark):
     links = spark.createDataFrame(
         [("http://a.com/x",), ("A.com/x",), ("a.com/y",), ("mailto:z",)],

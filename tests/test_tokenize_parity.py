@@ -89,6 +89,72 @@ def test_terms_and_flags_identical(both):
         )
 
 
+def _fuzz_strings(n, seed=99):
+    """Seeded gnarly strings: unicode mix, entities, umlauts, control chars,
+    overlong tokens, '&' edge cases — one batch, one Spark job."""
+    import random
+
+    rng = random.Random(seed)
+    alphabets = [
+        "abcdefghijklmnop ",
+        "äöüß ÄÖÜ ",
+        "0123456789-_ ",
+        "&auml;&ouml;&uuml;&szlig;&amp;&nbsp;&reg;&copy;&",
+        "\t\n\r\x0b\x0c ",
+        "日本語中文💡 ",
+        "!@#$%^*()[]{};:'\",.<>/?\\|`~",
+    ]
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            a = rng.choice(alphabets)
+            parts.append("".join(rng.choice(a) for _ in range(rng.randint(1, 30))))
+        if rng.random() < 0.1:
+            parts.append("x" * rng.randint(250, 300))
+        out.append("".join(parts))
+    return out
+
+
+def test_fuzz_parity(spark):
+    """300 seeded gnarly texts through both tokenizers — byte-identical
+    terms/flags/sidecars."""
+    texts = _fuzz_strings(300)
+    rows = [
+        (f"c{i:05d}", i % 4, ["user", "assistant", "system", "tool"][i % 4],
+         t, "" if i % 3 else "tool7")
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("rank", df_lit(-1))
+        .withColumn("backlinks", df_lit(1).cast("long"))
+        .repartitionByRange(3, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    key = ["conv_id", "turn_idx"]
+    jvm = tokenized_docs(df).toPandas().sort_values(key).reset_index(drop=True)
+    py = (
+        df.mapInPandas(_tokenize_partition, schema=DOCS_SCHEMA)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(jvm) == len(py) == 300
+    for col in ["description", "dl", "german", "fd", "he"]:
+        assert jvm[col].tolist() == py[col].tolist(), col
+    for i in range(len(jvm)):
+        assert list(jvm["terms"][i]) == list(py["terms"][i]), repr(texts[i])[:120]
+        assert list(jvm["tflags"][i]) == list(py["tflags"][i]), repr(texts[i])[:120]
+
+
+def df_lit(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v)
+
+
 def test_no_python_in_build_tokenize_plan(spark):
     """The staged-docs projection must contain no Python evaluation node."""
     src = _inputs(spark)
