@@ -626,7 +626,9 @@ def build_index(
             )
             .select(
                 F.col("p.terms").alias("term"),
-                F.col("p.tflags").alias("flags"),
+                # tinyint: flags are 3 bits — narrower rows through the scatter
+                # write and the segments shuffle (the biggest data in the build)
+                F.col("p.tflags").cast("tinyint").alias("flags"),
                 "doc_id",
                 "fd",
                 "he",
@@ -675,9 +677,12 @@ def build_index(
     nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
 
     def _salted(df_):
+        # narrow shuffle-key columns (salt < n_salts, tgrp < 8)
         return df_.withColumn(
-            "salt", (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("int")
-        ).withColumn("tgrp", F.pmod(F.hash("term"), F.lit(n_tgrp)))
+            "salt", (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("smallint")
+        ).withColumn(
+            "tgrp", F.pmod(F.hash("term"), F.lit(n_tgrp)).cast("tinyint")
+        )
 
     for gi, buckets in enumerate(groups):
         step = f"segments_g{gi}"
