@@ -105,7 +105,10 @@ def main() -> None:
         from deusu_spark.query_local import LocalSearcher
 
         ls = LocalSearcher(idx_dir)
-        ls.search("linux", k=10)  # warm lexicon/segment caches
+        # warm lexicon/segment caches with a query OUTSIDE the measured set
+        # (warming with a headline query would seed the Q14 result cache and
+        # contaminate the cold measurement)
+        ls.search("w4999", k=10)
         # cold = every query computed (distinct keys); cached = repeats
         # served from the Q14 result cache (the reference's cache behaves
         # the same — report both so the compute number stays honest)

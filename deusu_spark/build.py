@@ -424,7 +424,7 @@ def _encode_partition_fn(
         )
         rows = []
 
-        def emit(kind, s, lo_i, d, f, st):
+        def emit(kind, s, d, f, st):
             for lo in range(0, len(d), seg_size):
                 hi = min(lo + seg_size, len(d))
                 rows.append(
@@ -442,12 +442,12 @@ def _encode_partition_fn(
 
         for bi, s in enumerate(starts):
             e = starts[bi + 1] if bi + 1 < len(starts) else len(terms)
-            emit("full", s, s, docs[s:e], flags[s:e], statics[s:e])
+            emit("full", s, docs[s:e], flags[s:e], statics[s:e])
             if ranks is not None and terms[s] in hot:
                 m = (ranks[s:e] > rank_lo) & (ranks[s:e] < rank_hi)
                 if m.any():
                     emit(
-                        "fancy", s, s,
+                        "fancy", s,
                         docs[s:e][m], flags[s:e][m], statics[s:e][m],
                     )
         yield pd.DataFrame(rows, columns=cols)

@@ -127,7 +127,7 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     """Audio chunking *plan*: one row per chunk to decode
     (media_id, chunk_start_ms, chunk_end_ms) — pure column ops; the decode
     runs in a downstream mapInPandas like extract_features."""
-    a = media.where(F.col("kind") == "audio")
+    a = media.where((F.col("kind") == "audio") & (F.col("duration_ms") > 0))
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(chunk_ms)
     )

@@ -629,7 +629,12 @@ def hyperplane_bands(
     — the standard b×r trade: P(candidate) = 1-(1-p^r)^b for per-bit
     agreement p = 1 - angle/π. Candidate generation is a hash join on the
     band key — no all-pairs work, the same shape as the MinHash operator."""
-    dim = len(e.select(emb_col).first()[emb_col])
+    first = e.select(emb_col).first()
+    if first is None:  # empty input -> no bands, no candidates
+        return e.select(
+            F.col(id_col), F.lit("").alias("band")
+        ).where(F.lit(False))
+    dim = len(first[emb_col])
     ws = lsh_plane_weights(n_planes, dim)
     bits = []
     for p in range(n_planes):

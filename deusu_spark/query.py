@@ -12,11 +12,10 @@ Scale levers (all exercised even though tests run on local[32]):
   - bucket+term predicate pushdown into the parquet/Iceberg scan (the
     crc32&63 partition layout mirrors keys00..63, GenDb.dpr:349)
   - segment metadata (first_doc/last_doc/n/max_static) is read without blobs
-    (column pruning) and is BOUNDED on the driver: when the estimated
-    segment count for the query terms exceeds driver_meta_cap, metadata is
-    first aggregated distributedly into <= ~4096 doc-range blocks per term
-    (two-level metadata) so a df≈10^11 hot term never ships millions of
-    rows to the driver
+    (column pruning) and is BOUNDED on the driver: it is aggregated
+    distributedly into doc-range blocks of n_docs/4096 (two-level metadata
+    — identity on small corpora, <= ~4096 rows per term at any df), cached
+    per term, so a df≈10^11 hot term never ships millions of rows
   - pruning decisions reach the scan as <= 64 (first_doc, last_doc) range
     predicates — never multi-megabyte isin literals — so parquet row-group
     min/max stats prune inside each bucket file:
@@ -86,8 +85,9 @@ class SearchEngine:
         ).cache()  # the reference's in-RAM sidecar vectors (LoadCacheData)
         self.lexicon = self.lexicon.cache()
         self._avgdl: float | None = None
-        # above this estimated per-query segment count, metadata is
-        # block-aggregated distributedly before the (bounded) driver collect
+        # metadata is ALWAYS block-aggregated (two-level, bounded at any
+        # df); setting this falsy is the test hook that forces visibly
+        # coarse blocks even on tiny corpora (granularity-independence)
         self.driver_meta_cap = 100_000
         # pruning decisions reach the scan as at most this many range
         # predicates (coarsened supersets beyond that — correct, less tight)
@@ -240,13 +240,13 @@ class SearchEngine:
         (doc_id, score) rows back to display fields as rerank.ResultRow
         objects, preserving engine order. rows is a top-k list (<= 1000) —
         the collect is bounded."""
-        from .rerank import ResultRow
+        from .rerank import rows_to_results
 
         if not rows:
             return []
         ids = [int(d) for d, _ in rows]
         fetched = {
-            r["doc_id"]: r
+            r["doc_id"]: r.asDict()
             for r in self.docmeta.where(F.col("doc_id").isin(ids))
             .select(
                 "doc_id", "url", "host", "title", "description",
@@ -254,24 +254,7 @@ class SearchEngine:
             )
             .collect()
         }
-        out = []
-        for doc_id, score in rows:
-            m = fetched.get(int(doc_id))
-            if m is None:
-                continue
-            out.append(
-                ResultRow(
-                    url=m["url"],
-                    title=m["title"],
-                    snippet=m["description"],
-                    host=m["host"],
-                    value=int(score),
-                    backlinks=int(m["backlinks"]),
-                    domain_rank=int(m["rank"]),
-                    doc_id=int(doc_id),
-                )
-            )
-        return out
+        return rows_to_results(rows, fetched)
 
     def search_page(
         self,

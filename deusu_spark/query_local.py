@@ -124,8 +124,12 @@ class LocalSearcher:
         w = dict(DEFAULT_WEIGHTS)
         if weights:
             w.update(weights)
-        # Q14: the top-1000 for (query, weights, mode) is cached whole; any k
-        # (and any pagination slice) is served from the cached list
+        # Q14: the top-1000 for (query, weights, mode) is cached whole; any
+        # k <= 1000 (and any pagination slice) is served from the cached
+        # list. Larger k (an API extension beyond the reference's top-1000
+        # contract) bypasses the cache so results never depend on call order.
+        if k > MAX_RESULTS:
+            return self._search_uncached(query, k, w, mode)[:k]
         cache_key = f"{query}\x00{mode}\x00{sorted(w.items())}"
         slot = crc32(cache_key) % self.cache_slots
         hit = self._result_cache.get(slot)
@@ -162,7 +166,7 @@ class LocalSearcher:
         rerank.ResultRow objects in engine order — the input to the R1-R4
         post-processing layer. Reads only the shown rows' docmeta (pyarrow
         predicate pushdown on the doc_id-ordered files)."""
-        from .rerank import ResultRow
+        from .rerank import rows_to_results
 
         if not rows:
             return []
@@ -176,27 +180,8 @@ class LocalSearcher:
                 "rank", "backlinks",
             ],
         )
-        by_id = {
-            int(r["doc_id"]): r for r in dm.to_pylist()
-        }
-        out = []
-        for doc_id, score in rows:
-            m = by_id.get(int(doc_id))
-            if m is None:
-                continue
-            out.append(
-                ResultRow(
-                    url=m["url"],
-                    title=m["title"],
-                    snippet=m["description"],
-                    host=m["host"],
-                    value=int(score),
-                    backlinks=int(m["backlinks"]),
-                    domain_rank=int(m["rank"]),
-                    doc_id=int(doc_id),
-                )
-            )
-        return out
+        by_id = {int(r["doc_id"]): r for r in dm.to_pylist()}
+        return rows_to_results(rows, by_id)
 
     def search_page(
         self, query: str, startwith: int = 1, showcount: int = 10, **kw

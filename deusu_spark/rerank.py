@@ -109,6 +109,32 @@ class ResultRow:
             self.host = host_from_url(self.url)
 
 
+def rows_to_results(
+    rows: list[tuple[int, int]], by_id: dict[int, dict]
+) -> list[ResultRow]:
+    """Q15 assembly shared by both engines' fetch_results: engine
+    (doc_id, score) rows + a docmeta display-field mapping → ResultRows in
+    engine order (ShowLink, searchservernew.dpr:1166-1204)."""
+    out = []
+    for doc_id, score in rows:
+        m = by_id.get(int(doc_id))
+        if m is None:
+            continue
+        out.append(
+            ResultRow(
+                url=m["url"],
+                title=m["title"],
+                snippet=m["description"],
+                host=m["host"],
+                value=int(score),
+                backlinks=int(m["backlinks"]),
+                domain_rank=int(m["rank"]),
+                doc_id=int(doc_id),
+            )
+        )
+    return out
+
+
 def host_from_url(s: str) -> str:
     """PostProcess.pas:160-171."""
     for p in ("http://", "https://"):

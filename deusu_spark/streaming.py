@@ -87,14 +87,23 @@ def _session_fn(key, pdf_iter, state: GroupState):
         n = 0
 
     (uid,) = key
+    gap_us = SESSION_GAP_S * 1_000_000
     for t in us:
         if start_us < 0:
             start_us, last_us, n = t, t, 1
-        elif t - last_us > SESSION_GAP_S * 1_000_000:
+        elif t > last_us + gap_us:
             rows.append((uid, start_us, last_us, n))
             start_us, last_us, n = t, t, 1
-        else:
-            last_us, n = t, n + 1
+        elif t >= start_us:
+            # in-order or late-but-inside the open session: the session end
+            # must never move backward (late events across micro-batches)
+            last_us, n = max(last_us, t), n + 1
+        elif start_us - t <= gap_us:
+            # late event just before the open session: extend its start
+            start_us, n = t, n + 1
+        # else: older than the open session by more than a gap — the batch
+        # truth would put it in an already-emitted session; with no watermark
+        # to reopen history the event is dropped (documented late-data limit)
     if start_us >= 0:
         state.update((int(start_us), int(last_us), int(n)))
     if rows:

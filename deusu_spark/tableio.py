@@ -145,23 +145,23 @@ class TableIO:
     def publish(self, root: str, version: str) -> None:
         """Make ``version`` the index generation readers see.
 
-        parquet: atomic CURRENT-pointer rename (the ready2.dat analog).
-        iceberg: committing the version's tables already published them as
-        snapshots; record the version tag in a one-row bookkeeping table so
-        readers and time travel agree on generations."""
-        if self.backend == "parquet":
-            tmp = os.path.join(root, "CURRENT.tmp")
-            with open(tmp, "w") as f:
-                f.write(version)
-            os.replace(tmp, os.path.join(root, "CURRENT"))
-            return
-        self.spark.createDataFrame(
-            [(root, version)], ["root", "version"]
-        ).writeTo(self._ident(os.path.join(root, "_current"))).createOrReplace()
+        Both backends write the atomic CURRENT pointer (the ready2.dat
+        analog): the version directory is a filesystem concept either way —
+        meta.json and the resume lineage live there — and every reader
+        (current_index_dir) resolves generations through it. On iceberg the
+        table snapshots are already committed; the pointer rename is what
+        flips readers to the new generation atomically, and a one-row
+        bookkeeping table additionally records the generation for
+        catalog-side time travel."""
+        if self.backend == "iceberg":
+            self.spark.createDataFrame(
+                [(root, version)], ["root", "version"]
+            ).writeTo(self._ident(os.path.join(root, "_current"))).createOrReplace()
+        tmp = os.path.join(root, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(root, "CURRENT"))
 
     def current(self, root: str) -> str:
-        if self.backend == "parquet":
-            with open(os.path.join(root, "CURRENT")) as f:
-                return f.read().strip()
-        row = self.read(os.path.join(root, "_current")).first()
-        return row["version"]
+        with open(os.path.join(root, "CURRENT")) as f:
+            return f.read().strip()
