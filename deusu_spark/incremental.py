@@ -116,10 +116,12 @@ def incremental_update(
         wall_s=round(time.time() - t_start, 3),
         base_version=os.path.basename(old_vdir),
     )
-    tmp = os.path.join(out_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(version)
-    os.replace(tmp, os.path.join(out_dir, "CURRENT"))
+    # atomic generation publish through the storage seam (the hard-link
+    # merge above is filesystem-specific by design; on an Iceberg deployment
+    # the delta would instead append via overwritePartitions)
+    from .tableio import TableIO
+
+    TableIO(spark).publish(out_dir, version)
     metrics["version"] = version
     return metrics
 
