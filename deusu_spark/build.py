@@ -10,11 +10,16 @@ journal + idempotent per-stage reruns):
                  sidecar values (filter byte, host elements, domain rank,
                  backlinks — GenDb.dpr:343-426)
   stage scatter  explode (term, doc_id, flags) and hash-scatter into the 64
-                 reference term buckets crc32(term)&63 (GenDb.dpr:349)
-  stage segments per bucket group: per-term df (lexicon), then per-term
-                 grouping with doc-range *salting* for hot terms, delta-gap +
-                 varbyte encoding into bounded posting segments, fancy
-                 accelerator lists (GenDb.dpr:975-1109), block-max metadata
+                 reference term buckets crc32(term)&63 (GenDb.dpr:349). The
+                 shuffle key is (bucket, term-group, doc-range salt) and each
+                 output file holds whole (term-group, salt) groups sorted by
+                 (term, doc_id) — so this ONE shuffle does all the data
+                 movement the segment encoder needs
+  stage segments per bucket group: per-term df (lexicon), then shuffle-free
+                 stream-encode of the scatter files (runs are already
+                 term-contiguous and doc-sorted): delta-gap + varbyte
+                 encoding into bounded posting segments, fancy accelerator
+                 lists (GenDb.dpr:975-1109), block-max metadata
   stage publish  meta.json + CURRENT pointer → atomic index swap
                  (the ready2.dat dual-path swap, GenDb.dpr:1354-1357)
 
@@ -139,7 +144,9 @@ def static_score_col(max_bl: int, w: dict[str, int] | None = None):
     into the Python encoders.
 
     Parity note: all terms except the backlink value are integer-valued and
-    exact in float64; JVM Math.log vs libm log may differ by ~1 ulp, so
+    exact in float64; JVM Math.log vs libm log may differ by ~1 ulp, and the
+    scatter stream narrows the value to float32 (it only feeds the
+    max_static pruning bounds; relative error ~6e-8 on values ≤ 65535), so
     block-max consumers must treat bounds with a ±1 score-point margin
     (query.py does)."""
     w = w or DEFAULT_WEIGHTS
@@ -370,15 +377,31 @@ def tokenized_docs(docs: DataFrame, index_gate: str | None = None) -> DataFrame:
 
 def _encode_partition_fn(
     seg_size: int,
+    n_salts: int,
+    n_docs: int,
     hot_terms_bc=None,
     rank_lo: int = FANCY_RANK_LO,
     rank_hi: int = FANCY_RANK_HI,
 ):
-    """mapInPandas factory: encode a whole shuffle partition of posting rows
-    — pre-sorted by (term, doc_id) via sortWithinPartitions — into bounded
+    """mapInPandas factory: encode a task's posting rows into bounded
     self-contained varbyte segments + block-max metadata. One Arrow stream
     per task instead of one applyInPandas call per term: per-group overhead
     disappears and a hot term's salted sub-ranges encode in parallel tasks.
+
+    Input contract (what the scatter layout guarantees): the stream is a
+    concatenation of runs, each run = one (term, salt) group's rows sorted
+    ascending by doc_id, where salt = trunc(doc_id * n_salts / n_docs)
+    assigns disjoint contiguous doc ranges. No global order is assumed —
+    file packing/splitting may deliver runs in any order — and two salt
+    groups of one term may sit adjacent in one stream (shuffle-key hash
+    collision) while the doc range BETWEEN them lives in another task, so a
+    run boundary is term change OR salt change OR a non-ascending doc_id
+    (the latter covers parquet row-group splits of one run). The salt is
+    recomputed here with the same float64 arithmetic as the scatter's JVM
+    partition expression, so boundaries match the grouping exactly; this
+    keeps every emitted segment internally sorted and all segment
+    doc-ranges globally disjoint per (term, kind) — LocalSearcher and the
+    block-max pruning rely on that.
 
     When ``hot_terms_bc`` (a broadcast set) is given, terms in it also emit
     rank-window-filtered 'fancy' accelerator segments (GenDb.dpr:1053-1071)
@@ -403,23 +426,23 @@ def _encode_partition_fn(
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         hot = hot_terms_bc.value if hot_terms_bc is not None else frozenset()
-        # rows arrive sorted by (term, doc_id); salt is monotone in doc_id
-        # within a term, so (term, salt) runs are already contiguous
         terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         flags = pdf["flags"].to_numpy(np.int64)
         statics = pdf["static"].to_numpy(np.float64)  # precomputed JVM-side
         buckets = pdf["bucket"].to_numpy()
         ranks = pdf["rank"].to_numpy(np.int64) if "rank" in pdf else None
-        # run boundary = term OR salt change: two salt ranges of one term may
-        # share a partition (key-hash collision) while the range between them
-        # lives elsewhere — splitting on salt keeps segment doc-ranges
-        # disjoint across the whole index (LocalSearcher and the block-max
-        # pruning rely on that)
+        # run boundary = term change OR salt change OR non-ascending doc_id
+        # (see the input contract above)
+        salts = np.trunc(docs * n_salts / n_docs).astype(np.int64)
         starts = np.flatnonzero(
             np.concatenate(
-                ([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
+                (
+                    [True],
+                    (terms[1:] != terms[:-1])
+                    | (salts[1:] != salts[:-1])
+                    | (docs[1:] <= docs[:-1]),
+                )
             )
         )
         rows = []
@@ -485,7 +508,6 @@ def build_index(
     n_salts: int = 8,
     bucket_groups: int = 4,
     doc_id_offset: int = 0,
-    scatter_files_per_bucket: int = 1,
     io=None,
     ignore_hosts=None,
     drop_quote_urls: bool = False,
@@ -610,6 +632,26 @@ def build_index(
         lin.record("docmeta", wall_s=round(time.time() - t0, 3))
 
     # ---- stage scatter (GenDb G2: 64-way term scatter) ---------------------
+    # Shuffle key (bucket, tgrp, salt): tgrp spreads a bucket's vocabulary
+    # over tasks, salt = contiguous doc-range splits hot terms WITHOUT
+    # needing their df (no join against the postings stream). Because every
+    # (bucket, tgrp, salt) group lands wholly inside one shuffle partition
+    # and files are sorted by (term, doc_id), the scatter output already
+    # satisfies the segment encoder's input contract — the segments stage
+    # needs NO further shuffle or sort. The keys are hash expressions only
+    # (never materialized as columns).
+    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # encoder-group count (64 buckets × n_tgrp × n_salts) must comfortably
+    # exceed the task count for load balance — grow the vocabulary fan-out
+    # with the cluster (stays 8 below ~1024 cores, so local runs and tests
+    # are unaffected)
+    n_tgrp = max(8, nparts * 4 // (N_TERM_BUCKETS * max(n_salts, 1)) + 1)
+    # a universal term's per-salt run is ~n_docs/n_salts postings; grow the
+    # salt count so no single encode task ever holds more than ~256 segments
+    # of one term (no-op below ~8M docs with the default seg_size). Recorded
+    # in lineage so the encoder always splits on exactly the grouping the
+    # scatter used, even on resume with changed args.
+    eff_salts = max(n_salts, n_docs // (seg_size * 256) + 1)
     if "scatter" not in lin.done:
         t0 = time.time()
         sd = _with_doc_id(
@@ -626,8 +668,8 @@ def build_index(
             )
             .select(
                 F.col("p.terms").alias("term"),
-                # tinyint: flags are 3 bits — narrower rows through the scatter
-                # write and the segments shuffle (the biggest data in the build)
+                # tinyint: flags are 3 bits — narrower rows through the
+                # scatter shuffle and files (the biggest data in the build)
                 F.col("p.tflags").cast("tinyint").alias("flags"),
                 "doc_id",
                 "fd",
@@ -642,120 +684,159 @@ def build_index(
                 ),
             )
             # fold the four sidecar columns into the single pre-IDF static
-            # score while still JVM-side (whole-stage codegen); only `rank`
-            # survives for the fancy rank-window filter
-            .withColumn("static", static_score_col(int(max_bl)))
+            # score while still JVM-side (whole-stage codegen); float32 —
+            # it only feeds the max_static pruning bounds (±1 margin)
+            .withColumn("static", static_score_col(int(max_bl)).cast("float"))
             .select("bucket", "term", "doc_id", "flags", "static", "rank")
         )
         (
             postings.repartition(
-                N_TERM_BUCKETS * scatter_files_per_bucket,
-                "bucket",
-                F.pmod(F.col("doc_id"), F.lit(scatter_files_per_bucket)),
+                nparts,
+                F.col("bucket"),
+                F.pmod(F.hash("term"), F.lit(n_tgrp)),
+                (F.col("doc_id") * eff_salts / F.lit(max(n_docs, 1))).cast("int"),
             )
-            # term-sorted scatter files: the fancy job's hot-term probe then
-            # prunes row groups via parquet min/max stats instead of scanning
-            # the whole posting stream
-            .sortWithinPartitions("term", "doc_id")
+            # (term, doc_id)-sorted files: each (tgrp, salt) group is one
+            # set of contiguous sorted runs, and parquet row-group min/max
+            # stats still prune term probes inside each bucket file.
+            # bucket FIRST: partitionBy(bucket) writes require an ordering
+            # on the partition column — leading with it makes this sort
+            # satisfy that requirement, otherwise V1Writes inserts its own
+            # (unstable) sort and scrambles the (term, doc_id) order the
+            # segment encoder depends on
+            .sortWithinPartitions("bucket", "term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(stage_postings)
         )
-        lin.record("scatter", wall_s=round(time.time() - t0, 3))
+        lin.record(
+            "scatter",
+            layout="grouped_v2",
+            eff_salts=int(eff_salts),
+            wall_s=round(time.time() - t0, 3),
+        )
+    scatter_grouped = lin.done["scatter"].get("layout") == "grouped_v2"
+    eff_salts = int(lin.done["scatter"].get("eff_salts", eff_salts))
 
     # ---- stage segments, per bucket group ----------------------------------
-    # Shuffle key (bucket, tgrp, salt): tgrp spreads a bucket's vocabulary
-    # over tasks, salt = contiguous doc-range splits hot terms WITHOUT
-    # needing their df (no join against the postings stream). A term's rows
-    # land term-contiguous after sortWithinPartitions(term, doc_id), so one
-    # streaming pass per task cuts exact segments — full AND fancy kinds in
-    # the same pass (hot-term set broadcast from the lexicon job).
+    # One streaming pass per task cuts exact segments — full AND fancy kinds
+    # in the same pass (hot-term set broadcast from the lexicon job). The
+    # scatter files already group and sort the stream, so this stage is
+    # shuffle-free: scan → encode → write. (A resumed pre-v2 scatter layout
+    # gets the legacy re-shuffle + sort instead.)
     groups = [
         list(range(g, N_TERM_BUCKETS, bucket_groups)) for g in range(bucket_groups)
     ]
-    n_tgrp = 8
-    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
-
-    def _salted(df_):
-        # narrow shuffle-key columns (salt < n_salts, tgrp < 8)
-        return df_.withColumn(
-            "salt", (F.col("doc_id") * n_salts / F.lit(n_docs)).cast("smallint")
-        ).withColumn(
-            "tgrp", F.pmod(F.hash("term"), F.lit(n_tgrp)).cast("tinyint")
-        )
-
-    for gi, buckets in enumerate(groups):
-        step = f"segments_g{gi}"
-        if step in lin.done:
-            continue
-        t0 = time.time()
-        pg = spark.read.parquet(stage_postings).where(F.col("bucket").isin(buckets))
-        seg_tmp = postings_dir + f"_tmp_g{gi}"
-        lex_tmp = lexicon_dir + f"_tmp_g{gi}"
-
-        # lexicon first: per-term df is a map-side-combined hash aggregate
-        # over the scatter files (output rows ∝ vocabulary, not postings).
-        # persist → hot-term collect and the write share ONE aggregation,
-        # and nothing re-reads the tmp dir (which is schema-less when a
-        # group happens to hold zero postings — gated/tiny corpora).
-        lex = pg.groupBy("bucket", "term").agg(F.count("*").alias("df")).persist()
-        # hot terms (df > threshold) get fancy accelerator lists
-        # (GenDb.dpr:1053-1071). Hot terms are few BY DEFINITION (each holds
-        # > threshold postings, so there are < n_postings/threshold of them)
-        # — a broadcast set keeps the whole segments stage to ONE shuffle:
-        # the encode workers emit full + rank-filtered fancy segments from
-        # the same sorted stream.
-        hot_terms = frozenset(
-            r["term"]
-            for r in lex.where(F.col("df") > fancy_threshold)
-            .select("term")
-            .collect()
-        )
-        if io.backend == "parquet":
-            # per-group tmp dir + idempotent bucket-dir move (a crashed group
-            # rerun overwrites its tmp, never the published dir)
-            io.write(
-                lex.sortWithinPartitions("term"), lex_tmp, partition_by=["bucket"]
+    # encode parallelism is set by file packing/splitting of the scatter
+    # read — size read partitions so each bucket group fans out to ~nparts
+    # tasks (row-group splits of one file are safe: the encoder's boundary
+    # rule handles them). Restored after the loop.
+    scatter_bytes = 0
+    if os.path.isdir(stage_postings):
+        for r, _, fs in os.walk(stage_postings):
+            scatter_bytes += sum(
+                os.path.getsize(os.path.join(r, f))
+                for f in fs
+                if f.endswith(".parquet")
             )
+    read_part_bytes = max(
+        4 << 20, scatter_bytes // max(nparts * len(groups), 1)
+    )
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+
+    def _legacy_regroup(df_):
+        return df_.repartition(
+            nparts,
+            F.col("bucket"),
+            F.pmod(F.hash("term"), F.lit(n_tgrp)),
+            (F.col("doc_id") * eff_salts / F.lit(max(n_docs, 1))).cast("int"),
+        ).sortWithinPartitions("term", "doc_id")
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(read_part_bytes))
+    try:
+        for gi, buckets in enumerate(groups):
+            step = f"segments_g{gi}"
+            if step in lin.done:
+                continue
+            t0 = time.time()
+            pg = spark.read.parquet(stage_postings).where(
+                F.col("bucket").isin(buckets)
+            )
+            seg_tmp = postings_dir + f"_tmp_g{gi}"
+            lex_tmp = lexicon_dir + f"_tmp_g{gi}"
+
+            # lexicon first: per-term df is a map-side-combined hash
+            # aggregate over the scatter files (output rows ∝ vocabulary,
+            # not postings). persist → hot-term collect and the write share
+            # ONE aggregation, and nothing re-reads the tmp dir (which is
+            # schema-less when a group happens to hold zero postings —
+            # gated/tiny corpora).
+            lex = (
+                pg.groupBy("bucket", "term").agg(F.count("*").alias("df")).persist()
+            )
+            # hot terms (df > threshold) get fancy accelerator lists
+            # (GenDb.dpr:1053-1071). Hot terms are few BY DEFINITION (each
+            # holds > threshold postings, so there are < n_postings/threshold
+            # of them) — a broadcast set lets the encode workers emit full +
+            # rank-filtered fancy segments from the same sorted stream.
+            hot_terms = frozenset(
+                r["term"]
+                for r in lex.where(F.col("df") > fancy_threshold)
+                .select("term")
+                .collect()
+            )
+            if io.backend == "parquet":
+                # per-group tmp dir + idempotent bucket-dir move (a crashed
+                # group rerun overwrites its tmp, never the published dir)
+                io.write(
+                    lex.sortWithinPartitions("bucket", "term"),
+                    lex_tmp,
+                    partition_by=["bucket"],
+                )
+            else:
+                # iceberg: each group owns disjoint buckets — dynamic
+                # partition overwrite makes the group write idempotent
+                # under resume
+                io.write(
+                    lex.sortWithinPartitions("bucket", "term"),
+                    lexicon_dir,
+                    mode="overwrite_partitions",
+                    bucket_transform=(N_TERM_BUCKETS, "term"),
+                )
+            lex.unpersist()
+            hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
+            encode_fn = _encode_partition_fn(
+                seg_size, eff_salts, max(n_docs, 1), hot_terms_bc=hot_bc
+            )
+
+            # one shuffle-free pass: scan the pre-grouped scatter files and
+            # stream-encode. Output sorted within files by (term, first_doc):
+            # parquet row-group min/max stats then prune term probes inside
+            # each bucket file
+            stream = pg if scatter_grouped else _legacy_regroup(pg)
+            encoded = stream.mapInPandas(
+                encode_fn, schema=SEGMENTS_SCHEMA
+            ).sortWithinPartitions("bucket", "term", "first_doc")
+            if io.backend == "parquet":
+                io.write(encoded, seg_tmp, partition_by=["bucket"])
+                # idempotent move of finished bucket dirs into place
+                _move_bucket_dirs(seg_tmp, postings_dir)
+                _move_bucket_dirs(lex_tmp, lexicon_dir)
+            else:
+                io.write(
+                    encoded,
+                    postings_dir,
+                    mode="overwrite_partitions",
+                    bucket_transform=(N_TERM_BUCKETS, "term"),
+                )
+            if hot_bc is not None:
+                hot_bc.unpersist()
+            lin.record(step, buckets=buckets, wall_s=round(time.time() - t0, 3))
+    finally:
+        if prev_mpb is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         else:
-            # iceberg: each group owns disjoint buckets — dynamic partition
-            # overwrite makes the group write idempotent under resume
-            io.write(
-                lex.sortWithinPartitions("term"),
-                lexicon_dir,
-                mode="overwrite_partitions",
-                bucket_transform=(N_TERM_BUCKETS, "term"),
-            )
-        lex.unpersist()
-        hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
-        encode_fn = _encode_partition_fn(seg_size, hot_terms_bc=hot_bc)
-
-        # one full-data pass: shuffle + in-partition sort + stream-encode.
-        # sort within files by (term, first_doc): parquet row-group min/max
-        # stats then prune term probes inside each bucket file
-        stream = (
-            _salted(pg)
-            .repartition(nparts, "bucket", "tgrp", "salt")
-            .sortWithinPartitions("term", "doc_id")
-        )
-        encoded = stream.mapInPandas(
-            encode_fn, schema=SEGMENTS_SCHEMA
-        ).sortWithinPartitions("term", "first_doc")
-        if io.backend == "parquet":
-            io.write(encoded, seg_tmp, partition_by=["bucket"])
-            # idempotent move of finished bucket dirs into place
-            _move_bucket_dirs(seg_tmp, postings_dir)
-            _move_bucket_dirs(lex_tmp, lexicon_dir)
-        else:
-            io.write(
-                encoded,
-                postings_dir,
-                mode="overwrite_partitions",
-                bucket_transform=(N_TERM_BUCKETS, "term"),
-            )
-        if hot_bc is not None:
-            hot_bc.unpersist()
-        lin.record(step, buckets=buckets, wall_s=round(time.time() - t0, 3))
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     # ---- publish ------------------------------------------------------------
     if "publish" not in lin.done:
@@ -785,7 +866,7 @@ def build_index(
             "n_segments": int(seg_stats["segments"]),
             "fancy_threshold": fancy_threshold,
             "seg_size": seg_size,
-            "n_salts": n_salts,
+            "n_salts": int(eff_salts),
             "n_buckets": N_TERM_BUCKETS,
         }
         with open(os.path.join(vdir, "meta.json"), "w") as f:

@@ -29,6 +29,7 @@ def search_render(
     ranking_weights: dict[str, float] | None = None,
     ranking_dir: str | None = None,
     language: str = "en",
+    highlight: bool = False,
 ) -> list[ResultRow]:
     """Full query lifecycle; returns the rendered page of ResultRows.
 
@@ -49,4 +50,10 @@ def search_render(
         language=language,
     )
     results = post_process(results, query)
-    return results[startwith - 1 : startwith - 1 + showcount]
+    page = results[startwith - 1 : startwith - 1 + showcount]
+    if highlight:
+        # R6 (query.dpr:98,226-243): highlight only the rendered page
+        from .highlight import highlight_results
+
+        page = highlight_results(page, query)
+    return page

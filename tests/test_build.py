@@ -136,7 +136,10 @@ def test_block_max_is_true_upper_bound(spark, tiny_index_dir, oracle_index):
             flags.astype(np.int64), fd[docs], he[docs], rank[docs], bl[docs], max_bl
         )
         # JVM-computed max_static may differ from numpy by ~1 ulp of log()
-        assert s.max() <= row.max_static + abs(row.max_static) * 1e-9 + 1e-9
+        # max_static travels the scatter as float32 (build.py static narrows
+        # it; bounds carry a ±1 margin in the engine) — allow float32
+        # round-to-nearest plus the ~1-ulp JVM-vs-numpy log() drift
+        assert s.max() <= row.max_static + abs(row.max_static) * 3e-7 + 1e-9
 
 
 def test_per_turn_text_equality(spark, tiny_corpus):
