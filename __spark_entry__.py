@@ -46,6 +46,25 @@ _SHINGLES = (
     f"      FROM ({_ARR}) WHERE len(a) >= 3 AND doc_id < {{maxdoc}})"
 )
 
+# MinHash-LSH candidate pairs as reusable CTEs (minhash_band_candidates and
+# the dedup_clusters connected-components oracle share them verbatim)
+_MINHASH_PAIR_CTES = f"""sh AS ({_SHINGLES.format(maxdoc=300)}),
+                 sig AS (SELECT doc_id,
+                                min(md5('s0:' || sh)) AS h0,
+                                min(md5('s1:' || sh)) AS h1,
+                                min(md5('s2:' || sh)) AS h2,
+                                min(md5('s3:' || sh)) AS h3
+                         FROM sh GROUP BY doc_id),
+                 bands AS (
+                     SELECT doc_id, 'b0:' || h0 AS band FROM sig
+                     UNION ALL SELECT doc_id, 'b1:' || h1 FROM sig
+                     UNION ALL SELECT doc_id, 'b2:' || h2 FROM sig
+                     UNION ALL SELECT doc_id, 'b3:' || h3 FROM sig),
+                 pairs AS (
+                     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.doc_id < b.doc_id)"""
+
 
 def _simhash_sql() -> str:
     from deusu_spark.pipelines import (
@@ -329,22 +348,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "minhash_band_candidates": f"""
-            WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
-                 sig AS (SELECT doc_id,
-                                min(md5('s0:' || sh)) AS h0,
-                                min(md5('s1:' || sh)) AS h1,
-                                min(md5('s2:' || sh)) AS h2,
-                                min(md5('s3:' || sh)) AS h3
-                         FROM sh GROUP BY doc_id),
-                 bands AS (
-                     SELECT doc_id, 'b0:' || h0 AS band FROM sig
-                     UNION ALL SELECT doc_id, 'b1:' || h1 FROM sig
-                     UNION ALL SELECT doc_id, 'b2:' || h2 FROM sig
-                     UNION ALL SELECT doc_id, 'b3:' || h3 FROM sig)
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.doc_id < b.doc_id
+            WITH {_MINHASH_PAIR_CTES}
+            SELECT doc_a, doc_b FROM pairs
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_PAIR_CTES},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b, doc_a FROM pairs),
+                 reach(src, dst) AS (
+                     SELECT src, src FROM edges
+                     UNION
+                     SELECT r.src, e.dst
+                     FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         "token_stats": f"""
             SELECT doc_id,

@@ -70,6 +70,19 @@ def run_level(cores: int, n_convs: int) -> dict:
         bucket_groups=2,
     )
     build_s = time.time() - t0
+    # per-stage walls from the lineage journal (segments_g* folded into one
+    # row) — the 2-vs-8 efficiency diagnosis lives here
+    stages: dict[str, float] = {}
+    lp = metrics.get("lineage")
+    if lp and os.path.exists(lp):
+        with open(lp) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("status") == "done" and "wall_s" in rec:
+                    step = rec["step"]
+                    if step.startswith("segments_g"):
+                        step = "segments"
+                    stages[step] = round(stages.get(step, 0) + rec["wall_s"], 2)
 
     eng = SearchEngine(spark, idx_dir)
     t0 = time.time()
@@ -92,6 +105,7 @@ def run_level(cores: int, n_convs: int) -> dict:
         "dist_query_s": round(dist_s, 2),
         "dist_qps": round(4 / dist_s, 3),
         "serving_qps": round(len(QUERIES) / serve_s, 2),
+        "stages": stages,
     }
 
 
@@ -176,6 +190,22 @@ The JVM tokenize stage alone scales at ~1.0 efficiency (182.8s -> 43.8s,
 2 -> 8 cores); the residual is the Arrow/parquet encode/write path, which
 on a real multi-executor cluster scales with per-node memory bandwidth.
 """
+    if lo.get("stages") and hi.get("stages"):
+        md += (
+            "\n## Per-stage scaling (same build, walls from the min trial"
+            " per level)\n\n"
+            "| stage | local[%d] | local[%d] | speedup | efficiency |\n"
+            "|---|---|---|---|---|\n" % (levels[0], levels[-1])
+        )
+        for step in lo["stages"]:
+            b = hi["stages"].get(step)
+            if not b:
+                continue
+            a = lo["stages"][step]
+            sp = a / b
+            md += "| %s | %.1f s | %.1f s | %.2fx | %.2f |\n" % (
+                step, a, b, sp, sp / (levels[-1] / levels[0])
+            )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 

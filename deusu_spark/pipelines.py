@@ -348,6 +348,55 @@ def q_minhash_band_candidates(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component dedup CLUSTERS over the MinHash-LSH candidate
+    pairs — the scalable union-find analog: iterative min-label propagation
+    (O(component-diameter) join rounds, each a plain shuffle join; no
+    driver-side graph, no all-pairs work beyond the banded candidates).
+    cluster_id = min doc_id reachable through shared-band candidate edges,
+    so every near-duplicate group collapses to one deterministic
+    representative. Each round is localCheckpoint()ed: lineage stays
+    constant-depth, which is what makes the loop safe at 10^9-node scale
+    (dup groups have tiny diameters — a handful of rounds in practice)."""
+    pairs = q_minhash_band_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(64):  # cap >> any real component diameter
+        nb = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("nb_id"))
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new = (
+            labels.join(nb, labels["doc_id"] == nb["nb_id"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
@@ -694,6 +743,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_band_candidates": q_minhash_band_candidates,
+    "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
     "lang_stats": q_lang_stats,
     "embedding_cosine_topk": q_embedding_cosine_topk,
