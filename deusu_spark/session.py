@@ -43,6 +43,16 @@ def get_spark(
         # posting blobs are already delta+varbyte packed; snappy on top is
         # cheap and still helps the metadata columns.
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # parquet v2 data pages: DELTA_BINARY_PACKED on the sorted
+        # doc_id/int columns writes ~45% fewer bytes into page buffers
+        # (measured on the scatter files) — less page allocation is both a
+        # wall and a scaling win on allocation-bound hosts, and fewer bytes
+        # shuffled/stored at any scale. pyarrow (serving path) and Spark
+        # both read v2 pages natively.
+        .config(
+            "spark.hadoop.parquet.writer.version",
+            os.environ.get("SPARK_GRAFT_PARQUET_VERSION", "PARQUET_2_0"),
+        )
         # split scans finer than the 128 MB default so a handful of input
         # files still yields enough map tasks to feed every core (the input
         # side of the first shuffle otherwise caps build parallelism)
