@@ -383,7 +383,7 @@ def _encode_partition_fn(
     rank_lo: int = FANCY_RANK_LO,
     rank_hi: int = FANCY_RANK_HI,
 ):
-    """mapInPandas factory: encode a task's posting rows into bounded
+    """mapInArrow factory: encode a task's posting rows into bounded
     self-contained varbyte segments + block-max metadata. One Arrow stream
     per task instead of one applyInPandas call per term: per-group overhead
     disappears and a hot term's salted sub-ranges encode in parallel tasks.
@@ -421,59 +421,79 @@ def _encode_partition_fn(
     ]
 
     def encode_partition(iterator):
-        pdfs = [p for p in iterator]
-        if not pdfs:
+        # mapInArrow, not mapInPandas: a pandas conversion would materialize
+        # every posting's term as a Python str object (tens of millions of
+        # allocations per task) — here the term column stays an Arrow
+        # buffer, boundary compares run in pyarrow.compute, and only ONE
+        # Python string materializes per run
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = [b for b in iterator]
+        if not batches:
             return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
         hot = hot_terms_bc.value if hot_terms_bc is not None else frozenset()
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        flags = pdf["flags"].to_numpy(np.int64)
-        statics = pdf["static"].to_numpy(np.float64)  # precomputed JVM-side
-        buckets = pdf["bucket"].to_numpy()
-        ranks = pdf["rank"].to_numpy(np.int64) if "rank" in pdf else None
+        terms = tbl.column("term").chunk(0)
+        docs = tbl.column("doc_id").chunk(0).to_numpy()
+        flags = tbl.column("flags").chunk(0).to_numpy().astype(np.int64)
+        statics = tbl.column("static").chunk(0).to_numpy().astype(np.float64)
+        buckets = tbl.column("bucket").chunk(0).to_numpy()
+        ranks = (
+            tbl.column("rank").chunk(0).to_numpy().astype(np.int64)
+            if "rank" in tbl.column_names
+            else None
+        )
         # run boundary = term change OR salt change OR non-ascending doc_id
         # (see the input contract above)
         salts = np.trunc(docs * n_salts / n_docs).astype(np.int64)
-        starts = np.flatnonzero(
-            np.concatenate(
-                (
-                    [True],
-                    (terms[1:] != terms[:-1])
-                    | (salts[1:] != salts[:-1])
-                    | (docs[1:] <= docs[:-1]),
-                )
+        bnd = (docs[1:] <= docs[:-1]) | (salts[1:] != salts[:-1])
+        if n > 1:
+            bnd |= pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
             )
-        )
-        rows = []
+        starts = np.flatnonzero(np.concatenate(([True], bnd)))
+        rows = {c: [] for c in cols}
 
-        def emit(kind, s, d, f, st):
+        def emit(term, kind, s, d, f, st):
             for lo in range(0, len(d), seg_size):
                 hi = min(lo + seg_size, len(d))
-                rows.append(
-                    (
-                        int(buckets[s]),
-                        terms[s],
-                        kind,
-                        int(d[lo]),
-                        int(d[hi - 1]),
-                        hi - lo,
-                        float(st[lo:hi].max()),
-                        codec.encode(d[lo:hi], f[lo:hi], prev_doc=0),
-                    )
-                )
+                rows["bucket"].append(int(buckets[s]))
+                rows["term"].append(term)
+                rows["kind"].append(kind)
+                rows["first_doc"].append(int(d[lo]))
+                rows["last_doc"].append(int(d[hi - 1]))
+                rows["n"].append(hi - lo)
+                rows["max_static"].append(float(st[lo:hi].max()))
+                rows["blob"].append(codec.encode(d[lo:hi], f[lo:hi], prev_doc=0))
 
         for bi, s in enumerate(starts):
-            e = starts[bi + 1] if bi + 1 < len(starts) else len(terms)
-            emit("full", s, docs[s:e], flags[s:e], statics[s:e])
-            if ranks is not None and terms[s] in hot:
+            e = starts[bi + 1] if bi + 1 < len(starts) else n
+            term = terms[s].as_py()
+            emit(term, "full", s, docs[s:e], flags[s:e], statics[s:e])
+            if ranks is not None and term in hot:
                 m = (ranks[s:e] > rank_lo) & (ranks[s:e] < rank_hi)
                 if m.any():
                     emit(
-                        "fancy", s,
+                        term, "fancy", s,
                         docs[s:e][m], flags[s:e][m], statics[s:e][m],
                     )
-        yield pd.DataFrame(rows, columns=cols)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(rows["bucket"], pa.int32()),
+                pa.array(rows["term"], pa.string()),
+                pa.array(rows["kind"], pa.string()),
+                pa.array(rows["first_doc"], pa.int64()),
+                pa.array(rows["last_doc"], pa.int64()),
+                pa.array(rows["n"], pa.int32()),
+                pa.array(rows["max_static"], pa.float64()),
+                pa.array(rows["blob"], pa.binary()),
+            ],
+            names=cols,
+        )
 
     return encode_partition
 
@@ -814,7 +834,7 @@ def build_index(
             # parquet row-group min/max stats then prune term probes inside
             # each bucket file
             stream = pg if scatter_grouped else _legacy_regroup(pg)
-            encoded = stream.mapInPandas(
+            encoded = stream.mapInArrow(
                 encode_fn, schema=SEGMENTS_SCHEMA
             ).sortWithinPartitions("bucket", "term", "first_doc")
             if io.backend == "parquet":
