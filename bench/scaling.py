@@ -206,7 +206,10 @@ on a real multi-executor cluster scales with per-node memory bandwidth.
             md += "| %s | %.1f s | %.1f s | %.2fx | %.2f |\n" % (
                 step, a, b, sp, sp / (levels[-1] / levels[0])
             )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # single-run auto report goes to its own file: BENCH.md is the curated
+    # multi-round analysis (min-per-level over interleaved rounds) and a
+    # single round must never silently replace it (host noise is ±2-3×)
+    with open(os.path.join(REPO, "bench", "BENCH_AUTO.md"), "w") as f:
         f.write(md)
 
 
