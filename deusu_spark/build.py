@@ -421,11 +421,15 @@ def _encode_partition_fn(
     ]
 
     def encode_partition(iterator):
-        # mapInArrow, not mapInPandas: a pandas conversion would materialize
-        # every posting's term as a Python str object (tens of millions of
-        # allocations per task) — here the term column stays an Arrow
-        # buffer, boundary compares run in pyarrow.compute, and only ONE
-        # Python string materializes per run
+        # Fully vectorized: ZERO per-run Python. Run/segment boundaries,
+        # varbyte encoding (codec.encode_segments), and per-segment metadata
+        # (reduceat max, fancy-indexed first/last docs) are each ONE numpy
+        # pass over the whole task; the term column never leaves Arrow
+        # (pc.take at segment starts) and the blob column is built
+        # zero-copy from the concatenated byte stream + offsets. This is
+        # what cleared the segments-stage scaling residual: the old
+        # per-run emit paid numpy fixed cost + list appends per segment,
+        # which dominated because most of the vocabulary has tiny df.
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -450,50 +454,92 @@ def _encode_partition_fn(
         # run boundary = term change OR salt change OR non-ascending doc_id
         # (see the input contract above)
         salts = np.trunc(docs * n_salts / n_docs).astype(np.int64)
-        bnd = (docs[1:] <= docs[:-1]) | (salts[1:] != salts[:-1])
+        start_mask = np.empty(n, dtype=bool)
+        start_mask[0] = True
+        start_mask[1:] = (docs[1:] <= docs[:-1]) | (salts[1:] != salts[:-1])
         if n > 1:
-            bnd |= pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-        starts = np.flatnonzero(np.concatenate(([True], bnd)))
-        rows = {c: [] for c in cols}
+            start_mask[1:] |= pc.not_equal(
+                terms.slice(1), terms.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        run_starts = np.flatnonzero(start_mask)
+        run_id = np.cumsum(start_mask) - 1
 
-        def emit(term, kind, s, d, f, st):
-            for lo in range(0, len(d), seg_size):
-                hi = min(lo + seg_size, len(d))
-                rows["bucket"].append(int(buckets[s]))
-                rows["term"].append(term)
-                rows["kind"].append(kind)
-                rows["first_doc"].append(int(d[lo]))
-                rows["last_doc"].append(int(d[hi - 1]))
-                rows["n"].append(hi - lo)
-                rows["max_static"].append(float(st[lo:hi].max()))
-                rows["blob"].append(codec.encode(d[lo:hi], f[lo:hi], prev_doc=0))
+        def emit_batches(d, f, st, bk, rid, abs_idx, kind):
+            """Segment concatenated ascending runs and emit RecordBatches.
 
-        for bi, s in enumerate(starts):
-            e = starts[bi + 1] if bi + 1 < len(starts) else n
-            term = terms[s].as_py()
-            emit(term, "full", s, docs[s:e], flags[s:e], statics[s:e])
-            if ranks is not None and term in hot:
-                m = (ranks[s:e] > rank_lo) & (ranks[s:e] < rank_hi)
-                if m.any():
-                    emit(
-                        term, "fancy", s,
-                        docs[s:e][m], flags[s:e][m], statics[s:e][m],
-                    )
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(rows["bucket"], pa.int32()),
-                pa.array(rows["term"], pa.string()),
-                pa.array(rows["kind"], pa.string()),
-                pa.array(rows["first_doc"], pa.int64()),
-                pa.array(rows["last_doc"], pa.int64()),
-                pa.array(rows["n"], pa.int32()),
-                pa.array(rows["max_static"], pa.float64()),
-                pa.array(rows["blob"], pa.binary()),
-            ],
-            names=cols,
+            ``rid`` identifies each posting's run; ``abs_idx`` maps posting
+            positions back to the task arrays (None for the full pass) so
+            the Arrow term column can be gathered at segment starts without
+            materializing Python strings. Batches are split so binary
+            offsets stay int32-safe (pa.binary) at any task size.
+            """
+            m = len(d)
+            rmask = np.empty(m, dtype=bool)
+            rmask[0] = True
+            rmask[1:] = rid[1:] != rid[:-1]
+            rstarts = np.flatnonzero(rmask)
+            rix = np.cumsum(rmask) - 1
+            pos = np.arange(m, dtype=np.int64) - rstarts[rix]
+            seg_starts = np.flatnonzero(pos % seg_size == 0)
+            n_segs = len(seg_starts)
+            seg_ends = np.empty(n_segs, dtype=np.int64)
+            seg_ends[:-1] = seg_starts[1:]
+            seg_ends[-1] = m
+            boffs, data = codec.encode_segments(d, f, seg_starts)
+            seg_max = np.maximum.reduceat(st, seg_starts)
+            a = 0
+            while a < n_segs:
+                # keep each batch's blob bytes < 512 MiB (int32 offsets)
+                b = int(np.searchsorted(boffs, boffs[a] + (1 << 29), "right")) - 1
+                b = min(max(b, a + 1), n_segs)
+                ss = seg_starts[a:b]
+                offs32 = (boffs[a : b + 1] - boffs[a]).astype(np.int32)
+                blob_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    b - a,
+                    [
+                        None,
+                        pa.py_buffer(offs32),
+                        pa.py_buffer(data[boffs[a] : boffs[b]]),
+                    ],
+                )
+                take_ix = ss if abs_idx is None else abs_idx[ss]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(bk[ss].astype(np.int32, copy=False)),
+                        pc.take(terms, pa.array(take_ix)),
+                        pa.repeat(pa.scalar(kind), b - a),
+                        pa.array(d[ss]),
+                        pa.array(d[seg_ends[a:b] - 1]),
+                        pa.array((seg_ends[a:b] - ss).astype(np.int32)),
+                        pa.array(seg_max[a:b]),
+                        blob_arr,
+                    ],
+                    names=cols,
+                )
+                a = b
+
+        yield from emit_batches(
+            docs, flags, statics, buckets, run_id, None, "full"
         )
+        if ranks is not None and hot:
+            run_hot = pc.is_in(
+                pc.take(terms, pa.array(run_starts)),
+                options=pc.SetLookupOptions(value_set=pa.array(sorted(hot))),
+            ).to_numpy(zero_copy_only=False)
+            fidx = np.flatnonzero(
+                run_hot[run_id] & (ranks > rank_lo) & (ranks < rank_hi)
+            )
+            if fidx.size:
+                yield from emit_batches(
+                    docs[fidx],
+                    flags[fidx],
+                    statics[fidx],
+                    buckets[fidx],
+                    run_id[fidx],
+                    fidx,
+                    "fancy",
+                )
 
     return encode_partition
 

@@ -73,6 +73,75 @@ def encode(doc_ids: np.ndarray, flags: np.ndarray, prev_doc: int = 0) -> bytes:
     return out.tobytes()
 
 
+def encode_segments(
+    doc_ids: np.ndarray, flags: np.ndarray, seg_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode MANY segments in one vectorized pass.
+
+    ``seg_starts`` (sorted int64, ``seg_starts[0] == 0``) marks where each
+    segment begins; segment *i* covers ``[seg_starts[i], seg_starts[i+1])``
+    (the last runs to the end). Every segment is encoded with ``prev_doc=0``,
+    byte-identical to calling :func:`encode` on each slice — the per-call
+    numpy fixed cost (which dominates when most terms have tiny df) is paid
+    once for the whole task instead of once per segment.
+
+    Returns ``(seg_byte_offsets, out)``: ``out`` is the concatenated uint8
+    byte stream and ``seg_byte_offsets`` (len ``n_segs + 1``) delimits each
+    segment's blob, ready to view zero-copy as an Arrow binary column.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.uint8)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    flags = np.asarray(flags, dtype=np.int64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = 0
+    prev[1:] = doc_ids[:-1]
+    prev[seg_starts] = 0  # each segment is self-contained (prev_doc=0)
+    gaps = doc_ids - prev
+    interior = np.ones(n, dtype=bool)
+    interior[seg_starts] = False
+    if (gaps[interior] <= 0).any() or (gaps[seg_starts] < 0).any():
+        raise ValueError("doc_ids must be strictly ascending within a segment")
+
+    first = (flags & 7) | ((gaps & 15) << 3)
+    rest = gaps >> 4
+    first = np.where(rest > 0, first | 128, first)
+
+    nbytes = np.ones(n, dtype=np.int64)
+    r = rest.copy()
+    while True:
+        m = r > 0
+        if not m.any():
+            break
+        nbytes[m] += 1
+        r >>= 7
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    out[offsets[:-1]] = first.astype(np.uint8)
+
+    r = rest.copy()
+    k = 0
+    heads = offsets[:-1]
+    while True:
+        m = r > 0
+        if not m.any():
+            break
+        k += 1
+        chunk = r[m] & 127
+        more = (r[m] >> 7) > 0
+        out[heads[m] + k] = (chunk | np.where(more, 128, 0)).astype(np.uint8)
+        r >>= 7
+
+    seg_byte_offsets = np.empty(len(seg_starts) + 1, dtype=np.int64)
+    seg_byte_offsets[:-1] = offsets[seg_starts]
+    seg_byte_offsets[-1] = offsets[-1]
+    return seg_byte_offsets, out
+
+
 def decode(blob: bytes, prev_doc: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Decode a blob back to (doc_ids int64, flags int8).
 

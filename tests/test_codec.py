@@ -69,6 +69,52 @@ def test_non_ascending_raises():
         enc([(5, 0), (5, 0)])
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(1, 1 << 40), st.integers(0, 7)),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_encode_segments_byte_identity(seg_specs):
+    """The vectorized multi-segment encoder is byte-identical to calling
+    encode() per segment with prev_doc=0 (the build's encode contract)."""
+    docs_all, flags_all, seg_starts, pos = [], [], [], 0
+    for spec in seg_specs:
+        d, ds, fs = 0, [], []
+        for i, (gap, f) in enumerate(spec):
+            d += gap if i else gap - 1  # first doc may be 0
+            ds.append(d)
+            fs.append(f)
+        docs_all.append(np.array(ds, dtype=np.int64))
+        flags_all.append(np.array(fs, dtype=np.int64))
+        seg_starts.append(pos)
+        pos += len(ds)
+    docs = np.concatenate(docs_all)
+    flags = np.concatenate(flags_all)
+    boffs, out = codec.encode_segments(
+        docs, flags, np.array(seg_starts, dtype=np.int64)
+    )
+    buf = out.tobytes()
+    for i, (d, f) in enumerate(zip(docs_all, flags_all)):
+        assert buf[boffs[i] : boffs[i + 1]] == codec.encode(d, f, prev_doc=0)
+
+
+def test_encode_segments_rejects_non_ascending_within_segment():
+    docs = np.array([3, 7, 7], dtype=np.int64)
+    flags = np.zeros(3, dtype=np.int64)
+    with pytest.raises(ValueError):
+        codec.encode_segments(docs, flags, np.array([0], dtype=np.int64))
+    # same docs are fine when the repeat starts a new segment
+    boffs, out = codec.encode_segments(docs, flags, np.array([0, 2], dtype=np.int64))
+    assert len(boffs) == 3
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.lists(
