@@ -235,6 +235,203 @@ class SearchEngine:
         )
         return [(d, int(s)) for d, s in rows[:k]]
 
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        prune: bool = True,
+        mode: str = "deusu",
+    ) -> list[list[tuple[int, int]]]:
+        """Batch top-k: N queries amortized into ONE metadata job + one
+        union decode/score plan per pass (at most two passes: fancy, then
+        full for the queries the fancy accelerator under-fills — the same
+        two-pass rule as search(), searchservernew.dpr:1848-1855).
+
+        This is the offline/throughput shape a training-data pipeline needs
+        (millions of retrieval queries): per-query results are
+        rank-identical to search(), but fixed per-job Spark overhead is
+        paid once per batch instead of 2-3× per query. Terms shared by
+        several queries are scanned and decoded once; the per-query AND /
+        NOT / top-k all happen inside the single plan (groupBy (query,
+        doc) + window), so nothing funnels through the driver beyond the
+        k·N result rows."""
+        from .queryplan import host_of, parse_query
+
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        # ONE metadata prefetch for the union of all queries' terms
+        cands = set()
+        for q in queries:
+            for kw in parse_query(q):
+                key = kw[1:] if kw[:1] in "+-" else kw
+                if host_of(key) is None and ":" not in key:
+                    cands.add(key)
+        self._fetch_term_meta(sorted(cands))
+        compiled = [self.compile(q) for q in queries]  # warm: no more jobs
+        nt = 0
+        for terms in compiled:
+            for t in terms:
+                t.ti = nt
+                nt += 1
+
+        results: list[list[tuple[int, int]] | None] = [None] * len(queries)
+        prune = prune and w == DEFAULT_WEIGHTS and mode == "deusu"
+
+        if mode == "bm25":
+            batch = [(qi, t) for qi, t in enumerate(compiled) if t]
+            out = self._execute_many(
+                batch, {qi: k for qi, _ in batch}, w, False, "bm25", False
+            )
+            return [
+                [(d, round(s, 6)) for d, s in out.get(qi, [])[:k]] if t else []
+                for qi, t in enumerate(compiled)
+            ]
+
+        fancy_batch, full_batch = [], []
+        for qi, terms in enumerate(compiled):
+            if not terms:
+                results[qi] = []
+                continue
+            has_fancy = any(
+                t.host is None and t.df > self.meta["fancy_threshold"]
+                for t in terms
+            )
+            (fancy_batch if has_fancy else full_batch).append((qi, terms))
+
+        if fancy_batch:
+            fetch = max(k, MAX_RESULTS + 1)
+            out = self._execute_many(
+                fancy_batch,
+                {qi: fetch for qi, _ in fancy_batch},
+                w, True, mode, prune,
+            )
+            for qi, terms in fancy_batch:
+                rows = out.get(qi, [])
+                if len(rows) >= MAX_RESULTS:
+                    results[qi] = [(d, int(s)) for d, s in rows[:k]]
+                else:
+                    full_batch.append((qi, terms))
+        if full_batch:
+            out = self._execute_many(
+                full_batch, {qi: k for qi, _ in full_batch}, w, False, mode, prune
+            )
+            for qi, _ in full_batch:
+                results[qi] = [(d, int(s)) for d, s in out.get(qi, [])[:k]]
+        return results  # type: ignore[return-value]
+
+    def _execute_many(
+        self,
+        batch: list[tuple[int, list[PlanTerm]]],
+        fetch_by_qi: dict[int, int],
+        w: dict[str, int],
+        use_fancy: bool,
+        mode: str,
+        prune: bool,
+    ) -> dict[int, list[tuple[int, float]]]:
+        """One union plan for a batch of compiled queries (globally unique
+        ti). Per-query interval pruning stays driver-side and exact (the
+        provably-empty AND check costs no job — metadata is cached); the
+        scan sees per-(term, kind) interval UNIONS. AND, NOT, clamp and
+        per-query top-k are a single groupBy + window:
+            pcnt == n_pos  → every positive term present (Q7)
+            has_neg == 0   → no negative term present (Q8, the left-anti)
+            row_number ≤ fetch over (qi | score desc, doc_id asc) → Q13."""
+        from pyspark.sql.window import Window
+
+        out: dict[int, list[tuple[int, float]]] = {}
+        all_terms = [t for _, terms in batch for t in terms]
+        seg_meta = self._segment_meta(all_terms, use_fancy)
+        live: list[tuple[int, list[PlanTerm], np.ndarray | None]] = []
+        for qi, terms in batch:
+            plain_pos = [
+                t for t in terms
+                if t.action in ("SET", "AND") and t.host is None
+            ]
+            intervals = None
+            if prune and len(plain_pos) >= 2:
+                intervals, empty = _intersect_coverage(
+                    seg_meta, [t.ti for t in plain_pos]
+                )
+                if empty:
+                    out[qi] = []
+                    continue
+            live.append((qi, terms, intervals))
+        if not live:
+            return out
+
+        per_term_iv: dict[int, np.ndarray] = {}
+        for qi, terms, iv in live:
+            if iv is not None:
+                for t in terms:
+                    per_term_iv[t.ti] = iv
+        terms_flat = [t for _, terms, _ in live for t in terms]
+        decoded = self._decode(
+            terms_flat, use_fancy, None, per_term_intervals=per_term_iv
+        )
+        if decoded is None:
+            for qi, _, _ in live:
+                out[qi] = []
+            return out
+        scored = self._score_rows(decoded, terms_flat, w, mode=mode)
+
+        ti_map = self.spark.createDataFrame(
+            [
+                (t.ti, qi, t.action in ("SET", "AND"))
+                for qi, terms, _ in live
+                for t in terms
+            ],
+            schema="ti int, qi int, pos boolean",
+        )
+        qinfo = self.spark.createDataFrame(
+            [
+                (
+                    qi,
+                    sum(1 for t in terms if t.action in ("SET", "AND")),
+                    int(fetch_by_qi[qi]),
+                )
+                for qi, terms, _ in live
+            ],
+            schema="qi int, n_pos int, fetch int",
+        )
+        pos_score = F.sum(F.when(F.col("pos"), F.col("score")))
+        agg_score = (
+            F.least(pos_score, F.lit(float(SCORE_CLAMP)))
+            if mode == "deusu"
+            else pos_score
+        )
+        cand = (
+            scored.join(F.broadcast(ti_map), "ti")
+            .groupBy("qi", "doc_id")
+            .agg(
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("pcnt"),
+                F.max(F.when(F.col("pos"), 0).otherwise(1)).alias("has_neg"),
+                agg_score.alias("score"),
+            )
+            .join(F.broadcast(qinfo), "qi")
+            .where((F.col("pcnt") == F.col("n_pos")) & (F.col("has_neg") == 0))
+        )
+        wnd = Window.partitionBy("qi").orderBy(F.desc("score"), F.asc("doc_id"))
+        rows = (
+            cand.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") <= F.col("fetch"))
+            .select("qi", "doc_id", "score")
+            .collect()
+        )
+        for qi, _, _ in live:
+            out[qi] = []
+        for r in rows:
+            out[r["qi"]].append((r["doc_id"], r["score"]))
+        for qi in out:
+            out[qi].sort(key=lambda x: (-x[1], x[0]))
+        self.last_stats = {
+            "strategy": "batch",
+            "n_queries": len(batch),
+            "n_terms": len(terms_flat),
+        }
+        return out
+
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         """Q15 (ShowLink, searchservernew.dpr:1166-1204): join the engine's
         (doc_id, score) rows back to display fields as rerank.ResultRow
@@ -562,19 +759,32 @@ class SearchEngine:
         terms: list[PlanTerm],
         use_fancy: bool,
         intervals: np.ndarray | None,
+        per_term_intervals: dict[int, np.ndarray] | None = None,
     ) -> DataFrame | None:
         """DataFrame (ti, doc_id, flags) of all query-term postings after
         location filters; host terms contribute docmeta-derived rows.
 
         ``intervals`` (already coarsened to <= max_range_predicates) reaches
         the scan as (first_doc <= hi AND last_doc >= lo) range predicates —
-        parquet row-group stats prune them; no isin literals."""
-        parts: list[DataFrame] = []
-        iv_expr = _interval_filter_expr(intervals) if intervals is not None else None
+        parquet row-group stats prune them; no isin literals.
 
-        # plain terms: read blobs (partition-pruned), decode in mapInPandas
+        ``per_term_intervals`` (batch mode) overrides ``intervals`` per
+        ``t.ti``: a term shared by several queries scans the UNION of its
+        queries' intervals (absent key = that query is unrestricted, so the
+        shared scan must be too). Unions only loosen pruning — the per-query
+        AND/NOT aggregation downstream filters exactly."""
+        parts: list[DataFrame] = []
+
+        def iv_for(t: PlanTerm) -> np.ndarray | None:
+            if per_term_intervals is not None:
+                return per_term_intervals.get(t.ti)
+            return intervals
+
+        # plain terms: read blobs (partition-pruned), decode in mapInPandas.
+        # One scan condition per distinct (term, kind) — queries sharing a
+        # term decode its postings ONCE and fan rows out per ti via specs.
         term_specs: dict[tuple[str, str], list[tuple[int, bool, bool]]] = {}
-        conds = []
+        key_iv: dict[tuple[str, str], list | None] = {}
         for t in terms:
             if t.host is not None:
                 continue
@@ -583,16 +793,30 @@ class SearchEngine:
                 if use_fancy and t.df > self.meta["fancy_threshold"]
                 else "full"
             )
-            spec = term_specs.setdefault((t.key, kind), [])
-            spec.append((t.ti, t.url_only, t.title_only))
-            b = crc32(t.key) % 64
+            k2 = (t.key, kind)
+            term_specs.setdefault(k2, []).append((t.ti, t.url_only, t.title_only))
+            iv_t = iv_for(t)
+            if k2 not in key_iv:
+                key_iv[k2] = [] if iv_t is not None else None
+            if key_iv[k2] is not None:
+                if iv_t is None:
+                    key_iv[k2] = None
+                else:
+                    key_iv[k2].append(iv_t)
+        conds = []
+        for (key, kind), ivs in key_iv.items():
+            b = crc32(key) % 64
             c = (
                 (F.col("bucket") == b)
-                & (F.col("term") == t.key)
+                & (F.col("term") == key)
                 & (F.col("kind") == kind)
             )
-            if iv_expr is not None:
-                c = c & iv_expr
+            if ivs is not None:
+                iv = _coarsen_intervals(
+                    _merge_intervals(np.concatenate(ivs)),
+                    self.max_range_predicates,
+                )
+                c = c & _interval_filter_expr(iv)
             conds.append(c)
 
         if conds:
@@ -637,9 +861,11 @@ class SearchEngine:
         for t in terms:
             if t.host is not None:
                 hc = F.col("host") == t.host
-                if intervals is not None:
+                iv_t = iv_for(t)
+                if iv_t is not None:
+                    iv_t = _coarsen_intervals(iv_t, self.max_range_predicates)
                     doc_iv = None
-                    for lo, hi in intervals:
+                    for lo, hi in iv_t:
                         e = (F.col("doc_id") >= int(lo)) & (
                             F.col("doc_id") <= int(hi)
                         )
