@@ -84,6 +84,45 @@ def _simhash_sql() -> str:
     """
 
 
+def _simhash_near_dup_sql() -> str:
+    from deusu_spark.pipelines import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+        _hex15_to_long_sql,
+        simhash_hamming_sql,
+        simhash_select_sql,
+    )
+
+    h_expr = _hex15_to_long_sql("strpos", "h16")
+    band_sel = "\n                 UNION ALL ".join(
+        f"SELECT doc_id, 'b{b}:' || substr(simhash, "
+        f"{1 + b * SIMHASH_BAND_BITS}, {SIMHASH_BAND_BITS}) AS band FROM s"
+        for b in range(SIMHASH_BANDS)
+    )
+    ham = simhash_hamming_sql("sa.simhash", "sb.simhash")
+    return f"""
+        WITH th AS (
+            SELECT doc_id, {h_expr} AS h FROM (
+                SELECT doc_id, substr(md5(t), 1, 15) AS h16
+                FROM ({_DTOKS}) WHERE doc_id < 100)),
+             s AS (SELECT doc_id,
+                          {simhash_select_sql('strpos', SIMHASH_BITS)} AS simhash
+                   FROM th GROUP BY doc_id),
+             bands AS ({band_sel}),
+             pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+        FROM pairs
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b
+        WHERE {ham} <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB recomputes the identical md5-parity hyperplanes in pure SQL
     (dim-agnostic), so the banded-LSH candidate pairs are fully
@@ -143,6 +182,7 @@ def _lang_id_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
+        "simhash_near_dup_pairs": _simhash_near_dup_sql(),
         "ann_lsh_candidates": _ann_lsh_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""

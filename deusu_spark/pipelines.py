@@ -480,22 +480,87 @@ def simhash_select_sql(instr_fn: str, bits: int = 32) -> str:
 
 
 SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 8
+
+
+def simhash_df(spark, docs: DataFrame, view: str = "_simhash_th") -> DataFrame:
+    """(doc_id, simhash bit-string): the shared fingerprint stage of
+    q_simhash and the banded near-dup join. Token hash = digit-sum of md5
+    hex (fully portable; the DuckDB oracle uses the same arithmetic)."""
+    toks = _tokens(docs).distinct()
+    th = toks.withColumn("h16", F.expr("substr(md5(t), 1, 15)")).withColumn(
+        "h", F.expr(_hex15_to_long_sql("instr", "h16"))
+    )
+    th.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, {simhash_select_sql('instr', SIMHASH_BITS)} AS simhash "
+        f"FROM {view} GROUP BY doc_id"
+    )
 
 
 def q_simhash(spark, sf_dir):
     """SimHash document fingerprints (32-bit, binary token weights) — near-dup
-    detection by Hamming distance. Token hash = digit-sum of md5 hex (fully
-    portable; the DuckDB oracle uses the same arithmetic)."""
+    detection by Hamming distance."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    toks = _tokens(d).distinct()
-    th = toks.withColumn("h16", F.expr("substr(md5(t), 1, 15)")).withColumn(
-        "h", F.expr(_hex15_to_long_sql("instr", "h16"))
+    return simhash_df(spark, d).orderBy("doc_id")
+
+
+def simhash_hamming_sql(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
+    """Portable bit-string Hamming distance (identical text runs on Spark
+    and DuckDB) — per-position char compare over the '0'/'1' fingerprint."""
+    terms = [
+        f"CASE WHEN substr({a}, {i}, 1) <> substr({b}, {i}, 1) THEN 1 ELSE 0 END"
+        for i in range(1, bits + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_near_dup_pairs(
+    spark, docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded Hamming candidate join: split each 32-bit simhash into 4 bands
+    of 8 bits; a pair is a candidate iff it agrees on at least one whole
+    band (any pair at Hamming distance < SIMHASH_BANDS must, by
+    pigeonhole — so recall is 1.0 below 4 flipped bits and degrades
+    gracefully after); then verify with the exact Hamming distance. The
+    scale path is the band-key equality join — shuffle on band, no
+    all-pairs — exactly the MinHash-LSH shape, closing the one dedup-family
+    member that previously had a fingerprint but no candidate stage."""
+    s = simhash_df(spark, docs)
+    band_cols = [
+        F.concat(
+            F.lit(f"b{b}:"),
+            F.substring("simhash", 1 + b * SIMHASH_BAND_BITS, SIMHASH_BAND_BITS),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = s.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band")
+    pairs = (
+        a.join(b, "band")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    th.createOrReplaceTempView("_simhash_th")
-    return spark.sql(
-        f"SELECT doc_id, {simhash_select_sql('instr', SIMHASH_BITS)} AS simhash "
-        f"FROM _simhash_th GROUP BY doc_id ORDER BY doc_id"
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = F.expr(simhash_hamming_sql("sim_a", "sim_b")).cast("int")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
+
+
+def q_simhash_near_dup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return simhash_near_dup_pairs(spark, d)
 
 
 # language-ID marker sets (n-gram-heuristic-style language ID: tiny
@@ -748,6 +813,7 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "simhash": q_simhash,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ann_lsh_candidates": q_ann_lsh_candidates,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
