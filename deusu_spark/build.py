@@ -860,14 +860,18 @@ def build_index(
                     partition_by=["bucket"],
                 )
             else:
-                # iceberg: each group owns disjoint buckets — dynamic
-                # partition overwrite makes the group write idempotent
-                # under resume
+                # iceberg: identity-partition on the engine's crc32 bucket
+                # column, NOT the bucket(64, term) transform — iceberg's
+                # murmur buckets of term do not align with the crc32 groups,
+                # so a group's dynamic partition overwrite would clobber
+                # other groups' rows sharing an iceberg bucket. Identity
+                # partitions are disjoint per group (idempotent under
+                # resume) and prune the same bucket == b probe predicates.
                 io.write(
                     lex.sortWithinPartitions("bucket", "term"),
                     lexicon_dir,
                     mode="overwrite_partitions",
-                    bucket_transform=(N_TERM_BUCKETS, "term"),
+                    partition_by=["bucket"],
                 )
             lex.unpersist()
             hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
@@ -889,11 +893,12 @@ def build_index(
                 _move_bucket_dirs(seg_tmp, postings_dir)
                 _move_bucket_dirs(lex_tmp, lexicon_dir)
             else:
+                # identity bucket partitions (see the lexicon write above)
                 io.write(
                     encoded,
                     postings_dir,
                     mode="overwrite_partitions",
-                    bucket_transform=(N_TERM_BUCKETS, "term"),
+                    partition_by=["bucket"],
                 )
             if hot_bc is not None:
                 hot_bc.unpersist()

@@ -96,6 +96,14 @@ class TableIO:
         precomputed bucket column — the scanner then prunes term probes by
         transform, no physical column needed. On parquet, the precomputed
         column in partition_by provides the same pruning.
+
+        CAUTION: combine bucket_transform with mode="overwrite_partitions"
+        only when the caller's write granularity is aligned to the
+        TRANSFORM's partitions. Iceberg's murmur bucket(col) does not match
+        the engine's crc32 bucket column, so writes grouped by the crc32
+        column would dynamically overwrite (and lose) other groups' rows —
+        the build therefore identity-partitions its group-overwritten
+        tables on the bucket column (build.py segments stage).
         """
         if self.backend == "parquet":
             w = df.write.mode(mode)
@@ -106,10 +114,16 @@ class TableIO:
         ident = self._ident(table)
         writer = df.writeTo(ident)
         if bucket_transform is not None:
-            from pyspark.sql import functions as F
+            try:  # spark >= 4 moved the partition transforms
+                from pyspark.sql.functions import partitioning as P
 
+                bucket_fn = P.bucket
+            except ImportError:  # pragma: no cover - spark 3.x
+                from pyspark.sql import functions as _F
+
+                bucket_fn = _F.bucket
             n, col = bucket_transform
-            writer = writer.partitionedBy(F.bucket(n, col))
+            writer = writer.partitionedBy(bucket_fn(n, col))
         elif partition_by:
             from pyspark.sql import functions as F
 

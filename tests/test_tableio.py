@@ -53,10 +53,17 @@ def test_auto_backend_without_catalog_is_parquet(spark):
             TableIO(spark, backend="iceberg", catalog="local")
 
 
-@pytest.mark.skipif(
-    True, reason="iceberg-spark runtime jars are not baked into this container"
-)
-def test_iceberg_roundtrip(spark):  # pragma: no cover - needs iceberg jars
+def test_iceberg_roundtrip(spark):
+    """Runs against REAL Iceberg when the runtime jars are present; in this
+    container they are not (and the sandbox has no network to fetch them —
+    curl to maven central fails DNS), so the iceberg write/read/publish
+    paths are instead executed by tests/test_tableio_iceberg_mock.py
+    against a mocked catalog with honest DataFrameWriterV2 semantics."""
+    if not iceberg_available(spark):
+        pytest.skip(
+            "no iceberg-spark jars in container + no network to vendor them;"
+            " seam covered by test_tableio_iceberg_mock.py"
+        )
     io = TableIO(spark, backend="iceberg", catalog="local")
     df = spark.range(100).withColumn("term", F.concat(F.lit("t"), F.col("id")))
     io.write(df, "idx/postings", bucket_transform=(64, "term"))
