@@ -47,6 +47,8 @@ from .constants import (
     FANCY_DF_THRESHOLD,
     FANCY_RANK_HI,
     FANCY_RANK_LO,
+    INFO_DF_THRESHOLD,
+    INFO_TERM_LIST_CAP,
     LANG_BONUS,
     N_TERM_BUCKETS,
     PREFER_DE,
@@ -578,6 +580,7 @@ def build_index(
     ignore_hosts=None,
     drop_quote_urls: bool = False,
     index_gate: str | None = None,
+    info_df_threshold: int = INFO_DF_THRESHOLD,
 ) -> dict:
     """Build (or resume) the index under ``out_dir`` and atomically publish.
 
@@ -912,6 +915,8 @@ def build_index(
     # ---- publish ------------------------------------------------------------
     if "publish" not in lin.done:
         t0 = time.time()
+        lex_stats = {"unique_words": 0, "word_occurrences": 0}
+        high_df: list[tuple[str, int]] = []
         if io.backend == "parquet" and not os.path.isdir(postings_dir):
             # fully-gated / empty corpus: publish a valid empty generation
             seg_stats = {"bytes": 0, "postings": 0, "segments": 0}
@@ -929,6 +934,36 @@ def build_index(
                 )
                 .collect()[0]
             )
+            # info.txt build-stats parity (GenDb.dpr:658-693): totals over
+            # the lexicon (vocabulary-sized, metadata-scale job) + the
+            # high-df term list. The reference appends per keys-step; here
+            # one report covers the whole generation.
+            lr = (
+                io.read(lexicon_dir)
+                .agg(
+                    F.count("*").alias("uw"),
+                    F.coalesce(F.sum("df"), F.lit(0)).alias("wo"),
+                )
+                .collect()[0]
+            )
+            lex_stats = {
+                "unique_words": int(lr["uw"]),
+                "word_occurrences": int(lr["wo"]),
+            }
+            high_df = [
+                (r["term"], int(r["df"]))
+                for r in io.read(lexicon_dir)
+                .where(F.col("df") >= info_df_threshold)
+                .orderBy(F.desc("df"), "term")
+                .limit(INFO_TERM_LIST_CAP)
+                .collect()
+            ]
+        with open(os.path.join(vdir, "info.txt"), "w") as f:
+            # reference line format: df right-aligned width 10, space, term
+            for term, df_ in sorted(high_df, key=lambda x: (x[0])):
+                f.write(f"{df_:10d} {term}\n")
+            f.write(f"UniqueWords={lex_stats['unique_words']}\n")
+            f.write(f"WordOccurences={lex_stats['word_occurrences']}\n")
         meta = {
             "n_docs": int(n_docs),
             "max_backlinks": int(max_bl),
@@ -939,6 +974,9 @@ def build_index(
             "seg_size": seg_size,
             "n_salts": int(eff_salts),
             "n_buckets": N_TERM_BUCKETS,
+            "unique_words": lex_stats["unique_words"],
+            "word_occurrences": lex_stats["word_occurrences"],
+            "high_df_terms": [[t, d] for t, d in high_df],
         }
         with open(os.path.join(vdir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)

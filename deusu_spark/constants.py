@@ -116,6 +116,13 @@ FANCY_DF_THRESHOLD = 100_000
 FANCY_RANK_LO = 0  # exclusive
 FANCY_RANK_HI = 200_000  # exclusive
 
+# Build-stats report (info.txt) — GenDb.dpr:658-659,692-693: terms with
+# df >= 100_000 are listed, plus UniqueWords / WordOccurences totals.
+INFO_DF_THRESHOLD = 100_000
+# driver-safety cap on the listed terms (the reference has no cap; at
+# 10^12 docs the >=100k-df vocabulary could be huge)
+INFO_TERM_LIST_CAP = 10_000
+
 # Query-side limits — searchservernew.dpr:47 (cMaxKeywords=10),
 # :1328 (top-1000), :1820-1821 (startwith 1..991, showcount 10..1000).
 MAX_QUERY_KEYWORDS = 10

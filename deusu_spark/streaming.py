@@ -65,70 +65,104 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-def _session_fn(key, pdf_iter, state: GroupState):
-    """Per-user sessionizer: fold this batch's events into (start, last, n)
-    runs split on > SESSION_GAP_S gaps; emit every CLOSED session, keep the
-    open tail in state. Event-time ordering within the batch is restored by
-    sorting (micro-batches preserve no order)."""
-    rows = []
-    ts_all = []
-    for pdf in pdf_iter:
-        ts_all.append(pd.to_datetime(pdf["ts"]))
-    if ts_all:
-        ts = pd.concat(ts_all).sort_values()
-        us = (ts.astype("int64") // 1000).to_numpy()  # microseconds
-    else:
-        us = []
-
-    if state.exists:
-        start_us, last_us, n = state.get
-    else:
-        start_us = last_us = -1
-        n = 0
-
-    (uid,) = key
-    gap_us = SESSION_GAP_S * 1_000_000
-    for t in us:
-        if start_us < 0:
-            start_us, last_us, n = t, t, 1
-        elif t > last_us + gap_us:
-            rows.append((uid, start_us, last_us, n))
-            start_us, last_us, n = t, t, 1
-        elif t >= start_us:
-            # in-order or late-but-inside the open session: the session end
-            # must never move backward (late events across micro-batches)
-            last_us, n = max(last_us, t), n + 1
-        elif start_us - t <= gap_us:
-            # late event just before the open session: extend its start
-            start_us, n = t, n + 1
-        # else: older than the open session by more than a gap — the batch
-        # truth would put it in an already-emitted session; with no watermark
-        # to reopen history the event is dropped (documented late-data limit)
-    if start_us >= 0:
-        state.update((int(start_us), int(last_us), int(n)))
-    if rows:
-        out = pd.DataFrame(
-            rows, columns=["user_id", "session_start", "session_end", "n_events"]
-        )
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-        yield out
+def _emit_sessions(rows) -> pd.DataFrame:
+    out = pd.DataFrame(
+        rows, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+    out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+    out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+    return out
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def _make_session_fn(idle_timeout_ms: int | None):
+    def _session_fn(key, pdf_iter, state: GroupState):
+        """Per-user sessionizer: fold this batch's events into (start, last,
+        n) runs split on > SESSION_GAP_S gaps; emit every CLOSED session,
+        keep the open tail in state. Event-time ordering within the batch is
+        restored by sorting (micro-batches preserve no order). With an idle
+        timeout configured, a group whose timer fired flushes its open
+        session and clears state — an idle user's session emits without
+        waiting for their next event."""
+        (uid,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit_sessions([(uid, start_us, last_us, n)])
+            return
+
+        rows = []
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.append(pd.to_datetime(pdf["ts"]))
+        if ts_all:
+            ts = pd.concat(ts_all).sort_values()
+            us = (ts.astype("int64") // 1000).to_numpy()  # microseconds
+        else:
+            us = []
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+
+        gap_us = SESSION_GAP_S * 1_000_000
+        for t in us:
+            if start_us < 0:
+                start_us, last_us, n = t, t, 1
+            elif t > last_us + gap_us:
+                rows.append((uid, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            elif t >= start_us:
+                # in-order or late-but-inside the open session: the session
+                # end must never move backward (late events across batches)
+                last_us, n = max(last_us, t), n + 1
+            elif start_us - t <= gap_us:
+                # late event just before the open session: extend its start
+                start_us, n = t, n + 1
+            # else: older than the open session by more than a gap — the
+            # batch truth would put it in an already-emitted session; with
+            # no watermark to reopen history the event is dropped
+            # (documented late-data limit)
+        if start_us >= 0:
+            state.update((int(start_us), int(last_us), int(n)))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
+        if rows:
+            yield _emit_sessions(rows)
+
+    return _session_fn
+
+
+def sessionize_stream(
+    events: DataFrame, idle_timeout_s: int | None = None
+) -> DataFrame:
     """Closed 30-min-gap sessions per user — custom stateful streaming
-    operator (applyInPandasWithState). The open tail of each user's stream
-    stays in state until a later event closes it (production would add a
-    timeout to flush idle sessions; the batch-equivalence test accounts for
-    the open tail)."""
+    operator (applyInPandasWithState).
+
+    ``idle_timeout_s=None`` (default): the open tail of each user's stream
+    stays in state until a later event closes it — exactly batch-equivalent
+    for closed sessions. With a timeout, an idle user's open session
+    flushes after ``idle_timeout_s`` of processing time with no new events
+    (state removed; a later event starts a NEW session). The trade-off is
+    documented: a processing-time flush may split what batch event-time
+    logic would merge if the user returns within the event-time gap —
+    that is the standard liveness/completeness trade of session windows."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_s is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            _make_session_fn(
+                None if idle_timeout_s is None else idle_timeout_s * 1000
+            ),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

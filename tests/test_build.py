@@ -74,6 +74,65 @@ def test_df_invariant_and_postings_match(spark, tiny_index_dir, oracle_index):
         assert list(zip(docs, flags)) == expected, term
         assert docs == sorted(docs)  # ascending across segments
 
+    # info.txt build-stats parity (GenDb.dpr:658-693): UniqueWords == the
+    # vocabulary size, WordOccurences == Σ df == total postings, and both
+    # land in meta.json and the info.txt report
+    import json as _json
+    import os as _os
+
+    with open(f"{vdir}/meta.json") as f:
+        meta = _json.load(f)
+    assert meta["unique_words"] == len(lex)
+    assert meta["word_occurrences"] == sum(lex.values()) == meta["n_postings"]
+    info = open(f"{vdir}/info.txt").read().splitlines()
+    assert info[-2] == f"UniqueWords={len(lex)}"
+    assert info[-1] == f"WordOccurences={sum(lex.values())}"
+    # every listed line is a real (df, term) lexicon entry over threshold
+    listed = [ln for ln in info[:-2] if ln.strip()]
+    for ln in listed:
+        df_s, term = ln.split()
+        assert lex.get(term) == int(df_s)
+
+
+def test_info_txt_high_df_list(spark, tiny_corpus):
+    """With a tiny threshold, the info.txt list must name exactly the
+    lexicon's >= threshold terms in the reference's line format."""
+    import json
+    import shutil
+    import tempfile
+
+    from deusu_spark.build import build_index
+
+    d = tempfile.mkdtemp(prefix="deusu_info_")
+    try:
+        build_index(
+            spark,
+            spark.createDataFrame(tiny_corpus),
+            d,
+            fancy_threshold=300,
+            seg_size=256,
+            n_salts=2,
+            bucket_groups=2,
+            info_df_threshold=50,
+        )
+        vdir = current_index_dir(d)
+        lex = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(f"{vdir}/lexicon").collect()
+        }
+        expect = sorted(t for t, df in lex.items() if df >= 50)
+        lines = open(f"{vdir}/info.txt").read().splitlines()
+        got = [ln.split()[1] for ln in lines[:-2] if ln.strip()]
+        assert got == expect
+        for ln in lines[:-2]:
+            df_s = ln[:10]
+            assert df_s == f"{int(df_s):10d}"  # width-10 right-aligned df
+        with open(f"{vdir}/meta.json") as f:
+            meta = json.load(f)
+        assert sorted(t for t, _ in meta["high_df_terms"]) == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def test_segment_ranges_disjoint(spark, tiny_index_dir):
     """Per (term, kind), segment [first_doc, last_doc] ranges must be

@@ -71,6 +71,47 @@ def test_hourly_counts_stream_matches_batch(spark, events_stream_dir):
     assert len(g) > 10
 
 
+def test_idle_session_timeout_flush(spark):
+    """An idle user's open session must emit WITHOUT a subsequent event:
+    sessionize_stream(idle_timeout_s=...) flushes it on the processing-time
+    timer (empty micro-batches run the timers — noDataMicroBatches)."""
+    import datetime
+    import time
+
+    d = tempfile.mkdtemp(prefix="deusu_idle_")
+    try:
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        spark.createDataFrame(
+            [(1, t0), (1, t0 + datetime.timedelta(seconds=10))],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+        q = (
+            streaming.sessionize_stream(src, idle_timeout_s=3)
+            .writeStream.format("memory")
+            .queryName("idle_sessions")
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            rows = []
+            deadline = time.time() + 60
+            while time.time() < deadline and not rows:
+                time.sleep(1)
+                rows = spark.table("idle_sessions").collect()
+            assert rows, "idle session never flushed"
+            (r,) = rows
+            assert r["user_id"] == 1
+            assert r["n_events"] == 2
+            assert r["session_start"] == t0
+            assert r["session_end"] == t0 + datetime.timedelta(seconds=10)
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sessionize_stream_matches_batch(spark, events_stream_dir):
     schema = spark.read.parquet(events_stream_dir).schema
     src = spark.readStream.schema(schema).parquet(events_stream_dir)
