@@ -17,7 +17,6 @@ import os
 
 import numpy as np
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from .build import current_index_dir, static_scores
 from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
@@ -27,13 +26,33 @@ from .synth import crc32
 
 
 class LocalSearcher:
-    def __init__(self, index_root: str):
+    def __init__(
+        self, index_root: str, doc_range: tuple[int, int] | None = None
+    ):
+        """``doc_range=(lo, hi)`` restricts this searcher to docs in
+        [lo, hi): it loads only that slice of the docmeta sidecars (the
+        only O(n_docs) driver state) and decodes only posting segments
+        overlapping the range — the serving-tier shard of ShardedSearcher.
+        Default None = the whole corpus (the reference's single-server
+        LoadCacheData shape)."""
         self.vdir = current_index_dir(index_root)
         with open(os.path.join(self.vdir, "meta.json")) as f:
             self.meta = json.load(f)
-        dm = pq.read_table(
-            os.path.join(self.vdir, "docmeta"),
+        self.doc_lo = doc_range[0] if doc_range else 0
+        self.doc_hi = (
+            doc_range[1] if doc_range else int(self.meta["n_docs"])
+        )
+        dm_ds = pads.dataset(
+            os.path.join(self.vdir, "docmeta"), partitioning="hive"
+        )
+        dm_filter = None
+        if doc_range is not None:
+            dm_filter = (pads.field("doc_id") >= self.doc_lo) & (
+                pads.field("doc_id") < self.doc_hi
+            )
+        dm = dm_ds.to_table(
             columns=["doc_id", "host", "fd", "he", "rank", "backlinks", "dl"],
+            filter=dm_filter,
         )
         order = np.argsort(dm["doc_id"].to_numpy())
         self.fd = dm["fd"].to_numpy()[order].astype(np.int64)
@@ -50,8 +69,8 @@ class LocalSearcher:
         )
         for i, s in enumerate(bounds):
             e = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_hosts)
-            self._host_docs[sorted_hosts[s]] = np.sort(host_order[s:e]).astype(
-                np.int64
+            self._host_docs[sorted_hosts[s]] = (
+                np.sort(host_order[s:e]).astype(np.int64) + self.doc_lo
             )
         self._postings = pads.dataset(
             os.path.join(self.vdir, "postings"), partitioning="hive"
@@ -91,14 +110,21 @@ class LocalSearcher:
     ) -> tuple[np.ndarray, np.ndarray]:
         kind = "fancy" if use_fancy and df > self.meta["fancy_threshold"] else "full"
         b = crc32(term) % 64
-        t = self._postings.to_table(
-            filter=(
-                (pads.field("bucket") == b)
-                & (pads.field("term") == term)
-                & (pads.field("kind") == kind)
-            ),
-            columns=["first_doc", "blob"],
+        flt = (
+            (pads.field("bucket") == b)
+            & (pads.field("term") == term)
+            & (pads.field("kind") == kind)
         )
+        sharded = self.doc_lo > 0 or self.doc_hi < int(self.meta["n_docs"])
+        if sharded:
+            # only segments overlapping this shard's doc range (pushed to
+            # the parquet read via row-group first/last_doc stats)
+            flt = (
+                flt
+                & (pads.field("first_doc") < self.doc_hi)
+                & (pads.field("last_doc") >= self.doc_lo)
+            )
+        t = self._postings.to_table(filter=flt, columns=["first_doc", "blob"])
         if t.num_rows == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         order = np.argsort(t["first_doc"].to_numpy())
@@ -108,7 +134,12 @@ class LocalSearcher:
             d, f = codec.decode(blobs[i])
             docs_l.append(d)
             flags_l.append(f.astype(np.int64))
-        return np.concatenate(docs_l), np.concatenate(flags_l)
+        docs = np.concatenate(docs_l)
+        flags = np.concatenate(flags_l)
+        if sharded:
+            m = (docs >= self.doc_lo) & (docs < self.doc_hi)
+            docs, flags = docs[m], flags[m]
+        return docs, flags
 
     # ------------------------------------------------------------------
     def compile(self, query: str) -> list[PlanTerm]:
@@ -210,12 +241,13 @@ class LocalSearcher:
             action = "SET" if i == 0 else t.action
             if t.host is not None:
                 docs = self._host_docs.get(t.host, np.empty(0, dtype=np.int64))
+                loc = docs - self.doc_lo  # sidecar arrays hold [doc_lo, hi)
                 if mode == "bm25":
                     vals = np.zeros(len(docs))
                 else:
-                    v = w["b1"] + (31 - (self.fd[docs] & 31)) * w["b7"]
+                    v = w["b1"] + (31 - (self.fd[loc] & 31)) * w["b7"]
                     if action == "SET":
-                        v = v + np.round(_blv(self.backlinks[docs], self.max_bl))
+                        v = v + np.round(_blv(self.backlinks[loc], self.max_bl))
                     vals = np.clip(v, 1, SCORE_CLAMP)
             else:
                 docs, flags = self._term_postings(t.key, use_fancy, t.df)
@@ -225,6 +257,7 @@ class LocalSearcher:
                 elif t.title_only:
                     m = (flags & 2) != 0
                     docs, flags = docs[m], flags[m]
+                loc = docs - self.doc_lo
                 if mode == "bm25":
                     idf = math.log(
                         1.0 + (self.n_docs - t.df + 0.5) / (t.df + 0.5)
@@ -232,15 +265,15 @@ class LocalSearcher:
                     vals = (
                         idf
                         * 2.2
-                        / (1.0 + 1.2 * (0.25 + 0.75 * self.dl[docs] / self.avgdl))
+                        / (1.0 + 1.2 * (0.25 + 0.75 * self.dl[loc] / self.avgdl))
                     )
                 else:
                     s = static_scores(
                         flags,
-                        self.fd[docs],
-                        self.he[docs],
-                        self.rank[docs],
-                        self.backlinks[docs],
+                        self.fd[loc],
+                        self.he[loc],
+                        self.rank[loc],
+                        self.backlinks[loc],
                         self.max_bl,
                         include_backlink=t.include_backlink,
                         weights=w,
@@ -269,6 +302,90 @@ class LocalSearcher:
             if action == "AND" and len(cand_docs) == 0:
                 return cand_docs, cand_vals
         return cand_docs, cand_vals
+
+
+class ShardedSearcher:
+    """Doc-range-sharded serving tier — the beyond-10^8-docs design
+    (round-2 review, Missing #4). LocalSearcher's per-doc sidecar vectors
+    are its only O(n_docs) RAM; sharding the corpus into S contiguous doc
+    ranges bounds each serving node at n_docs/S sidecar rows, and each
+    shard decodes only the posting segments overlapping its range (the
+    segment first/last_doc predicates push into its parquet reads — the
+    doc-range-disjoint segment invariant is what makes that exact).
+
+    Every per-query operation (static score, AND intersection, NOT
+    subtraction) is per-doc, so a shard answers the full query restricted
+    to its range; the coordinator merges shard top-k lists by
+    (score desc, doc_id asc) and sums the shards' candidate counts for the
+    reference's two-pass '<1000 results → full pass' decision — both
+    decisions then equal the single-server ones exactly (pinned by
+    test_serving_shards rank-identity against LocalSearcher/oracle).
+
+    In production each shard is a separate server process behind a thin
+    fan-out (this class in-process is the same code path); the Q14 result
+    cache belongs in front of the fan-out, exactly where the reference
+    puts it."""
+
+    def __init__(self, index_root: str, n_shards: int = 2):
+        with open(
+            os.path.join(current_index_dir(index_root), "meta.json")
+        ) as f:
+            meta = json.load(f)
+        n_docs = int(meta["n_docs"])
+        step = max(1, -(-n_docs // n_shards))  # ceil
+        ranges = [
+            (lo, min(lo + step, n_docs)) for lo in range(0, n_docs, step)
+        ]
+        self.shards = [LocalSearcher(index_root, doc_range=r) for r in ranges]
+        self.meta = self.shards[0].meta
+        # bm25 needs the GLOBAL avgdl on every shard (a shard's local mean
+        # would skew its scores)
+        total_dl = sum(float(s.dl.sum()) for s in self.shards)
+        avgdl = total_dl / max(n_docs, 1)
+        for s in self.shards:
+            s.avgdl = avgdl
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        mode: str = "deusu",
+    ) -> list[tuple[int, int]]:
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        terms = self.shards[0].compile(query)
+        if not terms:
+            return []
+        fetch = max(k, MAX_RESULTS)
+
+        def run(use_fancy: bool, md: str):
+            rows: list = []
+            total = 0
+            for sh in self.shards:
+                docs, vals = sh._run_pass(terms, w, use_fancy, mode=md)
+                total += len(docs)
+                rows.extend(sh._topk(docs, vals, fetch, is_float=md == "bm25"))
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            return rows[:fetch], total
+
+        if mode == "bm25":
+            rows, _ = run(False, "bm25")
+            return rows[:k]
+        if any(
+            t.host is None and t.df > self.meta["fancy_threshold"]
+            for t in terms
+        ):
+            rows, total = run(True, "deusu")
+            if total >= MAX_RESULTS:
+                return rows[:k]
+        rows, _ = run(False, "deusu")
+        return rows[:k]
+
+    def fetch_results(self, rows: list[tuple[int, int]]) -> list:
+        # doc ids are global; any shard's docmeta dataset read resolves them
+        return self.shards[0].fetch_results(rows)
 
 
 def _blv(bl: np.ndarray, max_bl: int) -> np.ndarray:
