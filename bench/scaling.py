@@ -86,8 +86,7 @@ def run_level(cores: int, n_convs: int) -> dict:
 
     eng = SearchEngine(spark, idx_dir)
     t0 = time.time()
-    for q in QUERIES[:4]:
-        eng.search(q, k=10)
+    eng.search_many(QUERIES[:4], k=10)  # batch path: one plan per pass
     dist_s = time.time() - t0
 
     ls = LocalSearcher(idx_dir)

@@ -381,18 +381,15 @@ def q_dedup_clusters(spark, sf_dir):
                 F.least(
                     F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                # changed-flag folded into the SAME propagation pass; the
+                # convergence probe below then scans the checkpointed round
+                # output only — no extra join/recompute per round
+                (F.col("nb_min") < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("doc_id", "cluster_id")
+        if new.where(F.col("chg")).limit(1).count() == 0:
             break
     return labels.orderBy("doc_id")
 
@@ -727,22 +724,35 @@ def lsh_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+# above this embedding dim the plane weights stop being plan literals
+# (n_planes×dim literals bloat every plan at dims of 1-4k) and ride a
+# broadcast variable into a vectorized Arrow/numpy matmul instead
+ANN_LITERAL_DIM_MAX = 256
+
+
 def hyperplane_bands(
     e: DataFrame,
     n_planes: int = ANN_PLANES,
     band_size: int = ANN_BAND_SIZE,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_literal_dim: int = ANN_LITERAL_DIM_MAX,
 ) -> DataFrame:
     """(id, band) rows for banded random-hyperplane LSH — the ANN scale path.
 
-    Bit p = sign of <v, w_p> with the md5-parity ±1 planes above, embedded
-    as literal arrays so the dot products run as JVM whole-stage-codegen
-    folds (no Python, no shuffle until the band self-join). Bands of
+    Bit p = sign of <v, w_p> with the md5-parity ±1 planes above. Bands of
     ``band_size`` bits: two vectors are candidates iff they share ANY band
     — the standard b×r trade: P(candidate) = 1-(1-p^r)^b for per-bit
     agreement p = 1 - angle/π. Candidate generation is a hash join on the
-    band key — no all-pairs work, the same shape as the MinHash operator."""
+    band key — no all-pairs work, the same shape as the MinHash operator.
+
+    Two physical strategies, same bits: at dim <= max_literal_dim the
+    planes embed as literal arrays and the dot products run as JVM
+    whole-stage-codegen folds (no Python); above it the plane matrix is a
+    broadcast variable and the dots are one numpy matmul per Arrow batch
+    (mapInPandas) — the plan stays small at embedding dims of 1-4k."""
+    import pandas as pd
+
     first = e.select(emb_col).first()
     if first is None:  # empty input -> no bands, no candidates
         return e.select(
@@ -750,20 +760,55 @@ def hyperplane_bands(
         ).where(F.lit(False))
     dim = len(first[emb_col])
     ws = lsh_plane_weights(n_planes, dim)
-    bits = []
-    for p in range(n_planes):
-        warr = F.array(*[F.lit(w) for w in ws[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col(emb_col), warr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    bands = [
-        F.concat(F.lit(f"b{b}:"), *bits[b * band_size : (b + 1) * band_size])
-        for b in range(n_planes // band_size)
-    ]
-    return e.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+    n_bands = n_planes // band_size
+
+    if dim <= max_literal_dim:
+        bits = []
+        for p in range(n_planes):
+            warr = F.array(*[F.lit(w) for w in ws[p]])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(emb_col), warr, lambda x, w: x.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+        bands = [
+            F.concat(F.lit(f"b{b}:"), *bits[b * band_size : (b + 1) * band_size])
+            for b in range(n_bands)
+        ]
+        return e.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    bc = e.sparkSession.sparkContext.broadcast(
+        np.asarray(ws, dtype=np.float64)
+    )
+    schema = T.StructType(
+        [e.schema[id_col], T.StructField("band", T.StringType())]
+    )
+
+    def fn(iterator):
+        W = bc.value  # (n_planes, dim)
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[emb_col].to_list(), dtype=np.float64)
+            chars = np.where(V @ W.T > 0, "1", "0")  # (n, n_planes)
+            ids, bands_out = [], []
+            for b in range(n_bands):
+                seg = chars[:, b * band_size : (b + 1) * band_size]
+                bands_out.extend(
+                    f"b{b}:" + "".join(row) for row in seg
+                )
+                ids.append(pdf[id_col].to_numpy())
+            yield pd.DataFrame(
+                {id_col: np.concatenate(ids), "band": bands_out}
+            )
+
+    return e.select(id_col, emb_col).mapInPandas(fn, schema=schema)
 
 
 def q_ann_lsh_candidates(spark, sf_dir):

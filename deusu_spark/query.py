@@ -113,13 +113,14 @@ class SearchEngine:
 
     # -- lexicon probe ------------------------------------------------------
     def term_df(self, term: str) -> int:
-        b = crc32(term) % 64
-        rows = (
-            self.lexicon.where((F.col("bucket") == b) & (F.col("term") == term))
-            .select("df")
-            .collect()
-        )
-        return int(rows[0]["df"]) if rows else 0
+        """df through the same cached term-metadata fetch compile() uses —
+        one source of truth (round-2 review: the old lexicon collect was a
+        second, cache-bypassing path)."""
+        self._fetch_term_meta([term])
+        sub = self._term_meta.get(term)
+        if sub is None or sub.empty:
+            return 0
+        return int(sub[sub["kind"] == "full"]["n"].sum())
 
     def _fetch_term_meta(self, keys: list[str]) -> None:
         """One bucket/term-pruned metadata job for every unseen key (both
@@ -175,16 +176,8 @@ class SearchEngine:
             key = kw[1:] if kw[:1] in "+-" else kw
             if host_of(key) is None and ":" not in key:
                 cands.add(key)
-        self._fetch_term_meta(sorted(cands))
-
-        def df_of(t: str) -> int:
-            sub = self._term_meta.get(t)
-            if sub is None or sub.empty:
-                return 0
-            full = sub[sub["kind"] == "full"]
-            return int(full["n"].sum())
-
-        return compile_query(query, self.meta["n_docs"], df_of)
+        self._fetch_term_meta(sorted(cands))  # ONE job; term_df is then warm
+        return compile_query(query, self.meta["n_docs"], self.term_df)
 
     # -- public API ----------------------------------------------------------
     def search(

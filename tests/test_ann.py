@@ -62,6 +62,25 @@ def test_lsh_recall_vs_bruteforce(spark, clustered):
     assert np.mean(cand_sizes) < 0.35 * n, np.mean(cand_sizes)
 
 
+def test_broadcast_path_matches_literal_path(spark, clustered):
+    """Above ANN_LITERAL_DIM_MAX the planes ride a broadcast into a numpy
+    matmul instead of plan literals — the (id, band) output must be
+    identical. Forced here by dropping the literal-dim cutoff to 0."""
+    df, _ = clustered
+    lit_rows = {
+        (r["vec_id"], r["band"])
+        for r in pipelines.hyperplane_bands(df, n_planes=24, band_size=6).collect()
+    }
+    bc_rows = {
+        (r["vec_id"], r["band"])
+        for r in pipelines.hyperplane_bands(
+            df, n_planes=24, band_size=6, max_literal_dim=0
+        ).collect()
+    }
+    assert bc_rows == lit_rows
+    assert len(lit_rows) == N_CLUSTERS * PER_CLUSTER * 4  # 24/6 bands per vec
+
+
 def test_plane_weights_deterministic():
     a = pipelines.lsh_plane_weights(4, 16)
     b = pipelines.lsh_plane_weights(4, 16)
