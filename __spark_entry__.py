@@ -153,6 +153,45 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of the IVF ANN query: identical sampled centroids
+    (vec_id < K), identical rounded-cosine assignment (ties -> lowest cell,
+    matching Spark's first-max array_position), identical probe set and
+    in-cell brute force."""
+    from deusu_spark.pipelines import IVF_K, IVF_NPROBE
+
+    dot = (
+        "(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+        "FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                                FROM (SELECT unnest(embedding) AS x))) AS nrm
+                   FROM embeddings),
+             cents AS (SELECT vec_id AS cell, embedding AS cemb, nrm AS cnrm
+                       FROM e WHERE vec_id < {IVF_K}),
+             sims AS (SELECT e.vec_id, c.cell,
+                             round({dot.format(a='e.embedding', b='c.cemb')}
+                                   / (e.nrm * c.cnrm), 4) AS sim
+                      FROM e CROSS JOIN cents c),
+             assigned AS (SELECT vec_id, cell FROM (
+                            SELECT vec_id, cell,
+                                   row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) AS rn
+                            FROM sims) WHERE rn = 1),
+             probe AS (SELECT cell FROM sims WHERE vec_id = 0
+                       ORDER BY sim DESC, cell LIMIT {IVF_NPROBE}),
+             q AS (SELECT embedding AS qemb, nrm AS qnrm FROM e WHERE vec_id = 0)
+        SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+               round({dot.format(a='e.embedding', b='q.qemb')}
+                     / (e.nrm * q.qnrm), 4) AS cos_sim
+        FROM assigned a JOIN e ON e.vec_id = a.vec_id CROSS JOIN q
+        WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id LIMIT 15
+    """
+
+
 def _lang_id_sql() -> str:
     from deusu_spark.pipelines import LANG_MARKERS
 
@@ -184,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_near_dup_pairs": _simhash_near_dup_sql(),
         "ann_lsh_candidates": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -833,6 +833,181 @@ def q_ann_lsh_candidates(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cell-partitioned scale path for similarity
+# search, complementing banded hyperplane LSH above. Vectors are assigned to
+# their nearest centroid ("cell"); a query probes only the nprobe nearest
+# cells and brute-forces inside them. At 100 TB the cells become the storage
+# partitioning (write the vector table partitionBy(cell)), so a probe is a
+# partition-pruned scan of nprobe/K of the data; assignment itself is
+# map-only (broadcast centroids, no shuffle). Centroids here are a
+# deterministic sample (the first K vectors) so every engine — Spark, numpy,
+# the DuckDB oracle — reproduces the identical cells; production would train
+# them with sampled k-means (e.g. pyspark.ml.clustering.KMeans on a 0.1%
+# sample), which changes only how the centroid list is obtained.
+
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def _round_half_up4(x: float) -> float:
+    """Python-side twin of Spark's round(x, 4) (HALF_UP, not banker's)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
+def ivf_centroids(
+    e: DataFrame, k: int = IVF_K, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid sample: the k lowest-id vectors, in id order.
+    Bounded driver copy (k × dim floats)."""
+    rows = (
+        e.where(F.col(id_col) < k)
+        .select(id_col, emb_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ivf_assign(
+    e: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_literal_dim: int = ANN_LITERAL_DIM_MAX,
+) -> DataFrame:
+    """(id, embedding, cell) — nearest-centroid assignment by rounded cosine
+    (ties -> lowest cell). Two physical strategies, same cells:
+
+    - dim <= max_literal_dim: centroids embed as literal arrays; per-row the
+      plan builds the K-element similarity array and takes
+      array_position(sims, array_max(sims)) — whole-stage codegen, map-only,
+      NO shuffle (the window/groupBy argmax alternative would shuffle n×K
+      rows).
+    - above it: the centroid matrix rides a broadcast into one numpy matmul
+      + argmax per Arrow batch (mapInPandas) — plans stay small at dims of
+      1-4k.
+    """
+    import math
+
+    cnorms = [math.sqrt(sum(x * x for x in w)) for w in centroids]
+
+    if centroids and len(centroids[0]) <= max_literal_dim:
+        vnorm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(emb_col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        sims = []
+        for w, wn in zip(centroids, cnorms):
+            warr = F.array(*[F.lit(x) for x in w])
+            dot = F.aggregate(
+                F.zip_with(F.col(emb_col), warr, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sims.append(F.round(dot / (vnorm * F.lit(wn)), 4))
+        sims_arr = F.array(*sims)
+        # first index of the max -> ties resolve to the lowest cell, the
+        # same order the oracle's ORDER BY sim DESC, cell enforces
+        cell = (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int")
+        return e.select(F.col(id_col), F.col(emb_col), cell.alias("cell"))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = e.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+    schema = T.StructType(
+        [e.schema[id_col], e.schema[emb_col], T.StructField("cell", T.IntegerType())]
+    )
+
+    def fn(iterator):
+        C = bc.value  # (K, dim)
+        Cn = np.linalg.norm(C, axis=1)
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[emb_col].to_list(), dtype=np.float64)
+            sims = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None] * Cn[None, :])
+            # HALF_UP like Spark round(), not numpy's banker's rounding
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    emb_col: pdf[emb_col],
+                    "cell": np.argmax(sims, axis=1).astype("int32"),
+                }
+            )
+
+    return e.select(id_col, emb_col).mapInPandas(fn, schema=schema)
+
+
+def ivf_probe_cells(
+    qv: list[float], centroids: list[list[float]], nprobe: int = IVF_NPROBE
+) -> list[int]:
+    """The nprobe cells nearest the query vector (rounded cosine, ties ->
+    lowest cell) — driver-side over the bounded centroid list."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qv))
+    scored = []
+    for cell, w in enumerate(centroids):
+        wn = math.sqrt(sum(x * x for x in w))
+        sim = _round_half_up4(
+            sum(a * b for a, b in zip(qv, w)) / (qn * wn)
+        )
+        scored.append((-sim, cell))
+    return [cell for _, cell in sorted(scored)[:nprobe]]
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k for the vec_id=0 query: assign every vector to its
+    nearest of IVF_K sampled centroids, probe the IVF_NPROBE nearest cells,
+    brute-force rounded cosine inside them only. Exact baseline:
+    embedding_cosine_topk (same query vector, same k) — recall vs it is
+    asserted on clustered vectors in tests/test_ann.py."""
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e)
+    q = cents[0]  # vec_id 0 doubles as the query, as in the exact baseline
+    probed = ivf_probe_cells(q, cents)
+    qn = math.sqrt(sum(x * x for x in q))
+    qarr = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(
+        F.zip_with("embedding", qarr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    assigned = ivf_assign(e, cents)
+    return (
+        assigned.where(F.col("cell").isin(probed) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(dot / (vnorm * F.lit(qn)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(15)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -860,6 +1035,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ann_lsh_candidates": q_ann_lsh_candidates,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count_bpe": q_token_count_bpe,

@@ -90,6 +90,79 @@ def test_plane_weights_deterministic():
     assert all(1.0 in row and -1.0 in row for row in a)
 
 
+def test_ivf_recall_vs_bruteforce(spark, clustered):
+    """IVF with one sampled centroid per cluster, nprobe=2: probing ~2/8 of
+    the corpus must still recover most of the true top-10 (on clustered
+    vectors the true neighbors live in the query's own cell)."""
+    df, V = clustered
+    n = len(V)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+
+    # one representative per cluster (vectors are laid out cluster-major)
+    cents = [[float(x) for x in V[c * PER_CLUSTER]] for c in range(N_CLUSTERS)]
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in pipelines.ivf_assign(df, cents).collect()
+    }
+    assert set(assigned) == set(range(n))
+
+    recalls, scanned = [], []
+    for q in range(0, n, 17):
+        probed = set(
+            pipelines.ivf_probe_cells([float(x) for x in V[q]], cents, nprobe=2)
+        )
+        cand = {i for i, c in assigned.items() if c in probed and i != q}
+        exact = np.argsort(-sims[q])
+        top10 = [int(d) for d in exact if d != q][:10]
+        recalls.append(len(set(top10) & cand) / 10)
+        scanned.append(len(cand))
+    assert np.mean(recalls) >= 0.8, (np.mean(recalls), recalls)
+    # selectivity: nprobe=2 of 8 cells -> ~1/4 of the corpus scanned
+    assert np.mean(scanned) < 0.4 * n, np.mean(scanned)
+
+
+def test_ivf_broadcast_path_matches_literal_path(spark, clustered):
+    """Above ANN_LITERAL_DIM_MAX the centroids ride a broadcast into a numpy
+    matmul argmax instead of plan literals — cell assignments must be
+    identical. Forced by dropping the literal-dim cutoff to 0."""
+    df, V = clustered
+    cents = [[float(x) for x in V[c * PER_CLUSTER]] for c in range(N_CLUSTERS)]
+    lit = {
+        (r["vec_id"], r["cell"])
+        for r in pipelines.ivf_assign(df, cents).collect()
+    }
+    bc = {
+        (r["vec_id"], r["cell"])
+        for r in pipelines.ivf_assign(df, cents, max_literal_dim=0).collect()
+    }
+    assert bc == lit
+    assert len(lit) == len(V)
+
+
+def test_ivf_topk_matches_duckdb_oracle(spark):
+    """The driver-gate parity for ann_ivf_topk, run locally at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["vec_id"], r["cell"], round(r["cos_sim"], 7))
+        for r in pipelines.q_ann_ivf_topk(spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = [
+        (a, b, round(c, 7))
+        for a, b, c in con.execute(entry._ann_ivf_sql()).fetchall()
+    ]
+    assert got == want
+    assert len(got) == 15
+
+
 def test_ann_candidates_match_duckdb_oracle(spark):
     """The driver-gate parity, run locally at sf0.001."""
     import duckdb
