@@ -877,9 +877,11 @@ def ivf_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_literal_dim: int = ANN_LITERAL_DIM_MAX,
+    with_sim: bool = False,
 ) -> DataFrame:
-    """(id, embedding, cell) — nearest-centroid assignment by rounded cosine
-    (ties -> lowest cell). Two physical strategies, same cells:
+    """(id, embedding, cell[, best_sim]) — nearest-centroid assignment by
+    rounded cosine (ties -> lowest cell). Two physical strategies, same
+    cells:
 
     - dim <= max_literal_dim: centroids embed as literal arrays; per-row the
       plan builds the K-element similarity array and takes
@@ -917,7 +919,10 @@ def ivf_assign(
         # first index of the max -> ties resolve to the lowest cell, the
         # same order the oracle's ORDER BY sim DESC, cell enforces
         cell = (F.array_position(sims_arr, F.array_max(sims_arr)) - 1).cast("int")
-        return e.select(F.col(id_col), F.col(emb_col), cell.alias("cell"))
+        cols = [F.col(id_col), F.col(emb_col), cell.alias("cell")]
+        if with_sim:
+            cols.append(F.array_max(sims_arr).alias("best_sim"))
+        return e.select(*cols)
 
     import numpy as np
     import pandas as pd
@@ -926,9 +931,14 @@ def ivf_assign(
     bc = e.sparkSession.sparkContext.broadcast(
         np.asarray(centroids, dtype=np.float64)
     )
-    schema = T.StructType(
-        [e.schema[id_col], e.schema[emb_col], T.StructField("cell", T.IntegerType())]
-    )
+    fields = [
+        e.schema[id_col],
+        e.schema[emb_col],
+        T.StructField("cell", T.IntegerType()),
+    ]
+    if with_sim:
+        fields.append(T.StructField("best_sim", T.DoubleType()))
+    schema = T.StructType(fields)
 
     def fn(iterator):
         C = bc.value  # (K, dim)
@@ -940,15 +950,77 @@ def ivf_assign(
             sims = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None] * Cn[None, :])
             # HALF_UP like Spark round(), not numpy's banker's rounding
             sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    emb_col: pdf[emb_col],
-                    "cell": np.argmax(sims, axis=1).astype("int32"),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                emb_col: pdf[emb_col],
+                "cell": np.argmax(sims, axis=1).astype("int32"),
+            }
+            if with_sim:
+                out["best_sim"] = np.max(sims, axis=1)
+            yield pd.DataFrame(out)
 
     return e.select(id_col, emb_col).mapInPandas(fn, schema=schema)
+
+
+def ivf_train(
+    e: DataFrame,
+    k: int = IVF_K,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_literal_dim: int = ANN_LITERAL_DIM_MAX,
+) -> list[list[float]]:
+    """Train IVF centroids: deterministic farthest-first init + Lloyd
+    refinement, all DataFrame-native and cluster-shaped.
+
+    Init: start from the lowest-id vector, then k-1 rounds of "take the
+    vector least similar to any chosen centroid" (ties -> lowest id) — each
+    round is one assignment plan + a TakeOrdered(1), so init costs k bounded
+    jobs and never materializes more than one row on the driver.
+
+    Lloyd step: per-cell mean via posexplode + groupBy(cell, pos) — the
+    shuffle carries k×dim keys regardless of corpus size, and the collected
+    update is k×dim doubles. Cosine is scale-invariant so the means are not
+    renormalized (spherical k-means without the projection step). Means are
+    rounded to 1e-6 to erase float-summation-order noise, keeping the
+    trained centroids reproducible run-to-run. Empty cells keep their
+    previous centroid.
+    """
+    first = (
+        e.select(id_col, emb_col).orderBy(id_col).limit(1).collect()
+    )
+    if not first:
+        return []
+    cents = [[float(x) for x in first[0][1]]]
+    for _ in range(k - 1):
+        far = (
+            ivf_assign(
+                e, cents, id_col, emb_col, max_literal_dim, with_sim=True
+            )
+            .orderBy("best_sim", id_col)
+            .limit(1)
+            .collect()
+        )
+        cents.append([float(x) for x in far[0][emb_col]])
+
+    for _ in range(iters):
+        assigned = ivf_assign(e, cents, id_col, emb_col, max_literal_dim)
+        rows = (
+            assigned.select("cell", F.posexplode(emb_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            [round(means[c][i], 6) for i in range(len(cents[c]))]
+            if c in means
+            else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
 
 
 def ivf_probe_cells(

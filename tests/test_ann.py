@@ -140,6 +140,42 @@ def test_ivf_broadcast_path_matches_literal_path(spark, clustered):
     assert len(lit) == len(V)
 
 
+def test_ivf_train_recovers_clusters(spark, clustered):
+    """Farthest-first init picks one seed per well-separated cluster; Lloyd
+    refinement pulls each centroid to its cluster mean. The trained cells
+    must BE the clusters: balanced occupancy and near-total nprobe=1 recall
+    (vs nprobe=2 the sampled-centroid tests need). Also reproducible: the
+    means are rounded past float-summation-order noise."""
+    from collections import Counter
+
+    df, V = clustered
+    n = len(V)
+    cents = pipelines.ivf_train(df, k=N_CLUSTERS, iters=3)
+    assert len(cents) == N_CLUSTERS
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in pipelines.ivf_assign(df, cents).collect()
+    }
+    sizes = Counter(assigned.values())
+    assert len(sizes) == N_CLUSTERS, sizes
+    assert max(sizes.values()) <= 2 * PER_CLUSTER, sizes
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    recalls = []
+    for q in range(0, n, 17):
+        probed = set(
+            pipelines.ivf_probe_cells([float(x) for x in V[q]], cents, nprobe=1)
+        )
+        cand = {i for i, c in assigned.items() if c in probed and i != q}
+        exact = np.argsort(-sims[q])
+        top10 = [int(d) for d in exact if d != q][:10]
+        recalls.append(len(set(top10) & cand) / 10)
+    assert np.mean(recalls) >= 0.9, (np.mean(recalls), recalls)
+
+    assert cents == pipelines.ivf_train(df, k=N_CLUSTERS, iters=3)
+
+
 def test_ivf_topk_matches_duckdb_oracle(spark):
     """The driver-gate parity for ann_ivf_topk, run locally at sf0.001."""
     import duckdb
