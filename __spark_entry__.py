@@ -192,6 +192,53 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def _chunk_windows_sql() -> str:
+    from deusu_spark.pipelines import CHUNK_S, CHUNK_W
+
+    return f"""
+        WITH a AS (SELECT doc_id, a FROM ({_ARR})
+                   WHERE doc_id < 150 AND len(a) > 0),
+             s AS (SELECT doc_id, a, unnest(range(0, len(a), {CHUNK_S})) AS start
+                   FROM a)
+        SELECT doc_id, CAST(start // {CHUNK_S} AS INTEGER) AS chunk_idx,
+               CAST(len(list_slice(a, start + 1, start + {CHUNK_W}))
+                    AS INTEGER) AS n_chunk,
+               array_to_string(list_slice(a, start + 1, start + {CHUNK_W}), ' ')
+                   AS chunk_text
+        FROM s ORDER BY doc_id, chunk_idx
+    """
+
+
+def _train_val_split_sql() -> str:
+    hx = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    return f"""
+        WITH h AS (SELECT doc_id, md5('split:' || doc_id) AS h
+                   FROM documents WHERE doc_id < 150),
+             b AS (SELECT doc_id,
+                          CAST((({hx.format(i=1)}) * 16 + ({hx.format(i=2)})) % 10
+                               AS INTEGER) AS bucket
+                   FROM h)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket = 0 THEN 'val' ELSE 'train' END AS split
+        FROM b ORDER BY doc_id
+    """
+
+
+def _pack_sequences_sql() -> str:
+    from deusu_spark.pipelines import PACK_CAP, PACK_SHARD
+
+    return f"""
+        WITH a AS (SELECT doc_id, a FROM ({_ARR}) WHERE doc_id < 150),
+             x AS (SELECT doc_id, CAST(doc_id // {PACK_SHARD} AS INTEGER) AS shard,
+                          CAST(len(a) AS INTEGER) AS n_tokens FROM a)
+        SELECT doc_id, shard, n_tokens,
+               CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // {PACK_CAP} AS INTEGER) AS bin
+        FROM x ORDER BY doc_id
+    """
+
+
 def _lang_id_sql() -> str:
     from deusu_spark.pipelines import LANG_MARKERS
 
@@ -224,6 +271,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": _simhash_near_dup_sql(),
         "ann_lsh_candidates": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "chunk_windows": _chunk_windows_sql(),
+        "train_val_split": _train_val_split_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -1080,6 +1080,103 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data shaping ops: token-window chunking, deterministic hash
+# splits, and shard-local sequence packing — the steps between "clean
+# corpus" and "batches a trainer can consume".
+
+CHUNK_W = 20  # tokens per chunk
+CHUNK_S = 10  # stride (W-S tokens of overlap between adjacent chunks)
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (W=20, stride 10) — the standard
+    long-document -> training-sample step. Pure column expressions: the
+    token array is built once, chunk starts come from sequence(), and each
+    chunk is a slice — per-row work, no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    d = d.select("doc_id", arr.alias("a"))
+    n = F.size("a")
+    return (
+        d.where(n > 0)
+        .select(
+            "doc_id",
+            "a",
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(CHUNK_S))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_S).cast("int").alias("chunk_idx"),
+            F.size(F.slice("a", F.col("start") + 1, CHUNK_W)).alias("n_chunk"),
+            F.concat_ws(
+                " ", F.slice("a", F.col("start") + 1, CHUNK_W)
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val split (10% val): bucket =
+    md5('split:'||doc_id) first byte mod 10. Hash splits are the scale-safe
+    shape — no sampling state, no shuffle, stable under reruns and
+    re-partitioning, and any engine reproduces the assignment."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 10).alias(
+        "bucket"
+    )
+    return (
+        d.select(
+            "doc_id",
+            bucket,
+            F.when(F.col("bucket") == 0, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_CAP = 64  # tokens per packed sequence bin
+PACK_SHARD = 50  # docs per packing shard
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Shard-local greedy sequence packing: concatenate documents in doc_id
+    order and cut bins every PACK_CAP tokens; a doc's bin = its start
+    offset // cap within its shard's token stream. The window is
+    partitioned by shard (doc_id ranges) on purpose — that IS the scale
+    shape: each writer packs its own range independently and bins are
+    (shard, bin) pairs, so no global ordering or single-partition window
+    ever exists."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    d = d.select("doc_id", arr.alias("a"))
+    shard = (F.col("doc_id") / PACK_SHARD).cast("int").alias("shard")
+    n = F.size("a").alias("n_tokens")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", shard, n)
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAP
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1108,6 +1205,9 @@ QUERIES = {
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ann_lsh_candidates": q_ann_lsh_candidates,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "chunk_windows": q_chunk_windows,
+    "train_val_split": q_train_val_split,
+    "pack_sequences": q_pack_sequences,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count_bpe": q_token_count_bpe,
