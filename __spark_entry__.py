@@ -495,6 +495,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, min(dst) AS cluster_id
             FROM reach GROUP BY src ORDER BY doc_id
         """,
+        "dedup_filtered_corpus": f"""
+            WITH RECURSIVE {_MINHASH_PAIR_CTES},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION
+                           SELECT doc_b, doc_a FROM pairs),
+                 reach(src, dst) AS (
+                     SELECT src, src FROM edges
+                     UNION
+                     SELECT r.src, e.dst
+                     FROM reach r JOIN edges e ON r.dst = e.src),
+                 labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                            FROM reach GROUP BY src)
+            SELECT d.doc_id,
+                   CASE WHEN l.doc_id IS NULL THEN 'unique'
+                        ELSE 'representative' END AS kept_as
+            FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+            WHERE d.doc_id < 300
+              AND (l.cluster_id IS NULL OR l.cluster_id = d.doc_id)
+            ORDER BY d.doc_id
+        """,
         "token_stats": f"""
             SELECT doc_id,
                    CAST(len(a) AS INTEGER) AS n_tokens,

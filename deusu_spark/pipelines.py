@@ -1080,6 +1080,33 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_dedup_filtered_corpus(spark, sf_dir):
+    """The dedup pipeline's terminal step: the canonical corpus after
+    near-duplicate removal. Keeps every doc that is either untouched by the
+    MinHash-LSH candidate graph ('unique') or the minimum-id member of its
+    connected near-dup cluster ('representative'); all other cluster members
+    are dropped. One left join against the (bounded: only docs appearing in
+    candidate pairs) label table — the same shape at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    labels = q_dedup_clusters(spark, sf_dir)
+    j = d.join(labels, "doc_id", "left")
+    return (
+        j.where(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+            .otherwise(F.lit("representative"))
+            .alias("kept_as"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data shaping ops: token-window chunking, deterministic hash
 # splits, and shard-local sequence packing — the steps between "clean
@@ -1198,6 +1225,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_band_candidates": q_minhash_band_candidates,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_filtered_corpus": q_dedup_filtered_corpus,
     "token_stats": q_token_stats,
     "lang_stats": q_lang_stats,
     "embedding_cosine_topk": q_embedding_cosine_topk,
