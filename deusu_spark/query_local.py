@@ -79,6 +79,15 @@ class LocalSearcher:
             os.path.join(self.vdir, "lexicon"), partitioning="hive"
         )
         self._df_cache: dict[str, int] = {}
+        # decoded-term cache: a (term, kind) decodes ONCE per searcher and
+        # is shared across queries — the serving-batch amortization (the
+        # reference gets the analogous reuse from the OS page cache over
+        # its always-open keys/fancy files, searchservernew.dpr:1464-1632).
+        # Size-bounded by total cached postings, FIFO-evicted; entries are
+        # marked read-only — every consumer works on masked copies.
+        self._term_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        self._term_cache_elems = 0
+        self.term_cache_max_elems = 1 << 22  # ~4M postings ≈ 64 MB int64 pairs
         # Q14 result cache — searchservernew.dpr:1077-1101: 2048 slots keyed
         # by crc32 of (query, weights, mode); a slot holds ONE entry (new
         # queries evict colliding ones), hits must match the full key. The
@@ -109,6 +118,10 @@ class LocalSearcher:
         self, term: str, use_fancy: bool, df: int
     ) -> tuple[np.ndarray, np.ndarray]:
         kind = "fancy" if use_fancy and df > self.meta["fancy_threshold"] else "full"
+        ckey = (term, kind)
+        hit = self._term_cache.get(ckey)
+        if hit is not None:
+            return hit
         b = crc32(term) % 64
         flt = (
             (pads.field("bucket") == b)
@@ -126,7 +139,9 @@ class LocalSearcher:
             )
         t = self._postings.to_table(filter=flt, columns=["first_doc", "blob"])
         if t.num_rows == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            docs = np.empty(0, dtype=np.int64)
+            flags = np.empty(0, dtype=np.int64)
+            return self._cache_put(ckey, docs, flags)
         order = np.argsort(t["first_doc"].to_numpy())
         docs_l, flags_l = [], []
         blobs = t["blob"].to_pylist()
@@ -139,6 +154,24 @@ class LocalSearcher:
         if sharded:
             m = (docs >= self.doc_lo) & (docs < self.doc_hi)
             docs, flags = docs[m], flags[m]
+        return self._cache_put(ckey, docs, flags)
+
+    def _cache_put(
+        self, ckey: tuple[str, str], docs: np.ndarray, flags: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        if len(docs) <= self.term_cache_max_elems:
+            while (
+                self._term_cache
+                and self._term_cache_elems + len(docs)
+                > self.term_cache_max_elems
+            ):
+                old = next(iter(self._term_cache))
+                od, _ = self._term_cache.pop(old)
+                self._term_cache_elems -= len(od)
+            docs.setflags(write=False)
+            flags.setflags(write=False)
+            self._term_cache[ckey] = (docs, flags)
+            self._term_cache_elems += len(docs)
         return docs, flags
 
     # ------------------------------------------------------------------
@@ -171,6 +204,21 @@ class LocalSearcher:
         rows = self._search_uncached(query, k, w, mode)
         self._result_cache[slot] = (cache_key, rows)
         return rows[:k]
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        mode: str = "deusu",
+    ) -> list[list[tuple[int, int]]]:
+        """Batch serving twin of SearchEngine.search_many: per-query results
+        identical to search(). The amortization is the decoded-term cache —
+        a (term, kind) shared by several queries in the batch is read and
+        varbyte-decoded once — plus the Q14 result cache for repeats."""
+        return [
+            self.search(q, k=k, weights=weights, mode=mode) for q in queries
+        ]
 
     def _search_uncached(
         self, query: str, k: int, w: dict[str, int], mode: str
@@ -382,6 +430,19 @@ class ShardedSearcher:
                 return rows[:k]
         rows, _ = run(False, "deusu")
         return rows[:k]
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        mode: str = "deusu",
+    ) -> list[list[tuple[int, int]]]:
+        """Batch over the shard fan-out; each shard's decoded-term cache
+        amortizes shared terms across the batch within its doc range."""
+        return [
+            self.search(q, k=k, weights=weights, mode=mode) for q in queries
+        ]
 
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         # doc ids are global; any shard's docmeta dataset read resolves them

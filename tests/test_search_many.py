@@ -55,6 +55,49 @@ def test_search_many_empty_and_duplicates(engine):
     assert batch[2] == batch[3] == engine.search("linux", k=5)
 
 
+def test_serving_search_many_rank_identity(tiny_index_dir, oracle_index):
+    """LocalSearcher.search_many: batch == per-query == oracle, and the
+    decoded-term cache actually amortizes (terms shared across the batch
+    live in the cache; a repeat batch is served from the Q14 result
+    cache without further postings reads)."""
+    from deusu_spark.oracle import oracle
+    from deusu_spark.query_local import LocalSearcher
+
+    ls = LocalSearcher(tiny_index_dir)
+    batch = ls.search_many(QUERIES, k=10)
+    assert len(batch) == len(QUERIES)
+    for q, rows in zip(QUERIES, batch):
+        assert rows == oracle.search(oracle_index, q, k=10), f"query={q!r}"
+    # shared terms across the batch were decoded once and retained
+    assert len(ls._term_cache) > 0
+    assert ls._term_cache_elems <= ls.term_cache_max_elems
+    misses_after_first = ls.cache_misses
+    assert ls.search_many(QUERIES, k=10) == batch
+    assert ls.cache_misses == misses_after_first  # all Q14 hits
+
+
+def test_serving_search_many_sharded(tiny_index_dir):
+    from deusu_spark.query_local import LocalSearcher, ShardedSearcher
+
+    ls = LocalSearcher(tiny_index_dir)
+    sh = ShardedSearcher(tiny_index_dir, n_shards=3)
+    qs = ["linux", "linux ubuntu", "linux -google", "w0042", "google java"]
+    assert sh.search_many(qs, k=10) == [ls.search(q, k=10) for q in qs]
+
+
+def test_serving_term_cache_eviction(tiny_index_dir):
+    """A tiny element budget must evict FIFO and never exceed the bound,
+    with results unchanged."""
+    from deusu_spark.query_local import LocalSearcher
+
+    ls = LocalSearcher(tiny_index_dir)
+    ref = LocalSearcher(tiny_index_dir)
+    ls.term_cache_max_elems = 64
+    for q in QUERIES:
+        assert ls.search(q, k=10) == ref.search(q, k=10), q
+        assert ls._term_cache_elems <= 64
+
+
 def test_search_many_one_metadata_job_when_warm(engine):
     """After compile-warming, a batch must run NO further metadata jobs:
     the per-term metadata cache is shared across the batch."""
