@@ -1067,3 +1067,20 @@ def _move_bucket_dirs(tmp_dir: str, final_dir: str) -> None:
 def current_index_dir(out_dir: str) -> str:
     with open(os.path.join(out_dir, "CURRENT")) as f:
         return os.path.join(out_dir, f.read().strip())
+
+
+def load_tombstones(vdir: str):
+    """Sorted unique doc_ids logically deleted from this index version
+    (incremental.delete_conversations). Empty array when none — the common
+    case costs one isdir() check. Tombstone cardinality is bounded by
+    takedown volume (<< n_docs), so a driver/broadcast copy is the same
+    RAM tier as the serving sidecars."""
+    import numpy as np
+
+    p = os.path.join(vdir, "tombstones")
+    if not os.path.isdir(p):
+        return np.empty(0, dtype=np.int64)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(p, format="parquet").to_table(columns=["doc_id"])
+    return np.unique(t["doc_id"].to_numpy().astype(np.int64))

@@ -186,3 +186,22 @@ def rebase(blob: bytes, old_prev: int, new_prev: int) -> bytes:
     head_docs, head_flags = decode(arr[:end].tobytes(), prev_doc=old_prev)
     new_head = encode(head_docs, head_flags, prev_doc=new_prev)
     return new_head + arr[end:].tobytes()
+
+
+def remove_sorted(
+    docs: np.ndarray, flags: np.ndarray, tomb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop postings whose doc_id appears in the SORTED tombstone array —
+    the query-side masking primitive for logical deletions (takedowns).
+    Both engines apply it at decode time so every downstream decision
+    (AND counts, WAND theta, two-pass rule) sees only surviving docs."""
+    if len(tomb) == 0 or len(docs) == 0:
+        return docs, flags
+    pos = np.searchsorted(tomb, docs)
+    ok = pos < len(tomb)
+    hit = np.zeros(len(docs), dtype=bool)
+    hit[ok] = tomb[pos[ok]] == docs[ok]
+    if not hit.any():
+        return docs, flags
+    keep = ~hit
+    return docs[keep], flags[keep]

@@ -82,6 +82,14 @@ def incremental_update(
     for sub in ("postings", "docmeta"):
         _link_tree(os.path.join(old_vdir, sub), os.path.join(vdir, sub))
         _link_tree(os.path.join(delta_vdir, sub), os.path.join(vdir, sub))
+    # logical deletions survive appends: carry the tombstone set forward
+    # (a full rebuild from a corpus without the deleted conversations is
+    # what finally clears them, like the reference's periodic GenDb run)
+    if os.path.isdir(os.path.join(old_vdir, "tombstones")):
+        _link_tree(
+            os.path.join(old_vdir, "tombstones"),
+            os.path.join(vdir, "tombstones"),
+        )
 
     # recompute lexicon from merged segment metadata (no posting decode)
     lex = (
@@ -124,6 +132,73 @@ def incremental_update(
     TableIO(spark).publish(out_dir, version)
     metrics["version"] = version
     return metrics
+
+
+def delete_conversations(
+    spark: SparkSession, out_dir: str, conv_ids: list[str]
+) -> dict:
+    """Logical deletion (takedown) of whole conversations: publish a new
+    index version whose data files are hard links of the CURRENT ones plus
+    a tombstone table of the deleted doc_ids — no rebuild, no posting
+    rewrite, atomic pointer swap.
+
+    Both query engines mask tombstoned docs at postings-decode time, so
+    deleted docs can never appear in any result, count, or pruning decision.
+    Corpus statistics (df/idf, fancy lists, n_docs) intentionally stay as
+    built: surviving docs keep their exact pre-deletion scores, and the
+    stats refresh at the next full rebuild — the reference's model, where
+    deletions only ever take effect via the periodic GenDb rebuild + swap
+    (deusu.sh:3-9). Tombstone cardinality is takedown volume, orders below
+    n_docs, so the per-searcher sorted array / Spark broadcast is cheap.
+    """
+    old_vdir = current_index_dir(out_dir)
+    with open(os.path.join(old_vdir, "meta.json")) as f:
+        meta = json.load(f)
+    version = _pending_version(out_dir)
+    vdir = os.path.join(out_dir, version)
+    os.makedirs(vdir, exist_ok=True)
+    t_start = time.time()
+    for sub in ("postings", "docmeta", "lexicon"):
+        _link_tree(os.path.join(old_vdir, sub), os.path.join(vdir, sub))
+    for f_ in ("info.txt",):
+        src = os.path.join(old_vdir, f_)
+        if os.path.exists(src):
+            os.link(src, os.path.join(vdir, f_))
+
+    # resolve conversations -> doc_ids via docmeta (host == conversation)
+    new_tomb = (
+        spark.read.parquet(os.path.join(old_vdir, "docmeta"))
+        .where(F.col("host").isin(list(conv_ids)))
+        .select("doc_id")
+    )
+    old_tomb_dir = os.path.join(old_vdir, "tombstones")
+    if os.path.isdir(old_tomb_dir):
+        new_tomb = new_tomb.unionByName(
+            spark.read.parquet(old_tomb_dir).select("doc_id")
+        )
+    new_tomb = new_tomb.distinct()
+    new_tomb.write.mode("overwrite").parquet(
+        os.path.join(vdir, "tombstones")
+    )
+    n_tomb = int(
+        spark.read.parquet(os.path.join(vdir, "tombstones")).count()
+    )
+
+    meta["n_tombstones"] = n_tomb
+    with open(os.path.join(vdir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    lin = Lineage(os.path.join(vdir, "_lineage.jsonl"))
+    lin.record(
+        "tombstone",
+        conv_ids=len(list(conv_ids)),
+        n_tombstones=n_tomb,
+        wall_s=round(time.time() - t_start, 3),
+        base_version=os.path.basename(old_vdir),
+    )
+    from .tableio import TableIO
+
+    TableIO(spark).publish(out_dir, version)
+    return {"version": version, "n_tombstones": n_tomb}
 
 
 def stream_transcripts(

@@ -93,6 +93,21 @@ class SearchEngine:
         # predicates (coarsened supersets beyond that — correct, less tight)
         self.max_range_predicates = 64
         self.last_stats: dict = {}
+        # logical deletions (incremental.delete_conversations): a sorted
+        # doc_id array broadcast into every decode task — masking at decode
+        # keeps every downstream count / WAND theta / two-pass decision
+        # consistent with the serving engine on the same tombstoned index
+        from .build import load_tombstones
+
+        tomb = load_tombstones(self.vdir)
+        self._tomb_bc = (
+            spark.sparkContext.broadcast(tomb) if len(tomb) else None
+        )
+        self._tomb_df = (
+            self.io.read(os.path.join(self.vdir, "tombstones"))
+            if os.path.isdir(os.path.join(self.vdir, "tombstones"))
+            else None
+        )
         # per-term metadata cache (the searchserver analog of LoadCacheData's
         # in-RAM lexicon): one Spark job fetches a query's unseen terms —
         # df derivation, fancy decisions, and BOTH passes reuse it, so a
@@ -509,11 +524,13 @@ class SearchEngine:
             "strategy": "full",
         }
         if single_plain:
-            # every posting of a single plain term is a result, so the result
-            # count is known from segment metadata without decoding
-            total = int(seg_meta[seg_meta["ti"] == pos[0].ti]["n"].sum())
+            # every posting of a single plain term is a result; blockmax
+            # returns min(total, fetch) rows (it decodes everything whenever
+            # fewer than fetch survive — tombstone masking can shrink a
+            # segment below its metadata n), so len(rows) IS the count
+            # signal, clamped at fetch exactly like the decoded paths
             rows = self._single_term_blockmax(pos[0], seg_meta, fetch, w, use_fancy)
-            return rows, min(total, fetch)
+            return rows, len(rows)
 
         # host terms read from docmeta, not segments — they carry no segment
         # coverage and must not constrain the interval intersection
@@ -818,14 +835,20 @@ class SearchEngine:
                 cond = cond | c
             segs = self.postings.where(cond).select("term", "kind", "blob")
             specs = {k: v for k, v in term_specs.items()}
+            tomb_bc = self._tomb_bc
 
             def decode_fn(iterator):
+                tomb = tomb_bc.value if tomb_bc is not None else None
                 for pdf in iterator:
                     tis, dids, fls = [], [], []
                     for term, kind, blob in zip(
                         pdf["term"], pdf["kind"], pdf["blob"]
                     ):
                         docs, flags = codec.decode(bytes(blob))
+                        if tomb is not None:
+                            docs, flags = codec.remove_sorted(
+                                docs, flags, tomb
+                            )
                         for ti, uo, to in specs[(term, kind)]:
                             if uo:
                                 m = (flags & 4) != 0
@@ -864,13 +887,18 @@ class SearchEngine:
                         )
                         doc_iv = e if doc_iv is None else (doc_iv | e)
                     hc = hc & doc_iv
-                parts.append(
-                    self.docmeta.where(hc).select(
-                        F.lit(t.ti).cast("int").alias("ti"),
-                        "doc_id",
-                        F.lit(0).cast("int").alias("flags"),
-                    )
+                hp = self.docmeta.where(hc).select(
+                    F.lit(t.ti).cast("int").alias("ti"),
+                    "doc_id",
+                    F.lit(0).cast("int").alias("flags"),
                 )
+                if self._tomb_df is not None:
+                    hp = hp.join(
+                        F.broadcast(self._tomb_df.select("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
+                parts.append(hp)
 
         if not parts:
             return None
@@ -1002,7 +1030,17 @@ class SearchEngine:
         heap = self._decode_segments(t, _iv(np.array(batch)), use_fancy, w)
         heap.sort(key=lambda r: (-r[1], r[0]))
         self.last_stats.update(strategy="single_blockmax", segments_selected=len(batch))
-        if pos >= len(order) or len(heap) < fetch:
+        if pos >= len(order):
+            return heap[:fetch]
+        if len(heap) < fetch:
+            # metadata said the batch covered >= fetch postings but fewer
+            # survived decode (tombstone masking) — no theta exists yet, so
+            # the remaining segments must all be decoded for exactness
+            rest_all = np.array(order[pos:])
+            heap.extend(self._decode_segments(t, _iv(rest_all), use_fancy, w))
+            heap = list({d: (d, s) for d, s in heap}.values())
+            heap.sort(key=lambda r: (-r[1], r[0]))
+            self.last_stats["segments_selected"] = len(order)
             return heap[:fetch]
 
         # round 2: any remaining segment whose bound can still reach the kth
@@ -1035,19 +1073,22 @@ class SearchEngine:
             & _interval_filter_expr(iv)
         ).select("blob")
         decoded = segs.mapInPandas(
-            _decode_only_fn(t.ti), schema=DECODED_SCHEMA
+            _decode_only_fn(t.ti, self._tomb_bc), schema=DECODED_SCHEMA
         )
         scored = self._score_rows(decoded, [t], w)
         rows = scored.select("doc_id", "score").collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
 
-def _decode_only_fn(ti: int):
+def _decode_only_fn(ti: int, tomb_bc=None):
     def fn(iterator):
+        tomb = tomb_bc.value if tomb_bc is not None else None
         for pdf in iterator:
             dids, fls = [], []
             for blob in pdf["blob"]:
                 d, f = codec.decode(bytes(blob))
+                if tomb is not None:
+                    d, f = codec.remove_sorted(d, f, tomb)
                 dids.append(d)
                 fls.append(f.astype(np.int32))
             if dids:

@@ -18,7 +18,7 @@ import os
 import numpy as np
 import pyarrow.dataset as pads
 
-from .build import current_index_dir, static_scores
+from .build import current_index_dir, load_tombstones, static_scores
 from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
 from .queryplan import PlanTerm, compile_query
 from . import codec
@@ -42,6 +42,10 @@ class LocalSearcher:
         self.doc_hi = (
             doc_range[1] if doc_range else int(self.meta["n_docs"])
         )
+        # logical deletions (incremental.delete_conversations): masked at
+        # decode so counts / two-pass decisions see only surviving docs
+        tomb = load_tombstones(self.vdir)
+        self._tomb = tomb[(tomb >= self.doc_lo) & (tomb < self.doc_hi)]
         dm_ds = pads.dataset(
             os.path.join(self.vdir, "docmeta"), partitioning="hive"
         )
@@ -69,9 +73,10 @@ class LocalSearcher:
         )
         for i, s in enumerate(bounds):
             e = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_hosts)
-            self._host_docs[sorted_hosts[s]] = (
-                np.sort(host_order[s:e]).astype(np.int64) + self.doc_lo
-            )
+            hd = np.sort(host_order[s:e]).astype(np.int64) + self.doc_lo
+            if len(self._tomb):
+                hd = codec.remove_sorted(hd, hd, self._tomb)[0]
+            self._host_docs[sorted_hosts[s]] = hd
         self._postings = pads.dataset(
             os.path.join(self.vdir, "postings"), partitioning="hive"
         )
@@ -154,6 +159,7 @@ class LocalSearcher:
         if sharded:
             m = (docs >= self.doc_lo) & (docs < self.doc_hi)
             docs, flags = docs[m], flags[m]
+        docs, flags = codec.remove_sorted(docs, flags, self._tomb)
         return self._cache_put(ckey, docs, flags)
 
     def _cache_put(
