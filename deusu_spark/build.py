@@ -1064,9 +1064,30 @@ def _move_bucket_dirs(tmp_dir: str, final_dir: str) -> None:
     shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-def current_index_dir(out_dir: str) -> str:
+def current_index_dir(out_dir: str, version: str | None = None) -> str:
+    """Resolve an index version dir: the CURRENT pointer by default, or an
+    explicit retained version ("v_NNNN") — snapshot pinning. Published
+    versions are immutable (appends/deletions always publish a NEW version
+    and swap the pointer), so a pinned version keeps serving exactly the
+    results it served when it was CURRENT — the reproducibility handle a
+    training-data pipeline needs, and the parquet analog of reading a fixed
+    Iceberg snapshot id."""
+    if version is not None:
+        vdir = os.path.join(out_dir, version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"index version not found: {vdir}")
+        return vdir
     with open(os.path.join(out_dir, "CURRENT")) as f:
         return os.path.join(out_dir, f.read().strip())
+
+
+def list_index_versions(out_dir: str) -> list[str]:
+    """All retained version names, oldest first (CURRENT is one of them)."""
+    return sorted(
+        v
+        for v in os.listdir(out_dir)
+        if v.startswith("v_") and os.path.isdir(os.path.join(out_dir, v))
+    )
 
 
 def load_tombstones(vdir: str):

@@ -69,12 +69,22 @@ SCORED_SCHEMA = T.StructType(
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_root: str, io=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        io=None,
+        version: str | None = None,
+    ):
+        """``version`` pins a retained snapshot ("v_NNNN") instead of the
+        CURRENT pointer — published versions are immutable, so a pinned
+        engine reproduces that snapshot's results regardless of later
+        appends or takedowns (the Iceberg snapshot-id read, on parquet)."""
         from .tableio import TableIO
 
         self.spark = spark
         self.io = io or TableIO(spark)
-        self.vdir = current_index_dir(index_root)
+        self.vdir = current_index_dir(index_root, version)
         with open(os.path.join(self.vdir, "meta.json")) as f:
             self.meta = json.load(f)
         self.docmeta = self.io.read(os.path.join(self.vdir, "docmeta"))

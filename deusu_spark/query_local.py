@@ -27,15 +27,19 @@ from .synth import crc32
 
 class LocalSearcher:
     def __init__(
-        self, index_root: str, doc_range: tuple[int, int] | None = None
+        self,
+        index_root: str,
+        doc_range: tuple[int, int] | None = None,
+        version: str | None = None,
     ):
         """``doc_range=(lo, hi)`` restricts this searcher to docs in
         [lo, hi): it loads only that slice of the docmeta sidecars (the
         only O(n_docs) driver state) and decodes only posting segments
         overlapping the range — the serving-tier shard of ShardedSearcher.
         Default None = the whole corpus (the reference's single-server
-        LoadCacheData shape)."""
-        self.vdir = current_index_dir(index_root)
+        LoadCacheData shape). ``version`` pins a retained immutable
+        snapshot ("v_NNNN") instead of the CURRENT pointer."""
+        self.vdir = current_index_dir(index_root, version)
         with open(os.path.join(self.vdir, "meta.json")) as f:
             self.meta = json.load(f)
         self.doc_lo = doc_range[0] if doc_range else 0

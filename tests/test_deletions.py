@@ -141,6 +141,23 @@ def test_deletions_accumulate_and_survive_append(spark, del_env):
         assert not ({d for d, _ in ls.search(q, k=1000)} & t3), q
 
 
+def test_snapshot_pinning_reproduces_pre_deletion(spark, del_env):
+    """Published versions are immutable: pinning the pre-deletion version
+    must reproduce its exact results on both engines, regardless of the
+    takedowns and appends the later tests published on top."""
+    from deusu_spark.build import list_index_versions
+    from deusu_spark.query import SearchEngine
+    from deusu_spark.query_local import LocalSearcher
+
+    dst, pre, _convs, _tomb = del_env
+    v0 = list_index_versions(dst)[0]
+    ls = LocalSearcher(dst, version=v0)
+    eng = SearchEngine(spark, dst, version=v0)
+    for q in ["linux", "linux ubuntu", "linux -google", "w0042"]:
+        assert ls.search(q, k=1000) == pre[q], q
+        assert eng.search(q, k=10) == pre[q][:10], q
+
+
 def test_delete_is_atomic_version_swap(del_env):
     dst, _pre, _convs, _tomb = del_env
     with open(os.path.join(dst, "CURRENT")) as f:
