@@ -63,6 +63,10 @@ class OracleIndex:
     host_postings: dict[str, list[int]] = field(default_factory=dict)
     bl_value: list[float] = field(default_factory=list)
     doc_keys: list[tuple[str, int]] = field(default_factory=list)
+    # logical deletions (tombstones): masked at postings access, while
+    # df()/doc_len/avgdl stay as built — survivors keep exact pre-deletion
+    # scores, matching both engines' decode-time masking contract
+    deleted: set[int] = field(default_factory=set)
 
     def df(self, term: str) -> int:
         return len(self.postings.get(term, ()))
@@ -344,6 +348,8 @@ def _run_pass(
             plist = idx.postings.get(key, [])
             if use_fancy and key in idx.fancy:
                 plist = idx.fancy[key]
+            if idx.deleted:
+                plist = [(d, f) for d, f in plist if d not in idx.deleted]
 
             # backlink-add asymmetry — searchservernew.dpr:491 vs :893
             include_bl = action == "SET" or (action == "AND" and (url_only or title_only))
@@ -399,7 +405,7 @@ def search_bm25(
         action = "SET" if i == 0 else t.action
         host = _host_key(t.key)
         if host is not None:
-            docs = set(idx.host_postings.get(host, []))
+            docs = set(idx.host_postings.get(host, [])) - idx.deleted
             if action == "SET":
                 cand = {d: 0.0 for d in sorted(docs)}
             elif action == "AND":
@@ -417,7 +423,9 @@ def search_bm25(
         plist = [
             (d, f)
             for d, f in idx.postings.get(key, [])
-            if (not url_only or f & 4) and (not title_only or f & 2)
+            if (not url_only or f & 4)
+            and (not title_only or f & 2)
+            and d not in idx.deleted
         ]
         df = t.df
         idf = math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
@@ -449,6 +457,8 @@ def _process_host(
     b1 + url-length bonus (+ backlink value on acSet only), min-clamped to 1;
     no IDF / rank / host-elements."""
     docs = idx.host_postings.get(host, [])
+    if idx.deleted:
+        docs = [d for d in docs if d not in idx.deleted]
     if action == "SET":
         new: dict[int, int] = {}
         for doc in docs:
@@ -470,3 +480,13 @@ def _process_host(
     for doc in docs:  # NOT
         cand.pop(doc, None)
     return cand
+
+
+def with_deletions(idx: OracleIndex, doc_ids) -> OracleIndex:
+    """A view of ``idx`` with the given doc_ids logically deleted — the
+    oracle twin of incremental.delete_conversations + decode-time masking.
+    Shares all built structures; only the tombstone set differs, so corpus
+    statistics (df, idf, doc_len) intentionally stay as built."""
+    import dataclasses
+
+    return dataclasses.replace(idx, deleted=set(idx.deleted) | set(doc_ids))

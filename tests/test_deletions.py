@@ -141,6 +141,25 @@ def test_deletions_accumulate_and_survive_append(spark, del_env):
         assert not ({d for d, _ in ls.search(q, k=1000)} & t3), q
 
 
+def test_oracle_triple_identity_on_deletions(oracle_index, del_env):
+    """The pure-Python oracle with the same tombstone set must match the
+    serving engine EXACTLY on the tombstoned index — the full rank-identity
+    contract extends to deletions (df/idf stay stale on all three engines,
+    survivors keep exact scores, pass decisions agree on masked counts)."""
+    from deusu_spark.oracle import oracle
+    from deusu_spark.query_local import LocalSearcher
+
+    dst, _pre, _convs, tomb = del_env
+    oidx = oracle.with_deletions(oracle_index, tomb)
+    ls = LocalSearcher(dst)
+    for q in QUERIES:
+        assert ls.search(q, k=10) == oracle.search(oidx, q, k=10), q
+    for q in ["linux", "linux ubuntu", "w0042"]:
+        got = ls.search(q, k=10, mode="bm25")
+        want = oracle.search_bm25(oidx, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+
+
 def test_snapshot_pinning_reproduces_pre_deletion(spark, del_env):
     """Published versions are immutable: pinning the pre-deletion version
     must reproduce its exact results on both engines, regardless of the

@@ -51,6 +51,46 @@ def test_import_urls_stays_jvm_side(spark):
     assert "Aggregate" in plan  # one JVM aggregation (hash or sort based)
 
 
+def test_shaping_ops_stay_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
+    """The training-data shaping ops are pure column expressions: the
+    doc_id bound reaches the scan and no Python evaluator appears."""
+    from deusu_spark import pipelines
+
+    for q in (
+        pipelines.q_chunk_windows,
+        pipelines.q_train_val_split,
+        pipelines.q_pack_sequences,
+    ):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan and "BatchEvalPython" not in plan, q
+        pushed = plan.split("PushedFilters")[1].split("\n")[0]
+        assert "doc_id" in pushed, q
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """The packing window must partition by shard (each writer packs its
+    own doc range) — a single-partition global window would funnel the
+    corpus through one task at scale."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_pack_sequences(spark, "/root/testdata/sf0.001"))
+    w = plan.split("Window")[1]
+    assert "shard" in w.split("\n")[0] or "partition" in w.lower()
+    assert "partitionBy=[shard" in w.replace(" ", "") or "shard" in w
+
+
+def test_ivf_assign_literal_path_no_python(spark):
+    """At dim <= ANN_LITERAL_DIM_MAX the IVF assignment is whole-stage
+    codegen (no shuffle, no Python): literal centroid folds + array argmax."""
+    from deusu_spark import pipelines
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pipelines.ivf_centroids(e, k=4)
+    plan = _plan(pipelines.ivf_assign(e, cents))
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only: no shuffle
+
+
 def test_agg_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
     from deusu_spark import pipelines
 
