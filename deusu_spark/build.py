@@ -1038,8 +1038,13 @@ def _pending_version(out_dir: str) -> str:
         published = False
         if os.path.exists(lineage):
             with open(lineage) as f:
+                # "tombstone" is accepted as a publish marker for versions
+                # written before delete_conversations recorded an explicit
+                # "publish" step — reusing a published version dir here
+                # would clobber an immutable pinned snapshot
                 published = any(
-                    json.loads(line).get("step") == "publish" for line in f
+                    json.loads(line).get("step") in ("publish", "tombstone")
+                    for line in f
                 )
         if not published:
             return v

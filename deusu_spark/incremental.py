@@ -195,6 +195,12 @@ def delete_conversations(
         wall_s=round(time.time() - t_start, 3),
         base_version=os.path.basename(old_vdir),
     )
+    # mark the version PUBLISHED in its lineage: _pending_version treats a
+    # version without this step as a resumable unpublished leftover and
+    # would reuse (clobber) the dir on the next build/append — which
+    # silently destroyed pinned tombstone snapshots once a newer version
+    # took the CURRENT pointer
+    lin.record("publish", kind="tombstone")
     from .tableio import TableIO
 
     TableIO(spark).publish(out_dir, version)

@@ -48,15 +48,20 @@ def del_env(spark, tiny_index_dir, oracle_index):
     from deusu_spark.build import current_index_dir, load_tombstones
 
     tomb = set(load_tombstones(current_index_dir(dst)).tolist())
-    yield dst, pre, convs, tomb
+    # pin the version this first deletion published: later tests mutate the
+    # index further (second takedown + append), and published versions are
+    # immutable — tests asserting the FIRST-deletion state read v1 explicitly
+    # so they hold under any test ordering
+    v1 = m["version"]
+    yield dst, pre, convs, tomb, v1
     shutil.rmtree(root, ignore_errors=True)
 
 
 def test_deleted_docs_absent_and_prefix_property(del_env):
     from deusu_spark.query_local import LocalSearcher
 
-    dst, pre, _convs, tomb = del_env
-    ls = LocalSearcher(dst)
+    dst, pre, _convs, tomb, v1 = del_env
+    ls = LocalSearcher(dst, version=v1)
     for q in QUERIES:
         rows = ls.search(q, k=1000)
         assert not ({d for d, _ in rows} & tomb), q
@@ -76,7 +81,7 @@ def test_engines_identical_on_tombstoned_index(spark, del_env):
     from deusu_spark.query import SearchEngine
     from deusu_spark.query_local import LocalSearcher, ShardedSearcher
 
-    dst, _pre, _convs, tomb = del_env
+    dst, _pre, _convs, tomb, _v1 = del_env
     ls = LocalSearcher(dst)
     sh = ShardedSearcher(dst, n_shards=2)
     eng = SearchEngine(spark, dst)
@@ -94,7 +99,7 @@ def test_bm25_masked(spark, del_env):
     from deusu_spark.query import SearchEngine
     from deusu_spark.query_local import LocalSearcher
 
-    dst, pre, _convs, tomb = del_env
+    dst, pre, _convs, tomb, _v1 = del_env
     ls = LocalSearcher(dst)
     eng = SearchEngine(spark, dst)
     for q in ["linux", "linux ubuntu", "w0042"]:
@@ -107,7 +112,7 @@ def test_bm25_masked(spark, del_env):
 def test_host_query_masked(del_env):
     from deusu_spark.query_local import LocalSearcher
 
-    dst, _pre, convs, tomb = del_env
+    dst, _pre, convs, tomb, _v1 = del_env
     ls = LocalSearcher(dst)
     for conv in convs:
         assert ls.search(f"host:{conv}", k=1000) == [], conv
@@ -119,7 +124,7 @@ def test_deletions_accumulate_and_survive_append(spark, del_env):
     from deusu_spark.incremental import delete_conversations, incremental_update
     from deusu_spark.query_local import LocalSearcher
 
-    dst, _pre, _convs, tomb = del_env
+    dst, _pre, _convs, tomb, _v1 = del_env
     # a second takedown accumulates on top of the first
     more = LocalSearcher(dst).fetch_results(
         LocalSearcher(dst).search("google", k=1)
@@ -141,6 +146,23 @@ def test_deletions_accumulate_and_survive_append(spark, del_env):
         assert not ({d for d, _ in ls.search(q, k=1000)} & t3), q
 
 
+def test_published_tombstone_version_is_never_reused(spark, del_env):
+    """Regression: _pending_version must treat a tombstone-published version
+    as published. It used to see only a "tombstone" lineage step, decide the
+    dir was an unpublished leftover once a newer version took CURRENT, and
+    reuse it for the next append — physically clobbering a pinned snapshot
+    (its lexicon was overwritten in place and _delta scratch appeared
+    inside it). Runs after the accumulate test mutated the index twice."""
+    from deusu_spark.build import _pending_version, list_index_versions
+
+    dst, _pre, _convs, _tomb, v1 = del_env
+    pending = _pending_version(dst)
+    assert pending not in list_index_versions(dst)
+    # the tombstoned version dir stayed physically intact
+    assert not os.path.isdir(os.path.join(dst, v1, "_delta"))
+    assert os.path.isdir(os.path.join(dst, v1, "lexicon"))
+
+
 def test_oracle_triple_identity_on_deletions(oracle_index, del_env):
     """The pure-Python oracle with the same tombstone set must match the
     serving engine EXACTLY on the tombstoned index — the full rank-identity
@@ -149,9 +171,9 @@ def test_oracle_triple_identity_on_deletions(oracle_index, del_env):
     from deusu_spark.oracle import oracle
     from deusu_spark.query_local import LocalSearcher
 
-    dst, _pre, _convs, tomb = del_env
+    dst, _pre, _convs, tomb, v1 = del_env
     oidx = oracle.with_deletions(oracle_index, tomb)
-    ls = LocalSearcher(dst)
+    ls = LocalSearcher(dst, version=v1)
     for q in QUERIES:
         assert ls.search(q, k=10) == oracle.search(oidx, q, k=10), q
     for q in ["linux", "linux ubuntu", "w0042"]:
@@ -168,7 +190,7 @@ def test_snapshot_pinning_reproduces_pre_deletion(spark, del_env):
     from deusu_spark.query import SearchEngine
     from deusu_spark.query_local import LocalSearcher
 
-    dst, pre, _convs, _tomb = del_env
+    dst, pre, _convs, _tomb, _v1 = del_env
     v0 = list_index_versions(dst)[0]
     ls = LocalSearcher(dst, version=v0)
     eng = SearchEngine(spark, dst, version=v0)
@@ -178,7 +200,7 @@ def test_snapshot_pinning_reproduces_pre_deletion(spark, del_env):
 
 
 def test_delete_is_atomic_version_swap(del_env):
-    dst, _pre, _convs, _tomb = del_env
+    dst, _pre, _convs, _tomb, _v1 = del_env
     with open(os.path.join(dst, "CURRENT")) as f:
         cur = f.read().strip()
     versions = sorted(v for v in os.listdir(dst) if v.startswith("v_"))
