@@ -384,6 +384,7 @@ def _encode_partition_fn(
     hot_terms_bc=None,
     rank_lo: int = FANCY_RANK_LO,
     rank_hi: int = FANCY_RANK_HI,
+    emit_full: bool = True,
 ):
     """mapInArrow factory: encode a task's posting rows into bounded
     self-contained varbyte segments + block-max metadata. One Arrow stream
@@ -454,8 +455,16 @@ def _encode_partition_fn(
             else None
         )
         # run boundary = term change OR salt change OR non-ascending doc_id
-        # (see the input contract above)
-        salts = np.trunc(docs * n_salts / n_docs).astype(np.int64)
+        # (see the input contract above). A "run_salt" input column overrides
+        # the computed salt: merge.py's fancy rebuild feeds disjoint
+        # doc-range holes whose boundaries the global salt formula cannot
+        # see — two holes of one term in one task would otherwise fuse into
+        # a segment spanning ranges already covered by linked fancy
+        # segments, breaking per-(term, kind) range disjointness.
+        if "run_salt" in tbl.column_names:
+            salts = tbl.column("run_salt").chunk(0).to_numpy().astype(np.int64)
+        else:
+            salts = np.trunc(docs * n_salts / n_docs).astype(np.int64)
         start_mask = np.empty(n, dtype=bool)
         start_mask[0] = True
         start_mask[1:] = (docs[1:] <= docs[:-1]) | (salts[1:] != salts[:-1])
@@ -521,9 +530,10 @@ def _encode_partition_fn(
                 )
                 a = b
 
-        yield from emit_batches(
-            docs, flags, statics, buckets, run_id, None, "full"
-        )
+        if emit_full:
+            yield from emit_batches(
+                docs, flags, statics, buckets, run_id, None, "full"
+            )
         if ranks is not None and hot:
             run_hot = pc.is_in(
                 pc.take(terms, pa.array(run_starts)),

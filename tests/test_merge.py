@@ -1,0 +1,202 @@
+"""Cross-index merge (merge.merge_indexes): two indexes built independently
+over an ordered conversation split must merge into an index RANK-IDENTICAL
+to the from-scratch build of the whole corpus — same doc_ids, same integer
+scores, same df, same fancy coverage — on both engines. Also pins:
+segment doc-range disjointness after the merge (incl. rebuilt fancy
+holes), meta/stats equality, and tombstone carry-through with shard
+doc_id shifting."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import TINY_FANCY_THRESHOLD, TINY_SEG_SIZE
+from tests.test_rank_identity import QUERIES
+
+SPLIT = 120  # shard A = first 120 conversations, shard B = the rest
+
+
+@pytest.fixture(scope="module")
+def merge_env(spark, tiny_corpus):
+    from deusu_spark.build import build_index
+    from deusu_spark.merge import merge_indexes
+
+    root = tempfile.mkdtemp(prefix="deusu_merge_")
+    convs = sorted(tiny_corpus["conv_id"].unique())
+    parts = [convs[:SPLIT], convs[SPLIT:]]
+    dirs = []
+    for i, cs in enumerate(parts):
+        d = os.path.join(root, f"idx_{i}")
+        pdf = tiny_corpus[tiny_corpus["conv_id"].isin(cs)].reset_index(
+            drop=True
+        )
+        build_index(
+            spark,
+            spark.createDataFrame(pdf),
+            d,
+            fancy_threshold=TINY_FANCY_THRESHOLD,
+            seg_size=TINY_SEG_SIZE,
+            n_salts=4,
+            bucket_groups=2,
+        )
+        dirs.append(d)
+    out = os.path.join(root, "merged")
+    m = merge_indexes(spark, dirs, out)
+    yield root, dirs, out, m
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_meta_matches_fresh_build(tiny_index_dir, merge_env):
+    import json
+
+    from deusu_spark.build import current_index_dir
+
+    _root, _dirs, out, m = merge_env
+    with open(os.path.join(current_index_dir(tiny_index_dir), "meta.json")) as f:
+        fresh = json.load(f)
+    with open(os.path.join(current_index_dir(out), "meta.json")) as f:
+        merged = json.load(f)
+    assert merged["n_docs"] == fresh["n_docs"] == m["n_docs"]
+    assert merged["n_postings"] == fresh["n_postings"]
+    assert merged["max_backlinks"] == fresh["max_backlinks"]
+    assert merged["unique_words"] == fresh["unique_words"]
+    assert merged["word_occurrences"] == fresh["word_occurrences"]
+
+
+def test_merge_rank_identity_serving(tiny_index_dir, merge_env):
+    from deusu_spark.query_local import LocalSearcher
+
+    _root, _dirs, out, _m = merge_env
+    fresh = LocalSearcher(tiny_index_dir)
+    merged = LocalSearcher(out)
+    for q in QUERIES:
+        assert merged.search(q, k=1000) == fresh.search(q, k=1000), q
+    for q in ["linux", "linux ubuntu", "w0042"]:
+        assert merged.search(q, k=10, mode="bm25") == fresh.search(
+            q, k=10, mode="bm25"
+        ), q
+
+
+def test_merge_rank_identity_distributed(spark, tiny_index_dir, merge_env):
+    from deusu_spark.query import SearchEngine
+    from deusu_spark.query_local import LocalSearcher
+
+    _root, _dirs, out, _m = merge_env
+    eng = SearchEngine(spark, out)
+    fresh = LocalSearcher(tiny_index_dir)
+    for q in ["linux", "linux ubuntu", "linux -google", "host:conv00000017",
+              "intitle:assistant linux", "w0100 w0005 linux"]:
+        assert eng.search(q, k=10) == fresh.search(q, k=10), q
+
+
+def test_merge_fancy_coverage_and_holes(spark, tiny_index_dir, merge_env):
+    """The interesting path must actually run: the ordered split makes at
+    least one term hot in the merged lexicon but cold in a shard (its df
+    splits below the threshold), so fancy holes were rebuilt — and the
+    merged fancy term set equals the fresh build's."""
+    import json
+
+    from deusu_spark.build import current_index_dir
+    from pyspark.sql import functions as F
+
+    _root, _dirs, out, _m = merge_env
+    lineage = os.path.join(current_index_dir(out), "_lineage.jsonl")
+    holes = [
+        json.loads(line)
+        for line in open(lineage)
+        if json.loads(line)["step"] == "fancy_stats"
+    ][0]["holes"]
+    assert holes > 0
+
+    def fancy_terms(d):
+        return {
+            r["term"]
+            for r in spark.read.parquet(
+                os.path.join(current_index_dir(d), "postings")
+            )
+            .where(F.col("kind") == "fancy")
+            .select("term")
+            .distinct()
+            .collect()
+        }
+
+    assert fancy_terms(out) == fancy_terms(tiny_index_dir)
+    # fancy CONTENT identical too: per term, the decoded (doc_id, flags)
+    # stream equals the fresh build's (segmentation may differ)
+    from deusu_spark import codec
+    import numpy as np
+
+    def fancy_postings(d):
+        rows = (
+            spark.read.parquet(os.path.join(current_index_dir(d), "postings"))
+            .where(F.col("kind") == "fancy")
+            .select("term", "first_doc", "blob")
+            .collect()
+        )
+        out_ = {}
+        for r in sorted(rows, key=lambda r: (r["term"], r["first_doc"])):
+            d_, f_ = codec.decode(bytes(r["blob"]))
+            docs, flags = out_.setdefault(r["term"], ([], []))
+            docs.append(d_)
+            flags.append(f_)
+        return {
+            t: (np.concatenate(ds), np.concatenate(fs))
+            for t, (ds, fs) in out_.items()
+        }
+
+    a, b = fancy_postings(out), fancy_postings(tiny_index_dir)
+    assert set(a) == set(b)
+    for t in a:
+        assert (a[t][0] == b[t][0]).all() and (a[t][1] == b[t][1]).all(), t
+
+
+def test_merge_segment_ranges_disjoint(spark, merge_env):
+    from pyspark.sql import functions as F
+    from deusu_spark.build import current_index_dir
+
+    _root, _dirs, out, _m = merge_env
+    rows = (
+        spark.read.parquet(os.path.join(current_index_dir(out), "postings"))
+        .select("term", "kind", "first_doc", "last_doc")
+        .collect()
+    )
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["term"], r["kind"]), []).append(
+            (r["first_doc"], r["last_doc"])
+        )
+    for key, spans in by_key.items():
+        spans.sort()
+        for (f1, l1), (f2, _l2) in zip(spans, spans[1:]):
+            assert f1 <= l1 < f2, (key, spans)
+
+
+def test_merge_carries_tombstones_shifted(spark, merge_env):
+    """Takedowns on a shard survive the merge with their doc_ids shifted
+    onto the merged id space: deleted docs are absent, survivors keep
+    their exact merged scores (prefix property — corpus < 1000 results)."""
+    from deusu_spark.build import current_index_dir, load_tombstones
+    from deusu_spark.incremental import delete_conversations
+    from deusu_spark.merge import merge_indexes
+    from deusu_spark.query_local import LocalSearcher
+
+    root, dirs, out, _m = merge_env
+    base = LocalSearcher(out)
+    pre = {q: base.search(q, k=1000) for q in ["linux", "google"]}
+    # delete the conversation of shard B's top 'linux' doc — guaranteed to
+    # live on shard B, so its merged doc_ids only exist via the shift
+    sb = LocalSearcher(dirs[1])
+    conv = sb.fetch_results(sb.search("linux", k=1))[0].host
+    delete_conversations(spark, dirs[1], [conv])
+
+    out2 = os.path.join(root, "merged_tomb")
+    merge_indexes(spark, dirs, out2)
+    t = set(load_tombstones(current_index_dir(out2)).tolist())
+    assert t, "expected shifted tombstones in the merged index"
+    ls = LocalSearcher(out2)
+    assert ls.search(f"host:{conv}", k=1000) == []
+    for q in pre:
+        got = ls.search(q, k=1000)
+        assert got == [(d, s) for d, s in pre[q] if d not in t], q
