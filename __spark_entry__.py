@@ -239,6 +239,86 @@ def _pack_sequences_sql() -> str:
     """
 
 
+def _decontaminate_sql() -> str:
+    from deusu_spark.pipelines import DECON_EVAL_MOD, DECON_N
+
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(DECON_N))
+    return f"""
+        WITH a AS (SELECT doc_id, a FROM ({_ARR})
+                   WHERE doc_id < 300 AND len(a) >= {DECON_N}),
+             g AS (SELECT DISTINCT doc_id, {gram} AS g
+                   FROM (SELECT doc_id, a,
+                                unnest(range(1, len(a) - {DECON_N - 2})) AS i
+                         FROM a)),
+             ev AS (SELECT DISTINCT g FROM g
+                    WHERE doc_id % {DECON_EVAL_MOD} = 0),
+             tr AS (SELECT * FROM g WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+             sz AS (SELECT doc_id, count(*) AS n_grams FROM tr
+                    GROUP BY doc_id),
+             ov AS (SELECT doc_id, count(*) AS n_overlap
+                    FROM tr JOIN ev USING (g) GROUP BY doc_id)
+        SELECT ov.doc_id, n_overlap, n_grams,
+               round(n_overlap * 1.0 / n_grams, 5) AS contam_frac
+        FROM ov JOIN sz USING (doc_id) ORDER BY ov.doc_id
+    """
+
+
+def _repetition_signals_sql() -> str:
+    return f"""
+        WITH a AS (SELECT doc_id, a FROM ({_ARR})
+                   WHERE doc_id < 150 AND len(a) >= 2),
+             bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg
+                    FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+                          FROM a)),
+             bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg
+                     GROUP BY doc_id, bg),
+             bga AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+                     FROM bgc GROUP BY doc_id),
+             t AS (SELECT doc_id, CAST(len(a) AS INTEGER) AS n_tokens,
+                          len(list_distinct(a)) AS n_distinct
+                   FROM a)
+        SELECT t.doc_id, n_tokens,
+               round(1.0 - n_distinct * 1.0 / n_tokens, 5) AS dup_word_frac,
+               round(top_bg * 1.0 / n_bg, 5) AS top_bigram_frac
+        FROM t JOIN bga USING (doc_id) ORDER BY t.doc_id
+    """
+
+
+def _stratified_sample_sql() -> str:
+    from deusu_spark.pipelines import SAMPLE_PCT
+
+    hx = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {p}"
+        for lang, p in sorted(SAMPLE_PCT.items())
+    ) + " ELSE 100 END"
+    return f"""
+        WITH h AS (SELECT doc_id, lang,
+                          md5('samp:' || doc_id) AS h FROM documents),
+             v AS (SELECT doc_id, lang,
+                          (({hx.format(i=1)}) * 16 + ({hx.format(i=2)})) % 100
+                              AS hv,
+                          {case} AS keep_pct
+                   FROM h)
+        SELECT doc_id, lang FROM v WHERE hv < keep_pct ORDER BY doc_id
+    """
+
+
+def _corpus_shuffle_sql() -> str:
+    return """
+        WITH h AS (SELECT doc_id, md5('shuf:' || doc_id) AS h
+                   FROM documents WHERE doc_id < 150),
+             s AS (SELECT doc_id, h,
+                          CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                               AS INTEGER) AS shard
+                   FROM h)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    AS INTEGER) AS pos
+        FROM s ORDER BY shard, pos
+    """
+
+
 def _lang_id_sql() -> str:
     from deusu_spark.pipelines import LANG_MARKERS
 
@@ -274,6 +354,10 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": _chunk_windows_sql(),
         "train_val_split": _train_val_split_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "repetition_signals": _repetition_signals_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "corpus_shuffle": _corpus_shuffle_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -1204,6 +1204,134 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+DECON_N = 4  # contamination n-gram order (8-13 in prod; docs here are short)
+DECON_EVAL_MOD = 37  # eval-benchmark membership rule: doc_id % 37 == 0
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    4-gram with the held-out eval set (doc_id % 37 == 0 plays the
+    benchmark). The scan is one n-gram explode + a BROADCAST join against
+    the eval n-gram set — eval benchmarks are tiny next to a pretraining
+    corpus, so this is the scale shape (no shuffle of the corpus side)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    idx = ", ".join(f"_arr[i+{j}]" for j in range(DECON_N))
+    grams = F.expr(
+        f"transform(sequence(0, size(_arr) - {DECON_N}), "
+        f"i -> concat_ws(' ', {idx}))"
+    )
+    g = (
+        d.withColumn("_arr", arr)
+        .where(F.size("_arr") >= DECON_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    ev = g.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select("g").distinct()
+    tr = g.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    sz = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ov = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        ov.join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_grams",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 5).alias(
+                "contam_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/C4 filter family,
+    word-level since the synthetic docs have no line structure): duplicate
+    -word fraction and top-bigram fraction per doc. Two hash aggregations,
+    both map-side combinable — no windows, no Python."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", arr.alias("a")).where(F.size("a") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(0, size(a) - 2), i -> concat_ws(' ', a[i], a[i+1]))"
+    )
+    bgc = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    tok = base.select(
+        "doc_id",
+        F.size("a").alias("n_tokens"),
+        F.size(F.array_distinct("a")).alias("n_distinct"),
+    )
+    return (
+        tok.join(bgc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 5
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_bg") / F.col("n_bg"), 5).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_PCT = {"en": 25}  # languages not listed keep 100%
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (domain/language rebalancing):
+    the over-represented language keeps a hash-chosen 25%; everything else
+    passes through. Pure filter — membership is md5(doc_id)-derived, so the
+    sample is stable under reruns, repartitioning, and engine changes, and
+    composes with the hash train/val split (different salt)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    v = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 100
+    pct = F.lit(100)
+    for lang, p in sorted(SAMPLE_PCT.items()):
+        pct = F.when(F.col("lang") == lang, p).otherwise(pct)
+    return (
+        d.select("doc_id", "lang", v.alias("hv"), pct.alias("keep_pct"))
+        .where(F.col("hv") < F.col("keep_pct"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: order = md5 of the doc
+    id, sharded by the hash's first nibble. Positions are per-shard (the
+    scale shape — each of the 16 hash ranges is an independent output
+    partition written in its own sorted order; a global row number would
+    be a single-partition sort). (shard, pos) is a total order."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    h = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    d = d.select("doc_id", h.alias("h"))
+    shard = F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1236,6 +1364,10 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "repetition_signals": q_repetition_signals,
+    "stratified_sample": q_stratified_sample,
+    "corpus_shuffle": q_corpus_shuffle,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count_bpe": q_token_count_bpe,
