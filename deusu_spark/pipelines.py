@@ -16,7 +16,8 @@ Coverage map (SURVEY §2 → entries):
   streaming analog             → q_events_hourly, q_user_sessions
 plus the large-scale training-data ops: exact dedup, n-gram Jaccard near-dup,
 MinHash-LSH candidates, fingerprinting, token stats/quality, language
-heuristic, embedding cosine top-k.
+heuristic, embedding cosine top-k, benchmark decontamination, repetition
+signals, stratified sampling, deterministic corpus shuffle.
 """
 
 from __future__ import annotations
