@@ -309,7 +309,7 @@ def merge_indexes(
     # over disjoint doc ranges, so their union IS the merged fancy list
     # for those ranges); shards where it was cold are the holes rebuilt
     # here.
-    if "fancy" not in lin.done:
+    if "fancy_stats" not in lin.done:
         t0 = time.time()
         lex = spark.read.parquet(lexicon_dir)
         hot = lex.where(F.col("df") > fancy_threshold).select("term")
@@ -328,7 +328,12 @@ def merge_indexes(
             need = miss if need is None else need.unionByName(miss)
         need = need.persist()
         n_missing = need.count()
-        if n_missing:
+        # "fancy" (the data write) and "fancy_stats" (stage complete) are
+        # separate rows so a crash between them resumes into the stats
+        # record without re-running the rebuild
+        if "fancy" in lin.done:
+            pass
+        elif n_missing:
             bounds = spark.createDataFrame(
                 [
                     (i, offsets[i], offsets[i] + int(metas[i]["n_docs"]))

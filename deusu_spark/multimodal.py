@@ -1,17 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_image_stub` produces a deterministic fake "decoded" feature so the
-Spark-side plumbing — schema, batching, partitioning, UDF signatures — is
-real and tested end-to-end. Swap `_decode_payload` for a real decoder
-(PIL/librosa/av) in production; nothing else changes.
+Decode status (this container has no media libraries — PIL/librosa/av):
+  - REAL decoders, dependency-free: P6 PPM images (numpy header parse +
+    raw RGB) and RIFF/WAV PCM audio (stdlib ``wave`` + numpy). Features,
+    resize and spectral analysis over these are genuine computation,
+    golden-tested (tests/test_multimodal.py).
+  - STUB for compressed formats (PNG/JPEG/MP4): `_stub_feature` produces
+    a deterministic sha256-derived vector so the Spark-side plumbing —
+    schema, batching, partitioning, UDF signatures — still exercises end
+    to end. Swap in PIL/av in production; nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import re
 import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -42,43 +49,203 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 16
+WAV_RATE = 8000
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes; metadata
-    follows the payload so tests can verify the plumbing end-to-end."""
-    rows = []
-    kinds = ["image", "audio", "video"]
-    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
-    for i in range(n):
-        kind = kinds[i % 3]
-        h = hashlib.sha256(f"media{seed}:{i}".encode()).digest()
-        payload = (h * ((64 + i) // len(h) + 1))[: 64 + i]
-        rows.append(
-            (
-                i,
-                kind,
-                mimes[kind],
-                32 + (i % 8) * 16 if kind != "audio" else 0,
-                32 + (i % 5) * 16 if kind != "audio" else 0,
-                0 if kind == "image" else 1000 + i * 250,
-                bytearray(payload),
-            )
-        )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+# --------------------------------------------------------------------------
+# real codecs (dependency-free formats)
+# --------------------------------------------------------------------------
 
 
-def _decode_payload(payload: bytes) -> np.ndarray:
-    """STUB decoder: deterministic 16-dim float feature from the payload
-    bytes (sha256 → 16 uint16 → [0,1) floats). Replace with a real
-    decode + model feature extraction in production.
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
-    Raising NotImplementedError here would also be acceptable per the
-    contract; a deterministic fake lets the downstream plumbing be tested.
-    """
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8. Pure numpy — a real decoder for
+    the one image format that needs no codec library."""
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    data = payload[m.end() : m.end() + w * h * 3]
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """float32 [-1, 1] mono → 16-bit PCM WAV bytes (stdlib wave)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV 16-bit PCM → (float32 samples in [-1, 1], sample rate).
+    Multi-channel input is averaged to mono."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch, sw, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        if sw != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        raw = wf.readframes(wf.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index maps — the real resize op."""
+    h, w, _ = img.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+# --------------------------------------------------------------------------
+# real feature extractors (16-dim, values in [0, 1))
+# --------------------------------------------------------------------------
+
+_EPS_TOP = np.float32(1.0 - 1e-6)
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """[mean_r, mean_g, mean_b, aspect] + 8-bin luma histogram fractions
+    + 4 quadrant luma means — a deterministic, content-sensitive image
+    descriptor (the shape a model-embedding stage would slot into)."""
+    h, w, _ = img.shape
+    f = img.astype(np.float32)
+    means = f.reshape(-1, 3).mean(axis=0) / 256.0
+    luma = f @ np.asarray([0.299, 0.587, 0.114], dtype=np.float32)
+    hist = np.histogram(luma, bins=8, range=(0.0, 256.0))[0]
+    hist = hist.astype(np.float32) / max(luma.size, 1)
+    hh, wh = max(h // 2, 1), max(w // 2, 1)
+    quads = np.asarray(
+        [
+            luma[:hh, :wh].mean(),
+            luma[:hh, wh:].mean() if w > 1 else 0.0,
+            luma[hh:, :wh].mean() if h > 1 else 0.0,
+            luma[hh:, wh:].mean() if h > 1 and w > 1 else 0.0,
+        ],
+        dtype=np.float32,
+    ) / 256.0
+    out = np.concatenate(
+        [means, [w / (w + h)], hist, quads]
+    ).astype(np.float32)
+    return np.minimum(out, _EPS_TOP)
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """[rms, zero-crossing rate, spectral centroid (normalized to
+    Nyquist), duration (min/60s)] + 12 spectral band energy fractions
+    (rfft magnitude, linear bands) — classic cheap audio descriptors."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    mag = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    tot = float(mag.sum())
+    centroid = float((freqs * mag).sum() / tot / (rate / 2)) if tot > 0 else 0.0
+    dur = min(n / rate / 60.0, 0.999)
+    bands = np.zeros(12, dtype=np.float32)
+    if tot > 0:
+        idx = np.minimum((freqs / (rate / 2) * 12).astype(np.int64), 11)
+        np.add.at(bands, idx, mag.astype(np.float32))
+        bands /= np.float32(tot)
+    out = np.concatenate([[rms, zcr, centroid, dur], bands]).astype(np.float32)
+    return np.minimum(out, _EPS_TOP)
+
+
+def _stub_feature(payload: bytes) -> np.ndarray:
+    """STUB for compressed formats (PNG/JPEG/MP4 — codec libs absent in
+    this container): deterministic 16-dim sha256-derived vector keeps the
+    downstream plumbing testable. Replace with a real decode + model
+    feature extraction in production."""
     h = hashlib.sha256(payload).digest()
     vals = struct.unpack(">16H", h)
     return np.asarray(vals, dtype=np.float32) / 65536.0
+
+
+def _decode_payload(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: real decode for PPM/WAV, stub otherwise."""
+    if payload[:2] == b"P6":
+        return image_features(decode_ppm(payload))
+    if payload[:4] == b"RIFF":
+        samples, rate = decode_wav(payload)
+        return audio_features(samples, rate)
+    return _stub_feature(payload)
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic media
+# --------------------------------------------------------------------------
+
+
+def _synth_image(i: int, w: int, h: int) -> bytes:
+    """Deterministic gradient + phase pattern — every image distinct."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (x * 3 + y * 5 + i * 7) % 256,
+            (x + y * 2 + i * 13) % 256,
+            (x * 2 + y + i * 11) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_ppm(img)
+
+
+def _synth_audio(i: int, duration_ms: int) -> bytes:
+    """Deterministic sine at 200 + 50·i Hz — the spectral-peak golden."""
+    n = max(int(WAV_RATE * duration_ms / 1000), 64)
+    t = np.arange(n, dtype=np.float64) / WAV_RATE
+    freq = 200.0 + 50.0 * i
+    return encode_wav(0.6 * np.sin(2 * np.pi * freq * t))
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table: REAL P6 images and REAL PCM WAVs (the
+    dependency-free formats), fake mp4 bytes for video (stub path)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    mimes = {
+        "image": "image/x-portable-pixmap",
+        "audio": "audio/wav",
+        "video": "video/mp4",
+    }
+    for i in range(n):
+        kind = kinds[i % 3]
+        w = 32 + (i % 8) * 16 if kind != "audio" else 0
+        h = 32 + (i % 5) * 16 if kind != "audio" else 0
+        dur = 0 if kind == "image" else 1000 + i * 250
+        if kind == "image":
+            payload = _synth_image(i, w, h)
+        elif kind == "audio":
+            payload = _synth_audio(i, dur)
+        else:
+            hh = hashlib.sha256(f"media{seed}:{i}".encode()).digest()
+            payload = (hh * ((64 + i) // len(hh) + 1))[: 64 + i]
+        rows.append((i, kind, mimes[kind], w, h, dur, bytearray(payload)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Spark operators
+# --------------------------------------------------------------------------
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -102,6 +269,39 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Real image resize through the same Arrow plumbing: PPM payloads
+    decode → nearest-neighbor resize → re-encode; non-PPM rows pass
+    through unchanged (their resize would live behind the codec stub)."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:2] == b"P6":
+                    out.append(
+                        bytearray(
+                            encode_ppm(resize_nearest(decode_ppm(b), out_h, out_w))
+                        )
+                    )
+                else:
+                    out.append(bytearray(b))
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            pdf["width"] = [
+                out_w if bytes(p)[:2] == b"P6" else w
+                for p, w in zip(pdf["payload"], pdf["width"])
+            ]
+            pdf["height"] = [
+                out_h if bytes(p)[:2] == b"P6" else h
+                for p, h in zip(pdf["payload"], pdf["height"])
+            ]
+            yield pdf
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
 def dedup_media(media: DataFrame) -> DataFrame:

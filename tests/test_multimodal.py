@@ -1,6 +1,95 @@
-"""Multimodal plumbing tests: schema, deterministic stub decode, batching."""
+"""Multimodal tests: real dependency-free codecs (P6 PPM, PCM WAV) with
+goldens, feature extraction (real for PPM/WAV, stub for compressed
+formats), resize, dedup, chunk/frame plans, batching."""
+
+import numpy as np
 
 from deusu_spark import multimodal
+
+
+def test_ppm_roundtrip_exact():
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    payload = multimodal.encode_ppm(img)
+    assert payload.startswith(b"P6\n7 5\n255\n")
+    back = multimodal.decode_ppm(payload)
+    assert back.shape == (5, 7, 3) and (back == img).all()
+    # comment in header is tolerated
+    commented = b"P6\n# gimp comment\n7 5\n255\n" + payload.split(b"255\n", 1)[1]
+    assert (multimodal.decode_ppm(commented) == img).all()
+
+
+def test_resize_nearest_golden():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, 2:] = 200  # bottom-right quadrant bright
+    small = multimodal.resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 0 and small[1, 1, 0] == 200
+    big = multimodal.resize_nearest(img, 8, 8)
+    assert big.shape == (8, 8, 3)
+    assert (big[:4, :4] == 0).all() and (big[4:, 4:] == 200).all()
+
+
+def test_wav_roundtrip_and_spectral_peak():
+    rate = multimodal.WAV_RATE
+    t = np.arange(rate, dtype=np.float64) / rate  # 1 s
+    freq = 440.0
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    payload = multimodal.encode_wav(x.astype(np.float32), rate)
+    assert payload[:4] == b"RIFF"
+    back, r2 = multimodal.decode_wav(payload)
+    assert r2 == rate and len(back) == rate
+    assert np.abs(back - x).max() < 1e-3  # 16-bit quantization only
+    # the FFT peak lands on the generated frequency
+    mag = np.abs(np.fft.rfft(back))
+    peak_hz = np.fft.rfftfreq(len(back), 1.0 / rate)[int(np.argmax(mag))]
+    assert abs(peak_hz - freq) < 2.0
+    # and the 12-band feature puts its energy in the right band
+    feats = multimodal.audio_features(back, rate)
+    band = int(freq / (rate / 2) * 12)
+    assert int(np.argmax(feats[4:])) == band
+    assert 0.3 < feats[0] < 0.4  # rms of a 0.5 sine ≈ 0.3536
+
+
+def test_image_features_sensitivity():
+    dark = np.zeros((8, 8, 3), dtype=np.uint8)
+    bright = np.full((8, 8, 3), 250, dtype=np.uint8)
+    fd = multimodal.image_features(dark)
+    fb = multimodal.image_features(bright)
+    assert len(fd) == multimodal.FEATURE_DIM == len(fb)
+    assert fd[0] < 0.05 < 0.9 < fb[0]  # mean channel tracks content
+    assert fd[4] > 0.9  # dark image: all luma in histogram bin 0
+    assert fb[4 + 7] > 0.9  # bright image: top bin
+
+
+def test_decode_dispatch_real_vs_stub():
+    img_payload = multimodal._synth_image(3, 32, 32)
+    wav_payload = multimodal._synth_audio(1, 1250)
+    fake = b"\x00fakemp4" * 16
+    fi = multimodal._decode_payload(img_payload)
+    fa = multimodal._decode_payload(wav_payload)
+    fs = multimodal._decode_payload(fake)
+    # real decoders are content-derived: tweak one pixel/sample → feature
+    # moves; the stub is hash-derived
+    img2 = multimodal.decode_ppm(img_payload).copy()
+    img2[:16] = 255
+    fi2 = multimodal.image_features(img2)
+    assert not np.allclose(fi, fi2)
+    assert (fs == multimodal._stub_feature(fake)).all()
+    for f in (fi, fa, fs):
+        assert len(f) == multimodal.FEATURE_DIM
+        assert ((f >= 0) & (f < 1.0)).all()
+
+
+def test_resize_images_spark(spark):
+    media = multimodal.synth_media(spark, n=9)
+    out = multimodal.resize_images(media, 16, 16).collect()
+    for r in out:
+        if r["kind"] == "image":
+            img = multimodal.decode_ppm(bytes(r["payload"]))
+            assert img.shape == (16, 16, 3)
+            assert r["width"] == 16 and r["height"] == 16
+        else:
+            assert bytes(r["payload"])[:2] != b"P6"
 
 
 def test_feature_extraction_roundtrip(spark):
