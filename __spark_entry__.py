@@ -345,6 +345,91 @@ def _lang_id_sql() -> str:
     """
 
 
+def _pii_redact_sql() -> str:
+    from deusu_spark.pipelines import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    # the patterns contain regex braces — keep them out of f-strings
+    planted = (
+        "SELECT doc_id, lower(text) || ' contact u' "
+        "|| CAST(doc_id AS VARCHAR) || '@mail.example.org' "
+        "|| ' or +49 555 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0') "
+        "|| ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7' AS planted "
+        "FROM documents WHERE doc_id < 150"
+    )
+    return (
+        "WITH p AS (" + planted + ") SELECT doc_id, "
+        "CAST(len(regexp_extract_all(planted, '" + PII_EMAIL + "')) AS INTEGER)"
+        " AS n_emails, "
+        "CAST(len(regexp_extract_all(planted, '" + PII_PHONE + "')) AS INTEGER)"
+        " AS n_phones, "
+        "CAST(len(regexp_extract_all(planted, '" + PII_IPV4 + "')) AS INTEGER)"
+        " AS n_ips, "
+        "regexp_replace(regexp_replace(regexp_replace(planted, '"
+        + PII_EMAIL + "', '<EMAIL>', 'g'), '"
+        + PII_PHONE + "', '<PHONE>', 'g'), '"
+        + PII_IPV4 + "', '<IP>', 'g') AS redacted "
+        "FROM p ORDER BY doc_id"
+    )
+
+
+def _unigram_logprob_sql() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, t FROM ({_TOKS}) WHERE doc_id < 300),
+             model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+             tot AS (SELECT sum(cnt) AS s FROM model)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln(cnt / s)), 5) AS logprob
+        FROM toks JOIN model USING (t), tot
+        WHERE doc_id < 150 GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _training_pipeline_sql() -> str:
+    from deusu_spark.pipelines import (
+        CHUNK_S,
+        CHUNK_W,
+        DECON_EVAL_MOD,
+        DECON_N,
+    )
+
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(DECON_N))
+    hx = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    return f"""
+        WITH base AS (SELECT doc_id, a FROM ({_ARR})
+                      WHERE doc_id < 300 AND len(a) >= 10),
+             g AS (SELECT DISTINCT doc_id, {gram} AS g
+                   FROM (SELECT doc_id, a,
+                                unnest(range(1, len(a) - {DECON_N - 2})) AS i
+                         FROM base)),
+             ev AS (SELECT DISTINCT g FROM g
+                    WHERE doc_id % {DECON_EVAL_MOD} = 0),
+             tr0 AS (SELECT doc_id, a, md5(array_to_string(a, ' ')) AS fp
+                     FROM base WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+             keep AS (SELECT min(doc_id) AS doc_id FROM tr0 GROUP BY fp),
+             dedup AS (SELECT tr0.* FROM tr0 JOIN keep USING (doc_id)),
+             contam AS (SELECT DISTINCT g.doc_id
+                        FROM g JOIN dedup USING (doc_id) JOIN ev USING (g)),
+             clean AS (SELECT * FROM dedup
+                       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             sp AS (SELECT doc_id,
+                           CASE WHEN (({hx.format(i=1)}) * 16
+                                      + ({hx.format(i=2)})) % 10 = 0
+                                THEN 'val' ELSE 'train' END AS split
+                    FROM (SELECT doc_id, md5('split:' || doc_id) AS h
+                          FROM clean)),
+             s AS (SELECT doc_id, a,
+                          unnest(range(0, len(a), {CHUNK_S})) AS start
+                   FROM clean)
+        SELECT s.doc_id, CAST(start // {CHUNK_S} AS INTEGER) AS chunk_idx,
+               CAST(len(list_slice(a, start + 1, start + {CHUNK_W}))
+                    AS INTEGER) AS n_chunk,
+               array_to_string(list_slice(a, start + 1, start + {CHUNK_W}), ' ')
+                   AS chunk_text,
+               split
+        FROM s JOIN sp USING (doc_id) ORDER BY s.doc_id, chunk_idx
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -358,6 +443,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_signals_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "corpus_shuffle": _corpus_shuffle_sql(),
+        "pii_redact": _pii_redact_sql(),
+        "unigram_logprob": _unigram_logprob_sql(),
+        "training_pipeline": _training_pipeline_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -17,7 +17,10 @@ Coverage map (SURVEY §2 → entries):
 plus the large-scale training-data ops: exact dedup, n-gram Jaccard near-dup,
 MinHash-LSH candidates, fingerprinting, token stats/quality, language
 heuristic, embedding cosine top-k, benchmark decontamination, repetition
-signals, stratified sampling, deterministic corpus shuffle.
+signals, stratified sampling, deterministic corpus shuffle, PII redaction,
+unigram-LM quality scoring, and the composed end-to-end training pipeline
+(quality gate → exact dedup → decontaminate → chunk → split as ONE query
+vs one oracle).
 """
 
 from __future__ import annotations
@@ -1333,6 +1336,147 @@ def q_corpus_shuffle(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction, LM-based quality, and the composed end-to-end pipeline.
+
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+\d{2} \d{3} \d{4}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def _pii_planted(d: DataFrame):
+    """Deterministically plant one email/phone/IPv4 per doc (the synthetic
+    corpus has none) so the redaction op has real work to verify; the same
+    concat runs in the oracle SQL, so both engines see identical input."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lower("text"),
+        F.lit(" contact u"), did, F.lit("@mail.example.org"),
+        F.lit(" or +49 555 "), F.lpad(did, 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.7"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (the pre-training compliance pass): count and redact
+    emails, phone numbers, and IPv4 addresses with patterns valid in both
+    Java regex and RE2. Redaction order matters — emails first (the
+    replacement token contains no digits/dots, so it can't create new
+    phone/IP matches), then phones, then IPs. Pure column expressions:
+    regexp_count + chained regexp_replace, per-row, no shuffle — the same
+    plan at 10^12 rows."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    planted = _pii_planted(d)
+    red = F.regexp_replace(planted, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(planted, F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(planted, F.lit(PII_IPV4)).cast("int").alias("n_ips"),
+        red.alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score (the cheap perplexity-family
+    filter): train p(t) = count(t)/total on the corpus (doc_id < 300), then
+    score each doc (doc_id < 150) by its mean token ln-probability. The
+    model is vocabulary-sized → broadcast join against the exploded corpus;
+    the scoring aggregation is map-side combinable. No smoothing needed
+    here (the scored docs' vocabulary is closed over the training corpus);
+    production adds an OOV floor the same way (coalesce after a left
+    join)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = _tokens(d)
+    model = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt")).collect()[0][0]
+    return (
+        toks.where(F.col("doc_id") < 150)
+        .join(F.broadcast(model), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 5).alias(
+                "logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_training_pipeline(spark, sf_dir):
+    """The composed end-to-end training-data pipeline — quality gate →
+    exact dedup → benchmark decontamination → token-window chunking →
+    hash train/val split, every stage the same operator the standalone
+    queries use, verified as ONE composition against one oracle SQL.
+
+    Scale shape of the whole composition: the quality gate and chunking are
+    per-row; dedup is one hash groupBy + one hash join keyed on doc_id;
+    decontamination explodes n-grams and joins the corpus side against a
+    BROADCAST eval-gram set; the split is a pure hash column. No windows,
+    no driver loops — one corpus shuffle (dedup) plus one n-gram explode
+    end to end."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", arr.alias("a")).where(F.size("a") >= 10)
+
+    # n-grams (shared by the eval set and the contamination scan)
+    idx = ", ".join(f"a[i+{j}]" for j in range(DECON_N))
+    grams = F.expr(
+        f"transform(sequence(0, size(a) - {DECON_N}), "
+        f"i -> concat_ws(' ', {idx}))"
+    )
+    ev = (
+        base.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+
+    # training corpus: exact-dedup (min doc_id per normalized fingerprint)
+    tr0 = base.where(F.col("doc_id") % DECON_EVAL_MOD != 0).withColumn(
+        "fp", F.md5(F.concat_ws(" ", "a"))
+    )
+    keep = tr0.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = tr0.join(keep.select("doc_id"), "doc_id")
+
+    # decontaminate: drop any doc sharing an n-gram with the eval set
+    contaminated = (
+        deduped.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # chunk + split
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = F.when(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 10 == 0, "val"
+    ).otherwise("train")
+    return (
+        clean.select(
+            "doc_id",
+            "a",
+            F.explode(
+                F.sequence(F.lit(0), F.size("a") - 1, F.lit(CHUNK_S))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_S).cast("int").alias("chunk_idx"),
+            F.size(F.slice("a", F.col("start") + 1, CHUNK_W)).alias("n_chunk"),
+            F.concat_ws(" ", F.slice("a", F.col("start") + 1, CHUNK_W)).alias(
+                "chunk_text"
+            ),
+            split.alias("split"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1374,4 +1518,7 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "winnow_fingerprint": q_winnow_fingerprint,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "pii_redact": q_pii_redact,
+    "unigram_logprob": q_unigram_logprob,
+    "training_pipeline": q_training_pipeline,
 }
