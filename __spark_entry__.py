@@ -430,6 +430,114 @@ def _training_pipeline_sql() -> str:
     """
 
 
+def _dup_spans_sql() -> str:
+    from deusu_spark.pipelines import DUPSPAN_BOILER, DUPSPAN_W
+
+    W = DUPSPAN_W
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(W))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(
+                       text || CASE WHEN doc_id % 5 = 0
+                                    THEN '{DUPSPAN_BOILER}' ELSE '' END),
+                       '[^a-z0-9]+'), x -> x <> '') AS a
+            FROM documents WHERE doc_id < 400),
+             b2 AS (SELECT * FROM base WHERE len(a) >= {W}),
+             pos AS (SELECT doc_id, i - 1 AS pos, {gram} AS g
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) - {W - 2})) AS i
+                           FROM b2)),
+             dg AS (SELECT g FROM pos
+                    GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+             fl AS (SELECT doc_id, pos FROM pos JOIN dg USING (g)),
+             sp AS (SELECT doc_id, pos,
+                           CASE WHEN lag(pos) OVER
+                                    (PARTITION BY doc_id ORDER BY pos)
+                                    IS DISTINCT FROM pos - 1
+                                THEN 1 ELSE 0 END AS ns
+                    FROM fl),
+             ag AS (SELECT doc_id,
+                           CAST(count(*) AS INTEGER) AS n_dup_windows,
+                           CAST(sum(ns) AS INTEGER) AS n_dup_spans
+                    FROM sp GROUP BY doc_id)
+        SELECT b2.doc_id, CAST(len(a) - {W - 1} AS INTEGER) AS n_windows,
+               n_dup_windows, n_dup_spans,
+               round(n_dup_windows * 1.0 / (len(a) - {W - 1}), 5) AS dup_frac
+        FROM b2 JOIN ag USING (doc_id) ORDER BY b2.doc_id
+    """
+
+
+def _topk_ngrams_sql() -> str:
+    from deusu_spark.pipelines import NGRAM_TOPK
+
+    def grams(n: int) -> str:
+        g = " || ' ' || ".join(f"a[i+{j}]" for j in range(n))
+        return (
+            f"SELECT {n} AS n, {g} AS g "
+            f"FROM (SELECT a, unnest(range(1, len(a) - {n - 2})) AS i "
+            f"      FROM base WHERE len(a) >= {n})"
+        )
+
+    return f"""
+        WITH base AS (
+            SELECT list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS a
+            FROM documents WHERE doc_id < 400),
+             g AS ({grams(1)} UNION ALL {grams(2)} UNION ALL {grams(3)}),
+             c AS (SELECT n, g, count(*) AS cnt FROM g GROUP BY n, g),
+             r AS (SELECT n, g, cnt, row_number() OVER
+                       (PARTITION BY n ORDER BY cnt DESC, g) AS rank
+                   FROM c)
+        SELECT n, CAST(rank AS INTEGER) AS rank, g, cnt
+        FROM r WHERE rank <= {NGRAM_TOPK} ORDER BY n, rank
+    """
+
+
+def _bpe_merges_sql() -> str:
+    """BPE training IS SQL-expressible: each merge round is one pair-count
+    aggregation, one LIMIT-1 argmax, and one scalar-subquery replace over
+    the spaced-symbol vocabulary — generated here as a CTE chain of
+    BPE_MERGES rounds (the oracle stays data-independent; the learned pair
+    enters each round only through scalar subqueries)."""
+    from deusu_spark.pipelines import BPE_MAXDOC, BPE_MERGES
+
+    ctes = [
+        "v0 AS MATERIALIZED (SELECT ' ' || regexp_replace(t, '(.)', '\\1 ', 'g')"
+        " || '$ ' AS w, cnt FROM (SELECT t, count(*) AS cnt FROM"
+        f" ({_TOKS}) WHERE doc_id < {BPE_MAXDOC} GROUP BY t))"
+    ]
+    finals = []
+    for r in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT s[i] AS lhs, s[i+1] AS rhs,"
+            " sum(cnt) AS pcnt"
+            " FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i"
+            "       FROM (SELECT string_split(trim(w), ' ') AS s, cnt"
+            f"             FROM v{r - 1}))"
+            " GROUP BY lhs, rhs)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT lhs, rhs, pcnt FROM p{r}"
+            " ORDER BY pcnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT replace(w,"
+            f" ' ' || (SELECT lhs FROM m{r}) || ' ' ||"
+            f" (SELECT rhs FROM m{r}) || ' ',"
+            f" ' ' || (SELECT lhs FROM m{r}) ||"
+            f" (SELECT rhs FROM m{r}) || ' ') AS w, cnt"
+            f" FROM v{r - 1})"
+        )
+        finals.append(
+            f"SELECT {r} AS rank, lhs, rhs,"
+            f" CAST(pcnt AS BIGINT) AS cnt FROM m{r}"
+        )
+    return (
+        "WITH " + ",\n ".join(ctes) + " SELECT * FROM ("
+        + " UNION ALL ".join(finals) + ") ORDER BY rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -446,6 +554,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "training_pipeline": _training_pipeline_sql(),
+        "dup_spans": _dup_spans_sql(),
+        "topk_ngrams": _topk_ngrams_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -18,9 +18,11 @@ plus the large-scale training-data ops: exact dedup, n-gram Jaccard near-dup,
 MinHash-LSH candidates, fingerprinting, token stats/quality, language
 heuristic, embedding cosine top-k, benchmark decontamination, repetition
 signals, stratified sampling, deterministic corpus shuffle, PII redaction,
-unigram-LM quality scoring, and the composed end-to-end training pipeline
+unigram-LM quality scoring, the composed end-to-end training pipeline
 (quality gate → exact dedup → decontaminate → chunk → split as ONE query
-vs one oracle).
+vs one oracle), span-level duplicate detection (exact-substring-dedup
+approximation), corpus top-k n-gram stats (two-phase salted top-k), and
+BPE tokenizer training (spaced-string merges, fully SQL-oracled).
 """
 
 from __future__ import annotations
@@ -1477,6 +1479,217 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Span-level duplicate detection and corpus n-gram statistics.
+
+DUPSPAN_W = 8  # tokens per rolling window (~50 in prod; synth docs are short)
+DUPSPAN_BOILER = (
+    " the quick brown fox jumps over the lazy dog while curious engineers"
+    " measure duplicate spans across large corpora every single day"
+)
+
+
+def _dupspan_base(d: DataFrame) -> DataFrame:
+    """Token arrays with a deterministic boilerplate sentence appended to
+    every doc_id % 5 == 0 doc — the synthetic corpus has few naturally
+    shared W-grams, so the op needs planted shared spans to have real work
+    to verify. The same concat runs in the oracle SQL."""
+    planted = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(DUPSPAN_BOILER))
+    ).otherwise(F.col("text"))
+    arr = F.filter(F.split(F.lower(planted), TOKEN_SPLIT), lambda x: x != "")
+    return d.select("doc_id", arr.alias("a")).where(F.size("a") >= DUPSPAN_W)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Span-level duplicate detection — the scalable approximation of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): slide a W-token window over each doc, find
+    windows whose text occurs in >1 distinct doc, and report per doc the
+    duplicated-window count, the number of merged duplicate spans (maximal
+    runs of consecutive duplicated positions), and the duplicated fraction.
+    Doc-level dedup (exact/minhash/simhash) misses boilerplate shared
+    across otherwise-distinct docs; this is the op that catches it.
+
+    Scale shape: one explode (W-gram positions), one map-side-combinable
+    groupBy on the gram to find cross-doc grams, one hash join back keyed
+    on the gram, then a per-doc window (partitioned by doc_id — bounded by
+    doc length, never corpus-wide) to merge consecutive positions. No
+    all-pairs, no driver state; the gram table shuffles on content hash,
+    the same plan at 10^12 docs. Production replaces the gram string with
+    a 64-bit rolling hash to shrink the shuffle — semantics unchanged."""
+    base = _dupspan_base(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    )
+    idx = ", ".join(f"a[i+{j}]" for j in range(DUPSPAN_W))
+    wins = F.expr(
+        f"transform(sequence(0, size(a) - {DUPSPAN_W}), "
+        f"i -> concat_ws(' ', {idx}))"
+    )
+    pos = base.select("doc_id", F.posexplode(wins).alias("pos", "g"))
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    flagged = pos.join(dup_grams, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = flagged.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > 1),
+            1,
+        ).otherwise(0),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_dup_windows"),
+        F.sum("new_span").cast("int").alias("n_dup_spans"),
+    )
+    totals = base.select(
+        "doc_id", (F.size("a") - F.lit(DUPSPAN_W - 1)).alias("n_windows")
+    )
+    return (
+        totals.join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            "n_dup_spans",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 5).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_TOPK = 20
+NGRAM_SALTS = 64  # partial-top-k buckets; bounds every sort task's input
+
+
+def q_topk_ngrams(spark, sf_dir):
+    """Corpus-wide top-k most frequent 1/2/3-grams (the vocabulary /
+    tokenizer-training statistic), count desc + gram asc tie-break.
+
+    Scale shape: the gram count is one map-side-combinable groupBy. The
+    top-k is TWO-PHASE: a partial top-k per (n, crc32(gram) % SALTS)
+    bucket, then the global top-k over the ≤ SALTS×k survivors per n —
+    correct because every global top-k member is top-k within its own
+    bucket. A single window over (n) alone would funnel the whole
+    vocabulary (billions of grams at 100 TB) through one sort task."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select(arr.alias("a"))
+    parts = []
+    for n in (1, 2, 3):
+        idx = ", ".join(f"a[i+{j}]" for j in range(n))
+        grams = F.expr(
+            f"transform(sequence(0, size(a) - {n}), i -> concat_ws(' ', {idx}))"
+        )
+        parts.append(
+            base.where(F.size("a") >= n).select(
+                F.lit(n).alias("n"), F.explode(grams).alias("g")
+            )
+        )
+    allg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    cnt = allg.groupBy("n", "g").agg(F.count("*").alias("cnt"))
+    order = [F.desc("cnt"), F.asc("g")]
+    w_part = Window.partitionBy(
+        "n", F.crc32(F.col("g")) % NGRAM_SALTS
+    ).orderBy(*order)
+    cand = (
+        cnt.withColumn("pr", F.row_number().over(w_part))
+        .where(F.col("pr") <= NGRAM_TOPK)
+        .drop("pr")
+    )
+    w_all = Window.partitionBy("n").orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w_all))
+        .where(F.col("rank") <= NGRAM_TOPK)
+        .select("n", "rank", "g", "cnt")
+        .orderBy("n", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, the spaced-string
+# formulation the original implementation uses).
+
+BPE_MERGES = 8  # merge rounds (30k-100k in prod; vocabulary here is tiny)
+BPE_MAXDOC = 300
+
+
+def bpe_train(
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn BPE merge rules from a document corpus: represent each distinct
+    word as space-separated symbols with a '$' end-of-word marker, then
+    repeatedly (a) count adjacent symbol pairs weighted by word frequency,
+    (b) take the most frequent pair (count desc, pair asc tie-break), and
+    (c) merge it everywhere via a left-to-right non-overlapping string
+    replace — the exact semantics of Java/Python/DuckDB `replace`, so the
+    greedy-overlap case ('a a a' under pair (a,a) → 'aa a') matches the
+    reference algorithm and the oracle bit-for-bit.
+
+    Scale shape: BPE training runs over the WORD VOCABULARY, not the
+    corpus — the only corpus-sized pass is the initial word count (one
+    map-side-combinable groupBy). Each round is one vocabulary-sized
+    aggregation plus a single-row argmax collect (a bounded driver copy,
+    the same iterative shape as IVF training); the merge itself is a pure
+    column expression. n_merges rounds = n_merges bounded jobs; production
+    checkpoints the vocabulary frame every ~50 rounds to cap lineage."""
+    words = _tokens(docs).groupBy("t").agg(F.count("*").alias("cnt"))
+    v = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("t", "(.)", "$1 "), F.lit("$ ")
+        ).alias("w"),
+        "cnt",
+    )
+    merges = []
+    for r in range(n_merges):
+        pairs = (
+            v.withColumn("s", F.split(F.trim(F.col("w")), " "))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> struct(s[i] AS lhs, s[i+1] AS rhs))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pcnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pcnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, pcnt = top[0]["lhs"], top[0]["rhs"], top[0]["pcnt"]
+        merges.append((r + 1, lhs, rhs, int(pcnt)))
+        v = v.withColumn(
+            "w",
+            F.replace(
+                F.col("w"),
+                F.lit(f" {lhs} {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, cnt bigint"
+    ).orderBy("rank")
+
+
+def q_bpe_merges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < BPE_MAXDOC)
+    return bpe_train(spark, d, BPE_MERGES)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1521,4 +1734,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "unigram_logprob": q_unigram_logprob,
     "training_pipeline": q_training_pipeline,
+    "dup_spans": q_dup_spans,
+    "topk_ngrams": q_topk_ngrams,
+    "bpe_merges": q_bpe_merges,
 }
