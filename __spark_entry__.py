@@ -557,6 +557,27 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "topk_ngrams": _topk_ngrams_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        # the oracle uses DuckDB's NATIVE ASOF JOIN — the Spark composition
+        # (union + carry-forward window) must reproduce it exactly
+        "asof_join": """
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+                   v.event_id AS view_id, v.ts AS view_ts,
+                   date_diff('second', v.ts, p.ts) AS gap_s
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY purchase_id
+        """,
+        "range_join": f"""
+            SELECT er.event_id AS error_id, p.event_id AS purchase_id,
+                   er.user_id, date_diff('second', er.ts, p.ts) AS delay_s
+            FROM events er JOIN events p
+              ON er.user_id = p.user_id
+             AND er.event_type = 'error' AND p.event_type = 'purchase'
+             AND date_diff('second', er.ts, p.ts)
+                 BETWEEN 0 AND {pipelines.RANGE_W_S}
+            ORDER BY error_id, purchase_id
+        """,
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -1614,6 +1614,119 @@ def q_topk_ngrams(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# As-of join and range join — the two canonical operators Spark's built-in
+# join strategies don't provide, each as a scale-safe composition.
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: attach to each purchase the same user's most recent view
+    at-or-before it (ASOF >= semantics). Spark has no native ASOF JOIN;
+    the scale-safe composition is UNION both sides tagged, then ONE window
+    per user ordered by (ts, side, event_id) carrying the last right-side
+    row forward (last ignorenulls over an unbounded-preceding frame) —
+    a single shuffle on the join key, no range explosion, no per-user
+    cross product, no driver state. At equal timestamps the right side
+    sorts first, matching DuckDB's native ASOF JOIN oracle exactly."""
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("r_id"),
+        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
+    )
+    right = e.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = left.unionByName(right).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("r_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return (
+        m.where(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            "view_id",
+            "view_ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")).alias(
+                "gap_s"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+RANGE_W_S = 3600  # interval width: an error opens a 1-hour window
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval-containment) join: purchases falling inside the
+    1-hour window opened by each error of the same user. The naive plan —
+    equi-join on user plus a BETWEEN theta-filter — degenerates to a
+    per-user cross product (a skew bomb when one user has millions of
+    events). The scale path bucketizes time at the interval width: each
+    interval explodes into the ≤2 buckets it covers, each point maps to
+    its single bucket, the join is a plain equi-join on (user_id, bucket),
+    and exact containment filters after. Containment is defined in whole
+    (truncated) seconds, identical on both engines. Every pair matches in
+    exactly one point-bucket, so no post-join dedup is needed."""
+    e = _t(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    wins = err.select(
+        "error_id",
+        "user_id",
+        "es",
+        F.explode(
+            F.sequence(
+                (F.col("es") / RANGE_W_S).cast("bigint"),
+                ((F.col("es") + RANGE_W_S) / RANGE_W_S).cast("bigint"),
+            )
+        ).alias("bkt"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("ps"),
+        (F.unix_timestamp("ts") / RANGE_W_S).cast("bigint").alias("bkt"),
+    )
+    return (
+        wins.join(pur, ["user_id", "bkt"])
+        .where(
+            (F.col("ps") >= F.col("es"))
+            & (F.col("ps") <= F.col("es") + RANGE_W_S)
+        )
+        .select(
+            "error_id",
+            "purchase_id",
+            "user_id",
+            (F.col("ps") - F.col("es")).alias("delay_s"),
+        )
+        .orderBy("error_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training (Sennrich et al. 2016, the spaced-string
 # formulation the original implementation uses).
 
@@ -1737,4 +1850,6 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "topk_ngrams": q_topk_ngrams,
     "bpe_merges": q_bpe_merges,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
