@@ -493,20 +493,18 @@ def _topk_ngrams_sql() -> str:
     """
 
 
-def _bpe_merges_sql() -> str:
-    """BPE training IS SQL-expressible: each merge round is one pair-count
-    aggregation, one LIMIT-1 argmax, and one scalar-subquery replace over
-    the spaced-symbol vocabulary — generated here as a CTE chain of
-    BPE_MERGES rounds (the oracle stays data-independent; the learned pair
-    enters each round only through scalar subqueries)."""
+def _bpe_chain_ctes() -> list[str]:
+    """Shared BPE merge-round CTE chain (see _bpe_merges_sql). The
+    vocabulary frames carry the original word `t` so the encode oracle can
+    join documents back against the final symbol table."""
     from deusu_spark.pipelines import BPE_MAXDOC, BPE_MERGES
 
     ctes = [
-        "v0 AS MATERIALIZED (SELECT ' ' || regexp_replace(t, '(.)', '\\1 ', 'g')"
+        "v0 AS MATERIALIZED (SELECT t,"
+        " ' ' || regexp_replace(t, '(.)', '\\1 ', 'g')"
         " || '$ ' AS w, cnt FROM (SELECT t, count(*) AS cnt FROM"
         f" ({_TOKS}) WHERE doc_id < {BPE_MAXDOC} GROUP BY t))"
     ]
-    finals = []
     for r in range(1, BPE_MERGES + 1):
         ctes.append(
             f"p{r} AS MATERIALIZED (SELECT s[i] AS lhs, s[i+1] AS rhs,"
@@ -521,20 +519,48 @@ def _bpe_merges_sql() -> str:
             " ORDER BY pcnt DESC, lhs, rhs LIMIT 1)"
         )
         ctes.append(
-            f"v{r} AS MATERIALIZED (SELECT replace(w,"
+            f"v{r} AS MATERIALIZED (SELECT t, replace(w,"
             f" ' ' || (SELECT lhs FROM m{r}) || ' ' ||"
             f" (SELECT rhs FROM m{r}) || ' ',"
             f" ' ' || (SELECT lhs FROM m{r}) ||"
             f" (SELECT rhs FROM m{r}) || ' ') AS w, cnt"
             f" FROM v{r - 1})"
         )
-        finals.append(
-            f"SELECT {r} AS rank, lhs, rhs,"
-            f" CAST(pcnt AS BIGINT) AS cnt FROM m{r}"
-        )
+    return ctes
+
+
+def _bpe_merges_sql() -> str:
+    """BPE training IS SQL-expressible: each merge round is one pair-count
+    aggregation, one LIMIT-1 argmax, and one scalar-subquery replace over
+    the spaced-symbol vocabulary — generated as a MATERIALIZED-CTE chain
+    of BPE_MERGES rounds (the oracle stays data-independent; the learned
+    pair enters each round only through scalar subqueries)."""
+    from deusu_spark.pipelines import BPE_MERGES
+
+    finals = [
+        f"SELECT {r} AS rank, lhs, rhs, CAST(pcnt AS BIGINT) AS cnt FROM m{r}"
+        for r in range(1, BPE_MERGES + 1)
+    ]
     return (
-        "WITH " + ",\n ".join(ctes) + " SELECT * FROM ("
+        "WITH " + ",\n ".join(_bpe_chain_ctes()) + " SELECT * FROM ("
         + " UNION ALL ".join(finals) + ") ORDER BY rank"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    from deusu_spark.pipelines import BPE_MERGES
+
+    return (
+        "WITH " + ",\n ".join(_bpe_chain_ctes()) + f"""
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(length(t) + 1) AS BIGINT) AS n_chars,
+               CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+               round(sum(n_sym) * 1.0 / sum(length(t) + 1), 5) AS ratio
+        FROM (SELECT doc_id, t FROM ({_TOKS}) WHERE doc_id < 150)
+        JOIN (SELECT t, len(string_split(trim(w), ' ')) AS n_sym
+              FROM v{BPE_MERGES}) USING (t)
+        GROUP BY doc_id ORDER BY doc_id
+    """
     )
 
 
@@ -557,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "topk_ngrams": _topk_ngrams_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         # the oracle uses DuckDB's NATIVE ASOF JOIN — the Spark composition
         # (union + carry-forward window) must reproduce it exactly
         "asof_join": """

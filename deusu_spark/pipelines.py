@@ -1753,8 +1753,18 @@ def bpe_train(
     the same iterative shape as IVF training); the merge itself is a pure
     column expression. n_merges rounds = n_merges bounded jobs; production
     checkpoints the vocabulary frame every ~50 rounds to cap lineage."""
+    merges, _ = _bpe_train_vocab(spark, docs, n_merges)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, cnt bigint"
+    ).orderBy("rank")
+
+
+def _bpe_train_vocab(spark, docs, n_merges):
+    """Run the merge loop and return (merge list, final vocabulary frame
+    with columns t / w(spaced symbols) / cnt) so encoding can reuse it."""
     words = _tokens(docs).groupBy("t").agg(F.count("*").alias("cnt"))
     v = words.select(
+        "t",
         F.concat(
             F.lit(" "), F.regexp_replace("t", "(.)", "$1 "), F.lit("$ ")
         ).alias("w"),
@@ -1793,14 +1803,43 @@ def bpe_train(
                 F.lit(f" {lhs}{rhs} "),
             ),
         )
-    return spark.createDataFrame(
-        merges, "rank int, lhs string, rhs string, cnt bigint"
-    ).orderBy("rank")
+    return merges, v
 
 
 def q_bpe_merges(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < BPE_MAXDOC)
     return bpe_train(spark, d, BPE_MERGES)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merges (train → apply, the composition a real
+    tokenizer pipeline runs): train on docs < BPE_MAXDOC, then encode docs
+    < 150 by joining their tokens against the final symbol vocabulary and
+    counting symbols per doc. The vocabulary is model-sized → broadcast
+    join; the scoring aggregation is map-side combinable. The encoded
+    docs' words are a subset of the training corpus, so the vocabulary is
+    closed (production adds a char-fallback left join the same way)."""
+    d = _t(spark, sf_dir, "documents")
+    _, vocab = _bpe_train_vocab(
+        spark, d.where(F.col("doc_id") < BPE_MAXDOC), BPE_MERGES
+    )
+    enc = vocab.select(
+        "t", F.size(F.split(F.trim(F.col("w")), " ")).alias("n_sym")
+    )
+    toks = _tokens(d.where(F.col("doc_id") < 150))
+    return (
+        toks.join(F.broadcast(enc), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("t") + 1).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "ratio", F.round(F.col("n_bpe_tokens") / F.col("n_chars"), 5)
+        )
+        .orderBy("doc_id")
+    )
 
 
 QUERIES = {
@@ -1850,6 +1889,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "topk_ngrams": q_topk_ngrams,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
 }
