@@ -584,6 +584,38 @@ def oracle_sql() -> dict[str, str]:
         "topk_ngrams": _topk_ngrams_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "winnow_candidates": f"""
+            WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
+                 h AS (SELECT doc_id, md5(sh) AS h FROM sh),
+                 r AS (SELECT doc_id, h,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY h) AS rn
+                       FROM h),
+                 sel AS (SELECT doc_id, h FROM r WHERE rn <= 4)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS INTEGER) AS n_shared
+            FROM sel a JOIN sel b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
+        """,
+        # quantile_cont == the histogram-interpolated percentile_cont the
+        # Spark side computes from the cumulative (lang, n_tok) histogram
+        "corpus_profile": """
+            WITH x AS (SELECT lang,
+                              len(list_filter(regexp_split_to_array(
+                                  lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS n_tok,
+                              n_chars
+                       FROM documents WHERE doc_id < 500)
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_tok), 5) AS mean_tok,
+                   round(quantile_cont(n_tok, 0.5), 5) AS p50_tok,
+                   round(quantile_cont(n_tok, 0.9), 5) AS p90_tok,
+                   round(quantile_cont(n_tok, 0.99), 5) AS p99_tok,
+                   round(avg(n_chars), 5) AS mean_chars
+            FROM x GROUP BY lang ORDER BY lang
+        """,
         # the oracle uses DuckDB's NATIVE ASOF JOIN — the Spark composition
         # (union + carry-forward window) must reproduce it exactly
         "asof_join": """

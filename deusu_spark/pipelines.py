@@ -1613,6 +1613,89 @@ def q_topk_ngrams(spark, sf_dir):
     )
 
 
+def q_winnow_candidates(spark, sf_dir):
+    """Winnowing near-dup CANDIDATE JOIN — the pairing stage for the
+    winnow_fingerprint sketch: each doc keeps its 4 lexicographically
+    smallest shingle hashes; docs sharing >= 2 selected hashes become
+    candidate pairs (the MOSS pairing rule). Scale shape: the join is a
+    plain equi-join keyed on the selected hash (4 rows/doc, bounded) plus
+    one pair-count groupBy — no all-pairs; a pathological hash shared by
+    k docs costs k^2 pairs, which the >= 2 threshold then prunes."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sh = _shingles(d).withColumn("h", F.md5("sh"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    sel = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .select("doc_id", "h")
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+PROFILE_PCTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Dataset-card corpus profile: per language, doc count, mean token /
+    char counts, and EXACT token-count percentiles (percentile_cont
+    interpolation) computed the scale-right way — NOT Spark's exact
+    percentile (which collects every value of a group into one reducer):
+    the token count is a small discrete domain, so build a (lang, n_tok)
+    HISTOGRAM (map-side combinable), then derive each percentile from the
+    cumulative histogram with linear interpolation. Every post-histogram
+    step operates on bounded rows; the same plan holds at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    x = d.select("lang", F.size(arr).alias("n_tok"), "n_chars")
+
+    stats = x.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 5).alias("mean_tok"),
+        F.round(F.avg("n_chars"), 5).alias("mean_chars"),
+    )
+    hist = x.groupBy("lang", "n_tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_tok")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
+        stats.select("lang", "n_docs"), "lang"
+    )
+    # percentile_cont: h = (n-1)p; v = v[floor(h)] + (h-floor(h)) *
+    # (v[ceil(h)] - v[floor(h)]); v[i] = smallest value with cum >= i+1
+    pcols = []
+    for name, p in PROFILE_PCTS:
+        h = (F.col("n_docs") - 1) * F.lit(p)
+        i0, i1 = F.floor(h), F.ceil(h)
+        v0 = F.min(F.when(F.col("cum") >= i0 + 1, F.col("n_tok")))
+        v1 = F.min(F.when(F.col("cum") >= i1 + 1, F.col("n_tok")))
+        pcols.append(
+            F.round(v0 + (h - i0) * (v1 - v0), 5).alias(f"{name}_tok")
+        )
+    # n_docs is functionally dependent on lang; grouping by it too lets the
+    # interpolation arithmetic (h, floor/ceil) sit outside the aggregates
+    pcts = cum.groupBy("lang", "n_docs").agg(*pcols).drop("n_docs")
+    return (
+        stats.join(pcts, "lang")
+        .select(
+            "lang", "n_docs", "mean_tok",
+            "p50_tok", "p90_tok", "p99_tok", "mean_chars",
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join and range join — the two canonical operators Spark's built-in
 # join strategies don't provide, each as a scale-safe composition.
@@ -1890,6 +1973,8 @@ QUERIES = {
     "topk_ngrams": q_topk_ngrams,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "winnow_candidates": q_winnow_candidates,
+    "corpus_profile": q_corpus_profile,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
 }
