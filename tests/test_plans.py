@@ -105,3 +105,42 @@ def test_agg_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
     df.collect()
     final = _plan(df)
     assert "* HashAggregate" in final
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The as-of composition must stay a union + ONE per-key window: no
+    join operator at all (the naive ASOF rewrite is a range join that
+    degenerates to a per-key cross product), no Python."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_asof_join(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The bucketized range join must plan as a hash/sort EQUI-join on
+    (user_id, bkt) — never a nested-loop/cartesian theta-join."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_range_join(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_topk_ngrams_partial_topk_bounds_sort(spark, sf_dir="/root/testdata/sf0.001"):
+    """The two-phase top-k: the FIRST window must partition by the crc32
+    salt bucket too (bounding every sort task's input), and no Python."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_topk_ngrams(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("Window") >= 2
+    assert "crc32" in plan
