@@ -13,7 +13,17 @@ rebuild adds the streaming shapes a transcript/event firehose needs:
                          (session_start, last_ts, n_events), closed sessions
                          emit downstream, the open tail stays in state
 
-Both are tested for BATCH EQUIVALENCE: the same events parquet pushed
+  dedup_stream           streaming exact dedup / replay suppression — the
+                         streaming twin of the batch exact-dedup stage
+                         (pipelines.q_dedup_exact): first occurrence of a
+                         key passes through immediately, duplicates within
+                         the watermark horizon are dropped, and per-key
+                         state expires once the watermark passes the key's
+                         event time + delay (bounded state; duplicates
+                         older than the horizon are the documented
+                         at-least-once residue every streaming dedup has)
+
+All are tested for BATCH EQUIVALENCE: the same events parquet pushed
 through the stream (availableNow trigger → memory sink) must produce the
 rows the batch pipeline computes. That is the property that lets one
 codebase serve the backfill and the live feed.
@@ -165,4 +175,41 @@ def sessionize_stream(
             outputMode="append",
             timeoutConf=timeout,
         )
+    )
+
+
+def dedup_stream(
+    src: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup / replay suppression over an event-time
+    source: the first row per key passes through immediately (append
+    mode emits it without waiting for the watermark); any duplicate
+    arriving within the watermark horizon is dropped; per-key state
+    expires once the watermark passes the key's event time + delay, so
+    state is bounded by the horizon's key cardinality, not the stream's.
+
+    This is the streaming twin of the batch exact-dedup stage
+    (pipelines.q_dedup_exact / the training pipeline's dedup step):
+    default key is the normalized-content fingerprint when the source has
+    a text column, else pass explicit key columns (e.g. ["event_id"] for
+    ingestion replay suppression). Duplicates older than the horizon are
+    the documented at-least-once residue every streaming dedup has —
+    production picks the horizon to cover the replay window of its bus."""
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    if keys is None:
+        fp = F.md5(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda x: x != "",
+                ),
+            )
+        )
+        src = src.withColumn("fp", fp)
+        keys = ["fp"]
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
     )

@@ -149,3 +149,35 @@ def test_sessionize_stream_matches_batch(spark, events_stream_dir):
         assert sorted(closed[u]) == sorted(runs), u
     # sanity: a meaningful number of closed sessions streamed out
     assert sum(len(v) for v in closed.values()) > 50
+
+
+def test_dedup_stream_suppresses_replays(spark, events_stream_dir):
+    """Every event written TWICE into the source: the streamed output must
+    equal the batch distinct-by-key result exactly (first occurrence kept,
+    replay dropped). The watermark is set beyond the corpus's event-time
+    span so in-horizon semantics (exact dedup) apply to every row
+    regardless of how availableNow slices microbatches."""
+    import os
+
+    dup_dir = tempfile.mkdtemp(prefix="deusu_dupstream_")
+    try:
+        base = spark.read.parquet(events_stream_dir)
+        base.write.mode("overwrite").parquet(dup_dir)
+        base.write.mode("append").parquet(dup_dir)  # the replay
+        schema = base.schema
+        src = spark.readStream.schema(schema).parquet(dup_dir)
+        got = _run_stream(
+            spark,
+            streaming.dedup_stream(src, keys=["event_id"], watermark="20000 hours"),
+            "dedup_stream",
+        )
+        got_ids = sorted(r["event_id"] for r in got.select("event_id").collect())
+        want_ids = sorted(
+            r["event_id"] for r in base.select("event_id").distinct().collect()
+        )
+        assert got_ids == want_ids
+        # and the doubled batch input really had every id twice
+        n_all = spark.read.parquet(dup_dir).count()
+        assert n_all == 2 * len(want_ids)
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
