@@ -148,6 +148,10 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "engine": engine_stats,
+                # host-noise context: this sandbox has noisy neighbors with
+                # ±2-3x wall swings (BENCH.md); 1/5/15-min load averages let
+                # a reader judge the window this line was measured in
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
