@@ -564,6 +564,59 @@ def _bpe_encode_sql() -> str:
     )
 
 
+def _phrase_match_sql() -> str:
+    from deusu_spark.pipelines import PHRASE
+
+    needle = " " + PHRASE.replace(" ", "  ") + " "
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   replace(' ' || array_to_string(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''), ' ') || ' ', ' ', '  ') AS s
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   CAST((length(s) - length(replace(s, '{needle}', '')))
+                        / {len(needle)} AS INTEGER) AS n_hits
+            FROM s)
+        SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id
+    """
+
+
+def _pagerank_sql() -> str:
+    """Generated per-iteration CTE chain (same technique as the BPE
+    oracle): r0 = uniform 1/N, each r{i+1} one join+groupBy round, ranks
+    rounded to 9 decimals per round exactly like the Spark side so the
+    fixpoint is reproducible across engines and summation orders."""
+    from deusu_spark.pipelines import PR_DAMP, PR_ITERS
+
+    ctes = [
+        "pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS sn "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "edges AS (SELECT cn AS src, sn AS dst FROM pairs "
+        "UNION ALL SELECT sn, cn FROM pairs)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT src AS node, "
+        "CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg)",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"round((CAST(1 AS DOUBLE) - {PR_DAMP}) / (SELECT n FROM nn) "
+            f"+ {PR_DAMP} * sum(r.pr / d.outdeg), 9) AS pr "
+            f"FROM edges e JOIN r{i} r ON e.src = r.node "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"\nSELECT node, round(pr, 6) AS pr FROM r{PR_ITERS} ORDER BY node"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -637,6 +690,58 @@ def oracle_sql() -> dict[str, str]:
                  BETWEEN 0 AND {pipelines.RANGE_W_S}
             ORDER BY error_id, purchase_id
         """,
+        # NULL group markers coalesced to '(all)' in BOTH engines; gid =
+        # GROUPING bit vector (leftmost column = MSB, Postgres semantics
+        # in Spark and DuckDB alike)
+        "rollup_revenue": """
+            SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+                   coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   count(*) AS cnt,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus
+        """,
+        "cube_status_priority": """
+            SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER)
+                       AS gid,
+                   coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                   coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                   count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
+        # pivot == conditional aggregation (count FILTER), its relational
+        # identity
+        "pivot_priority_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey
+        """,
+        # the oracle is the UNSALTED join — hash-identical output proves
+        # the salted rewrite is semantics-preserving
+        "salted_join_revenue": """
+            SELECT s_nationkey, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "pagerank": _pagerank_sql(),
+        "phrase_match": _phrase_match_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             WITH x AS (

@@ -23,6 +23,15 @@ unigram-LM quality scoring, the composed end-to-end training pipeline
 vs one oracle), span-level duplicate detection (exact-substring-dedup
 approximation), corpus top-k n-gram stats (two-phase salted top-k), and
 BPE tokenizer training (spaced-string merges, fully SQL-oracled).
+
+Relational capabilities the reference lacks entirely (SURVEY §2.7), exposed
+natively and oracle-gated: grouping sets (q_rollup_revenue,
+q_cube_status_priority), pivot (q_pivot_priority_status), keep-latest-per-key
+changelog compaction (q_latest_order_per_customer), an explicit skew-salted
+join proven semantics-preserving against the unsalted oracle
+(q_salted_join_revenue), and iterative PageRank with a generated-CTE SQL
+oracle (q_pagerank — the op that would COMPUTE the domain rank the reference
+imports from a published list).
 """
 
 from __future__ import annotations
@@ -1925,6 +1934,252 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Grouping-sets family, pivot, keep-latest compaction, explicit skew-salted
+# join, and iterative PageRank — SURVEY §2.7 names grouping sets / window
+# functions / general joins as capabilities the reference lacks entirely
+# (its only "group-by" is the hand-rolled two-phase hash agg, GenDb.dpr:
+# 512-627); the Spark rebuild exposes them natively, each oracle-gated.
+# --------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP(l_returnflag, l_linestatus): per-group, per-returnflag
+    subtotal and grand-total rows in ONE pass (Spark expands the grouping
+    sets map-side; one shuffle, same as the plain agg). NULL group markers
+    are coalesced to '(all)' in BOTH engines so the hash compare never
+    depends on engine NULL-ordering. gid = grouping_id bit vector
+    (leftmost grouping column = most-significant bit, Spark and DuckDB
+    agree on Postgres semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            "gid",
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "cnt",
+            "revenue",
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def q_cube_status_priority(spark, sf_dir):
+    """CUBE(o_orderstatus, o_orderpriority): all 2^2 grouping sets in one
+    shuffle. Same NULL-sentinel + grouping_id conventions as the rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias(
+                "o_orderpriority"
+            ),
+            "cnt",
+            "total",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_pivot_priority_status(spark, sf_dir):
+    """Pivot: order counts per priority × status as columns. The pivot
+    value list is EXPLICIT (F/O/P) — with an inferred list Spark runs an
+    extra distinct job and the output schema depends on the data, which is
+    exactly what a production pipeline must not do. Missing combinations
+    coalesce to 0 in both engines. Oracle = conditional aggregation
+    (count FILTER), the relational-algebra identity of pivot."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c.lower()}") for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Keep-latest-per-key (changelog compaction): each customer's most
+    recent order, ties broken by highest o_orderkey — the upsert-table
+    snapshot every CDC/training-data ingest needs. ONE window shuffle on
+    the key; no self-join against max(ts) (which would scan twice and
+    break on ts ties)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+SALT_BUCKETS = 8
+
+
+def q_salted_join_revenue(spark, sf_dir):
+    """Explicit skew-salted join (north rule: skew handled explicitly):
+    revenue per supplier nation via lineitem ⋈ supplier. A hot supplier
+    key funnels its whole posting of lineitems into one task under a plain
+    hash join; the salted plan replicates the SMALL side S× (supplier ×
+    salt 0..S-1), computes salt = crc32(l_orderkey) % S on the big side,
+    and equi-joins on (suppkey, salt) — every hot key fans out over S
+    tasks, and the follow-up aggregation re-merges exactly. The oracle is
+    the UNSALTED join: hash-identical output is the proof the rewrite is
+    semantics-preserving. (The index build's hot-term scatter uses the
+    same doc-range-salt trick, build.py; here it is exposed as a
+    standalone relational op.)"""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(
+            F.crc32(F.col("l_orderkey").cast("string").cast("binary")),
+            F.lit(SALT_BUCKETS),
+        ).cast("int"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    salts = spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    s_rep = s.crossJoin(salts)
+    return (
+        li.join(
+            s_rep,
+            (li["l_suppkey"] == s_rep["s_suppkey"])
+            & (li["salt"] == s_rep["salt"]),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+PHRASE = "the table"  # two common tokens → non-trivial result set
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact PHRASE match over documents — the capability a binary-TF
+    positionless index (the reference's RWI stores no positions,
+    DbTypes.pas:119-127) cannot answer from postings alone. The scan-level
+    form: normalize → tokenize → space-join with sentinel padding →
+    substring containment + occurrence count, all JVM column expressions
+    (no Python, no explode — one pass over text). In the engine this runs
+    as the VERIFY stage after a postings AND over the phrase's terms has
+    shrunk the candidate set (same two-stage shape as minhash→jaccard).
+    Spaces are DOUBLED before counting so adjacent occurrences stop
+    sharing their boundary space — plain non-overlapping replace() would
+    otherwise undercount "x y x y" (identically in both engines, but
+    wrongly)."""
+    d = _t(spark, sf_dir, "documents")
+    joined = F.concat(
+        F.lit(" "),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != ""
+            ),
+        ),
+        F.lit(" "),
+    )
+    needle = " " + PHRASE.replace(" ", "  ") + " "
+    return (
+        d.select(
+            "doc_id",
+            F.replace(joined, F.lit(" "), F.lit("  ")).alias("s"),
+        )
+        .withColumn(
+            "n_hits",
+            (
+                (F.length("s") - F.length(F.replace(F.col("s"), F.lit(needle))))
+                / F.lit(len(needle))
+            ).cast("int"),
+        )
+        .where(F.col("n_hits") > 0)
+        .select("doc_id", "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, d: float = PR_DAMP) -> DataFrame:
+    """PageRank over edges(src, dst) where every node occurs as a src
+    (the bidirectional construction below guarantees it — no dangling
+    mass). Each iteration is ONE shuffle join (edges ⋈ ranks on src) +
+    ONE groupBy(dst) — the standard scale shape; ranks are
+    localCheckpoint()ed per round so lineage stays constant-depth at any
+    iteration count (same pattern as q_dedup_clusters). Ranks are rounded
+    to 9 decimals per iteration so the fixpoint is bit-reproducible across
+    engines and summation orders."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count()
+    ew = edges.join(deg, "src").select("src", "dst", "outdeg")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        ranks = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(d) * F.sum(F.col("rank") / F.col("outdeg")),
+                    9,
+                ).alias("rank")
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def q_pagerank(spark, sf_dir):
+    """Iterative PageRank on the customer↔supplier bipartite graph derived
+    from orders⋈lineitem (distinct trading pairs, both directions). The
+    reference IMPORTS its domain rank from a published list (ImportAlexa,
+    DomainRank.pas) — this is the op that would COMPUTE one from the link
+    graph. Fully SQL-oracled via a generated per-iteration CTE chain
+    (the same oracle technique as bpe_merges)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionByName(pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
+    return (
+        pagerank(edges)
+        .select("node", F.round("rank", 6).alias("pr"))
+        .orderBy("node")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1977,4 +2232,11 @@ QUERIES = {
     "corpus_profile": q_corpus_profile,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_status_priority": q_cube_status_priority,
+    "pivot_priority_status": q_pivot_priority_status,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "salted_join_revenue": q_salted_join_revenue,
+    "pagerank": q_pagerank,
+    "phrase_match": q_phrase_match,
 }

@@ -13,6 +13,12 @@ rebuild adds the streaming shapes a transcript/event firehose needs:
                          (session_start, last_ts, n_events), closed sessions
                          emit downstream, the open tail stays in state
 
+  interval_join_stream   stream-stream interval join — the streaming twin
+                         of pipelines.q_range_join (purchases within the
+                         window opened by each error, same user); both
+                         sides watermarked, join predicate time-bounded so
+                         buffered state expires with the watermark
+
   dedup_stream           streaming exact dedup / replay suppression — the
                          streaming twin of the batch exact-dedup stage
                          (pipelines.q_dedup_exact): first occurrence of a
@@ -175,6 +181,64 @@ def sessionize_stream(
             outputMode="append",
             timeoutConf=timeout,
         )
+    )
+
+
+RANGE_W_S = 3600  # interval width, mirrors pipelines.RANGE_W_S
+
+
+def interval_join_stream(
+    errors: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    window_s: int = RANGE_W_S,
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    pipelines.q_range_join: purchases falling inside the ``window_s``
+    window opened by each error of the same user.
+
+    Both sides carry a watermark and the join predicate bounds the
+    right-side event time against the left's (``p_ts`` in
+    [err_ts, err_ts + window_s]), which is what lets Spark expire buffered
+    rows: each side's state is bounded by watermark + window, not stream
+    length. The equi-key (user_id) keeps the join a hash join per key —
+    the batch twin's bucketization exists to bound skew in one big batch
+    shuffle, while here the micro-batch + state horizon bounds it in time.
+    ``delay_s`` is computed in whole (truncated) unix seconds exactly like
+    the batch op, so batch equivalence is exact."""
+    err = (
+        errors.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    pur = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("err_ts"))
+        & (F.col("p_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {window_s} SECONDS")),
+    )
+    return (
+        joined.withColumn(
+            "delay_s", F.unix_timestamp("p_ts") - F.unix_timestamp("err_ts")
+        )
+        # the raw-timestamp range condition above is the superset Spark can
+        # use for state cleanup; the whole-second filter below pins the
+        # boundary semantics to the batch op's truncated-seconds contract
+        .where((F.col("delay_s") >= 0) & (F.col("delay_s") <= window_s))
+        .select("error_id", "purchase_id", "user_id", "delay_s")
     )
 
 

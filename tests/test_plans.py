@@ -144,3 +144,59 @@ def test_topk_ngrams_partial_topk_bounds_sort(spark, sf_dir="/root/testdata/sf0.
     assert "EvalPython" not in plan
     assert plan.count("Window") >= 2
     assert "crc32" in plan
+
+
+def test_grouping_sets_single_shuffle(spark, sf_dir="/root/testdata/sf0.001"):
+    """ROLLUP/CUBE must plan as ONE Expand + aggregation pipeline (Spark
+    expands grouping sets map-side) — no Python, no union of N scans."""
+    from deusu_spark import pipelines
+
+    for q in (pipelines.q_rollup_revenue, pipelines.q_cube_status_priority):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan
+        assert "Expand" in plan
+        # formatted plans list each node twice (tree line + detail block),
+        # so ONE physical scan == count 2
+        assert plan.count("Scan parquet") == 2
+
+
+def test_pivot_no_inference_job(spark, sf_dir="/root/testdata/sf0.001"):
+    """Explicit pivot values: the plan is a single scan + aggregate (an
+    inferred value list would have run a separate distinct job and made
+    the schema data-dependent)."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_pivot_priority_status(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan (tree + detail)
+
+
+def test_salted_join_is_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The skew-salted join must stay a hash/sort EQUI-join on
+    (suppkey, salt) — salting must never degrade the plan to a
+    nested-loop — and the small side's S-fold replication must not
+    introduce a Python evaluator."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_salted_join_revenue(spark, sf_dir))
+    assert "EvalPython" not in plan
+    # the big-side join must be an equi hash/sort join; the ONLY permitted
+    # nested-loop is the tiny supplier × S-salt replication cross join
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    # one node == 2 mentions in a formatted plan (tree line + detail block)
+    assert plan.count("NestedLoopJoin") + plan.count("CartesianProduct") <= 2
+
+
+def test_pagerank_iteration_constant_lineage(spark, sf_dir="/root/testdata/sf0.001"):
+    """Each PageRank round is localCheckpoint()ed: the FINAL iteration's
+    plan must read the previous round's checkpointed RDD (constant-depth
+    lineage), not replay the whole chain of joins."""
+    from deusu_spark import pipelines
+
+    df = pipelines.q_pagerank(spark, sf_dir)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed previous round
+    # exactly one (edges ⋈ ranks) join round in the final plan, not ITERS
+    assert plan.count("Scan parquet") <= 4

@@ -151,6 +151,30 @@ def test_sessionize_stream_matches_batch(spark, events_stream_dir):
     assert sum(len(v) for v in closed.values()) > 50
 
 
+def test_interval_join_stream_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join == the batch range join exactly: inner
+    joins emit as soon as both sides' rows meet, so availableNow over the
+    full corpus must reproduce every (error, purchase) containment pair
+    that pipelines.q_range_join finds on the same events."""
+    from deusu_spark import pipelines
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    err_src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    pur_src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = _run_stream(
+        spark,
+        streaming.interval_join_stream(err_src, pur_src),
+        "interval_join_stream",
+    ).collect()
+    want = pipelines.q_range_join(spark, SF_DIR).collect()
+
+    def key(r):
+        return (r["error_id"], r["purchase_id"], r["user_id"], r["delay_s"])
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) >= 3  # sf0.001 plants a small but non-empty pair set
+
+
 def test_dedup_stream_suppresses_replays(spark, events_stream_dir):
     """Every event written TWICE into the source: the streamed output must
     equal the batch distinct-by-key result exactly (first occurrence kept,
