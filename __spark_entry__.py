@@ -617,9 +617,83 @@ def _pagerank_sql() -> str:
     )
 
 
+def _tfidf_cosine_sql() -> str:
+    """Mirrors q_tfidf_cosine_pairs step for step: tf → df (pruned at
+    floor(N·frac)) → (1+ln tf)·ln(N/df) → L2-normalize → round(u,7) →
+    term-keyed pair join → round(cos,4) ≥ threshold. N counts ALL docs
+    under the id bound (even token-less ones), like the Spark side."""
+    from deusu_spark.pipelines import (
+        TFIDF_COS_MIN,
+        TFIDF_DF_MAX_FRAC,
+        TFIDF_MAX_DOC,
+    )
+
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id < {TFIDF_MAX_DOC}),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+        tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+')) AS t FROM d),
+        tf AS (
+            SELECT doc_id, t, count(*) AS tf FROM tok WHERE t <> ''
+            GROUP BY doc_id, t),
+        dfreq AS (
+            SELECT t, count(*) AS df FROM tf GROUP BY t
+            HAVING count(*) <= CAST(FLOOR(
+                (SELECT n FROM nn) * {TFIDF_DF_MAX_FRAC}) AS INTEGER)),
+        w AS (
+            SELECT tf.doc_id, tf.t,
+                   (1.0 + ln(CAST(tf.tf AS DOUBLE)))
+                       * ln(CAST((SELECT n FROM nn) AS DOUBLE) / dfreq.df)
+                       AS w
+            FROM tf JOIN dfreq USING (t)),
+        nrm AS (
+            SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        u AS (
+            SELECT w.doc_id, w.t, round(w.w / nrm.nrm, 7) AS u
+            FROM w JOIN nrm USING (doc_id))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(sum(a.u * b.u), 4) AS cosine
+        FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING round(sum(a.u * b.u), 4) >= {TFIDF_COS_MIN}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
+        "tfidf_cosine_pairs": _tfidf_cosine_sql(),
+        # dense hour grid = generate_series(min_hour, max_hour) × types;
+        # carry-forward = IGNORE NULLS last_value over the hour-ordered
+        # window, exactly mirroring the Spark last(ignorenulls) op
+        "events_gapfill": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS cnt, round(sum(value), 4) AS val
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                         date_trunc('hour', max(ts)) AS hi FROM events),
+            grid AS (
+                SELECT unnest(generate_series(
+                    (SELECT lo FROM b), (SELECT hi FROM b),
+                    INTERVAL 1 HOUR)) AS hour),
+            dense AS (
+                SELECT t.event_type, g.hour
+                FROM grid g CROSS JOIN (SELECT DISTINCT event_type
+                                        FROM events) t)
+            SELECT d.event_type, d.hour,
+                   coalesce(h.cnt, 0) AS cnt,
+                   round(coalesce(last_value(h.val IGNORE NULLS) OVER (
+                       PARTITION BY d.event_type ORDER BY d.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       0.0), 4) AS carried_val
+            FROM dense d LEFT JOIN hourly h
+                 ON d.event_type = h.event_type AND d.hour = h.hour
+            ORDER BY d.event_type, d.hour
+        """,
         "simhash_near_dup_pairs": _simhash_near_dup_sql(),
         "ann_lsh_candidates": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

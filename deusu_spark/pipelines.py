@@ -2180,6 +2180,139 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# TF-IDF all-pairs document similarity — the classic sparse-vector
+# similarity self-join (the IR op behind "more like this" and
+# corpus-level near-topic clustering), term-partitioned the way a
+# 100 TB run must be: pair cost is Σ_t df(t)² over the JOIN KEY term, so
+# the df-prune below is the scale lever, not an optimization detail.
+# --------------------------------------------------------------------------
+
+TFIDF_DF_MAX_FRAC = 0.10  # drop terms appearing in >10% of docs (stop-terms)
+TFIDF_MAX_DOC = 400  # test-scale pair bound, same convention as ngram_jaccard
+TFIDF_COS_MIN = 0.25
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Document-similarity pairs by TF-IDF cosine ≥ TFIDF_COS_MIN.
+
+    Shape (all JVM, one term-keyed equi self-join — the map-reduce
+    similarity-join shape from Elsayed et al. 2008, "Pairwise document
+    similarity in large collections with MapReduce"):
+      1. tf per (doc, term) — one groupBy;
+      2. df per term + corpus size N — one groupBy + a scalar;
+      3. PRUNE terms with df > N·TFIDF_DF_MAX_FRAC: Σ_t df(t)² is the
+         join's row count, and it is dominated by stop-terms; dropping
+         them bounds the blowup (they carry ~no idf weight anyway) —
+         this is what makes the op survive 100×, exactly like the index
+         build's hot-term handling;
+      4. w = (1+ln tf)·ln(N/df), L2-normalized per doc, ROUNDED to 7
+         decimals in both engines (cross-engine float reproducibility,
+         same per-stage-rounding trick as pagerank);
+      5. self-join on term with doc_a < doc_b, sum of weight products =
+         cosine (vectors are unit), rounded to 4 before the threshold so
+         the boundary compare never depends on summation order.
+
+    Reference contrast: DeuSu has no similarity op at all — its postings
+    carry binary TF (DbTypes.pas:119-127), so TF-IDF vectors cannot even
+    be derived from its index. This is a from-scratch capability, the
+    scan-level twin of minhash/LSH (exact weights where LSH is the
+    approximate-at-scale path)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < TFIDF_MAX_DOC)
+    toks = _tokens(d)
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select("doc_id").distinct().count()
+    df_max = int(n_docs * TFIDF_DF_MAX_FRAC)
+    dfreq = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_max)
+    )
+    w = (
+        tf.join(dfreq, "t")  # inner join == the df prune
+        .select(
+            "doc_id",
+            "t",
+            (
+                (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    unit = w.join(norms, "doc_id").select(
+        "doc_id", "t", F.round(F.col("w") / F.col("nrm"), 7).alias("u")
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 4).alias("cosine"))
+        .where(F.col("cosine") >= TFIDF_COS_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Time-series gap-fill / resample (the hypertable-rollup shape):
+    hourly per-type event counts densified to EVERY hour of the corpus
+    span — missing hours appear with cnt 0 and the hour's value sum
+    carried forward from the last observed hour (last-observation-
+    carried-forward via last(ignorenulls) over an hour-ordered window).
+
+    Scale shape: the aggregation is one shuffle over the raw events; the
+    dense grid is sequence(min_hour, max_hour) × distinct types — its
+    size is the TIME SPAN × type cardinality, independent of event count,
+    so the grid side is always broadcast-small and the left join never
+    shuffles the grid. Oracle = DuckDB generate_series + IGNORE NULLS
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("val"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    dense = grid.crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.round(
+                F.coalesce(
+                    F.last("val", ignorenulls=True).over(w), F.lit(0.0)
+                ),
+                4,
+            ).alias("carried_val"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2239,4 +2372,6 @@ QUERIES = {
     "salted_join_revenue": q_salted_join_revenue,
     "pagerank": q_pagerank,
     "phrase_match": q_phrase_match,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "events_gapfill": q_events_gapfill,
 }

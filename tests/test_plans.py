@@ -188,6 +188,36 @@ def test_salted_join_is_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
     assert plan.count("NestedLoopJoin") + plan.count("CartesianProduct") <= 2
 
 
+def test_tfidf_pair_join_is_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The TF-IDF similarity self-join must key on the TERM (equi
+    hash/sort join; doc_a < doc_b stays a post-join filter) — pair cost
+    is Σ_t df(t)² and must never degrade to a nested loop — and the whole
+    op must stay JVM-side."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_tfidf_cosine_pairs(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_gapfill_grid_join_is_broadcast(spark, sf_dir="/root/testdata/sf0.001"):
+    """Gap-fill: the dense (hour × type) grid is span-bounded, never
+    data-bounded, so the grid↔hourly join must be a BROADCAST hash join
+    (no shuffle of the aggregated side against the grid); the only
+    nested-loops allowed are the two bounded grid-construction joins
+    (scalar bounds → sequence, grid × types). All JVM."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_events_gapfill(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # one node == 2 mentions in a formatted plan; allow the two bounded
+    # construction cross joins only
+    assert plan.count("NestedLoopJoin") + plan.count("CartesianProduct") <= 4
+
+
 def test_pagerank_iteration_constant_lineage(spark, sf_dir="/root/testdata/sf0.001"):
     """Each PageRank round is localCheckpoint()ed: the FINAL iteration's
     plan must read the previous round's checkpointed RDD (constant-depth
