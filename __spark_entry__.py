@@ -666,6 +666,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
+        # INTERSECT binds tighter than EXCEPT (standard precedence, both
+        # engines), matching the Spark chain (view ∩ purchase) − error
+        "set_ops_users": """
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events WHERE event_type = 'error'
+            ORDER BY user_id, day
+        """,
         # dense hour grid = generate_series(min_hour, max_hour) × types;
         # carry-forward = IGNORE NULLS last_value over the hour-ordered
         # window, exactly mirroring the Spark last(ignorenulls) op

@@ -2313,6 +2313,31 @@ def q_events_gapfill(spark, sf_dir):
     )
 
 
+def q_set_ops_users(spark, sf_dir):
+    """Relational set operations (INTERSECT / EXCEPT — the §2.7 family the
+    reference has no equivalent of): user-days that saw BOTH a view and a
+    purchase but NO error. Keyed on (user_id, day) — the synthetic users
+    all touch every event type over their whole history, so whole-history
+    sets would make the EXCEPT vacuous; the day grain gives both operators
+    real work (sf0.001: 57 ∩-days → 39 after EXCEPT). DataFrame
+    intersect()/subtract() plan as distinct aggregates + left-semi/anti
+    joins (one shuffle each, no driver collection) — the same physical
+    shape as the SQL INTERSECT/EXCEPT the oracle runs."""
+    ev = _t(spark, sf_dir, "events")
+
+    def user_days(t):
+        return ev.where(F.col("event_type") == t).select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+
+    return (
+        user_days("view")
+        .intersect(user_days("purchase"))
+        .subtract(user_days("error"))
+        .orderBy("user_id", "day")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2374,4 +2399,5 @@ QUERIES = {
     "phrase_match": q_phrase_match,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "events_gapfill": q_events_gapfill,
+    "set_ops_users": q_set_ops_users,
 }
