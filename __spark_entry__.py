@@ -666,6 +666,29 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
+        # bigram events via 1-based list indexing over generate_series;
+        # probabilities all over the bigram-event space N, mirroring the
+        # Spark op exactly (ln over identical integer ratios, round 5)
+        "pmi_bigrams": f"""
+            WITH arr AS (
+                SELECT list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS a
+                FROM documents),
+            idx AS (
+                SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+                FROM arr WHERE len(a) >= 2),
+            big AS (SELECT a[i] AS w1, a[i + 1] AS w2 FROM idx),
+            nn AS (SELECT count(*) AS n FROM big),
+            cab AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2),
+            cl AS (SELECT w1, count(*) AS c_l FROM big GROUP BY 1),
+            cr AS (SELECT w2, count(*) AS c_r FROM big GROUP BY 1)
+            SELECT cab.w1, cab.w2, cab.c_ab,
+                   round(ln(CAST((SELECT n FROM nn) AS DOUBLE) * cab.c_ab
+                            / (cl.c_l * cr.c_r)), 5) AS pmi
+            FROM cab JOIN cl USING (w1) JOIN cr USING (w2)
+            WHERE cab.c_ab >= {pipelines.PMI_MIN_COUNT}
+            ORDER BY cab.w1, cab.w2
+        """,
         # INTERSECT binds tighter than EXCEPT (standard precedence, both
         # engines), matching the Spark chain (view ∩ purchase) − error
         "set_ops_users": """

@@ -2338,6 +2338,67 @@ def q_set_ops_users(spark, sf_dir):
     )
 
 
+PMI_MIN_COUNT = 3
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Windowed co-occurrence + PMI scoring — the distributional-
+    semantics corpus op (word2vec/GloVe preprocessing, collocation
+    mining). Adjacent-token (window=1) pairs over the documents corpus:
+
+      pmi(a,b) = ln( p(a,b) / (p_left(a) · p_right(b)) ), probabilities
+      over the bigram-event space, so every count divides one N.
+
+    Scale shape: a window-w co-occurrence explode is w × tokens rows —
+    LINEAR in corpus size (the all-pairs-within-document alternative is
+    quadratic in doc length and never acceptable); the three count
+    aggregations are plain map-side-combinable groupBys, and the final
+    assembly is two joins keyed on single words (bounded by vocabulary,
+    not corpus). min-count ≥ PMI_MIN_COUNT prunes the hapax tail, as
+    every published PMI pipeline does. All-JVM: slice + arrays_zip +
+    explode, no Python. PMI is rounded to 5 decimals in both engines
+    (ln over identical integer ratios; rounding absorbs last-ulp libm
+    differences)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    big = (
+        d.select(arr.alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(a, 1, size(a)-1)"),
+                    F.expr("slice(a, 2, size(a)-1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cl = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_l"))
+    cr = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c_r"))
+    n_big = big.count()
+    return (
+        cab.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.lit(float(n_big))
+                    * F.col("c_ab")
+                    / (F.col("c_l") * F.col("c_r"))
+                ),
+                5,
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2400,4 +2461,5 @@ QUERIES = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "events_gapfill": q_events_gapfill,
     "set_ops_users": q_set_ops_users,
+    "pmi_bigrams": q_pmi_bigrams,
 }
