@@ -666,6 +666,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
+        "full_outer_daily": """
+            WITH e AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n_err
+                FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+            p AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n_pur
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT user_id, day,
+                   coalesce(n_err, 0) AS n_err,
+                   coalesce(n_pur, 0) AS n_pur
+            FROM e FULL OUTER JOIN p USING (user_id, day)
+            ORDER BY user_id, day
+        """,
         # bigram events via 1-based list indexing over generate_series;
         # probabilities all over the bigram-event space N, mirroring the
         # Spark op exactly (ln over identical integer ratios, round 5)

@@ -2399,6 +2399,39 @@ def q_pmi_bigrams(spark, sf_dir):
     )
 
 
+def q_full_outer_daily(spark, sf_dir):
+    """FULL OUTER join — completes the demonstrated join-type matrix
+    (inner/broadcast, left, semi, anti, cross-bounded, as-of, range,
+    salted): per-(user, day) error counts against purchase counts, both
+    sides preserved, absent side zero-filled. The USING-style key list
+    makes Spark coalesce the join keys exactly like SQL USING. At sf0.001
+    the three regions are all non-trivial (105 error-only / 105
+    purchase-only / 54 both user-days), so neither outer side is
+    vacuous."""
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(t, alias):
+        return (
+            ev.where(F.col("event_type") == t)
+            .groupBy(
+                "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return (
+        daily("error", "n_err")
+        .join(daily("purchase", "n_pur"), ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_err", F.lit(0)).alias("n_err"),
+            F.coalesce("n_pur", F.lit(0)).alias("n_pur"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2462,4 +2495,5 @@ QUERIES = {
     "events_gapfill": q_events_gapfill,
     "set_ops_users": q_set_ops_users,
     "pmi_bigrams": q_pmi_bigrams,
+    "full_outer_daily": q_full_outer_daily,
 }
