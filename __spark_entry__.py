@@ -662,9 +662,109 @@ def _tfidf_cosine_sql() -> str:
     """
 
 
+def _heavy_hitters_sql() -> str:
+    """Exact definition the Misra-Gries sketch + exact-recount pipeline must
+    reproduce: terms with frequency > n/K (integer compare cnt*K > n)."""
+    return f"""
+        SELECT t, count(*) AS cnt
+        FROM ({_TOKS}) GROUP BY t
+        HAVING count(*) * 30 > (SELECT count(*) FROM ({_TOKS}))
+        ORDER BY cnt DESC, t
+    """
+
+
+def _weighted_sample_sql() -> str:
+    hx = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    hv = f"((({hx.format(i=1)} * 16 + {hx.format(i=2)}) * 16 "
+    hv += f"+ {hx.format(i=3)}) * 16 + {hx.format(i=4)})"
+    return f"""
+        WITH x AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), z -> z <> '')) AS n_tok,
+                   md5('wsamp:' || doc_id) AS h
+            FROM documents)
+        SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok
+        FROM x WHERE {hv} * 128 < n_tok * 65536
+        ORDER BY doc_id
+    """
+
+
+def _mad_outliers_sql() -> str:
+    return """
+        WITH x AS (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), z -> z <> '')) AS n_tok
+            FROM documents),
+        m AS (SELECT lang, quantile_cont(n_tok, 0.5) AS med
+              FROM x GROUP BY lang),
+        dv AS (SELECT doc_id, x.lang AS lang, n_tok,
+                      abs(2 * n_tok - 2 * med) AS dev2
+               FROM x JOIN m USING (lang)),
+        md AS (SELECT lang, quantile_cont(dev2, 0.5) AS mad2
+               FROM dv GROUP BY lang)
+        SELECT doc_id, dv.lang AS lang, CAST(n_tok AS INTEGER) AS n_tok
+        FROM dv JOIN md USING (lang)
+        WHERE 2 * dev2 > 3 * mad2
+        ORDER BY doc_id
+    """
+
+
+def _minhash_lsh16_sql() -> str:
+    nh, r = 16, 4
+    mins = ", ".join(
+        f"min(md5('m{i}:' || sh)) AS h{i}" for i in range(nh)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, 'b{b}:' || {key} AS band FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * r + i}" for i in range(r)),
+        )
+        for b in range(nh // r)
+    )
+    match = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(nh)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+        est AS (
+            SELECT doc_a, doc_b,
+                   round(({match}) / {float(nh)}, 5) AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.doc_a
+            JOIN sig sb ON sb.doc_id = cand.doc_b),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        i AS (
+            SELECT doc_a, doc_b, count(*) AS inter
+            FROM cand
+            JOIN sh x ON x.doc_id = cand.doc_a
+            JOIN sh y ON y.doc_id = cand.doc_b AND x.sh = y.sh
+            GROUP BY doc_a, doc_b)
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                     / (sa.sz + sb.sz - coalesce(i.inter, 0)), 5) AS jaccard
+        FROM est e
+        LEFT JOIN i USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = e.doc_a
+        JOIN sizes sb ON sb.doc_id = e.doc_b
+        ORDER BY e.doc_a, e.doc_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
+        "heavy_hitters": _heavy_hitters_sql(),
+        "weighted_sample": _weighted_sample_sql(),
+        "mad_outliers": _mad_outliers_sql(),
+        "minhash_lsh16": _minhash_lsh16_sql(),
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

@@ -23,8 +23,18 @@ journal + idempotent per-stage reruns):
   stage publish  meta.json + CURRENT pointer → atomic index swap
                  (the ready2.dat dual-path swap, GenDb.dpr:1354-1357)
 
-Resumable: each stage (and each bucket group of the segments stage) records a
-lineage row; rerunning build() skips completed stages.
+By default the scatter and segments stages run FUSED (scatterless): the
+lexicon df aggregates straight off the staged docs, and the grouped scatter
+shuffle feeds the segment encoder in the same job (shuffle → sort-within →
+mapInArrow → segment write) without ever materializing the 42M-row scatter
+parquet — the build's largest intermediate write+rescan, which
+bench/encode_control.py showed is pure non-scaling page-allocation cost on a
+shared-memory host. ``fuse_scatter=False`` keeps the staged layout (scatter
+files on disk, per-bucket-group encode) for bucket-group-granular resume.
+
+Resumable: each stage (and each bucket group of the staged segments stage)
+records a lineage row; rerunning build() skips completed stages and keeps
+whichever layout the interrupted build used.
 """
 
 from __future__ import annotations
@@ -57,6 +67,11 @@ from .constants import (
     SEGMENT_SIZE,
     UNRANKED_RANK_VALUE,
 )
+
+# fused-mode encode tasks hold one whole sorted shuffle partition in Arrow;
+# this bounds the per-task posting count (~4M rows ≈ 150-200 MB) so worker
+# memory stays flat while task count grows with the corpus
+FUSED_ROWS_PER_TASK = 4_000_000
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -591,6 +606,7 @@ def build_index(
     drop_quote_urls: bool = False,
     index_gate: str | None = None,
     info_df_threshold: int = INFO_DF_THRESHOLD,
+    fuse_scatter: bool | None = None,
 ) -> dict:
     """Build (or resume) the index under ``out_dir`` and atomically publish.
 
@@ -731,12 +747,14 @@ def build_index(
     # in lineage so the encoder always splits on exactly the grouping the
     # scatter used, even on resume with changed args.
     eff_salts = max(n_salts, n_docs // (seg_size * 256) + 1)
-    if "scatter" not in lin.done:
-        t0 = time.time()
+
+    def _posting_stream() -> DataFrame:
+        """Exploded posting rows with bucket + folded static score — the
+        input of BOTH segment paths (staged scatter write / fused shuffle)."""
         sd = _with_doc_id(
             spark.read.parquet(stage_docs), doc_id_offset, pid_counts
         )
-        postings = (
+        return (
             sd.select(
                 "doc_id",
                 "fd",
@@ -768,8 +786,24 @@ def build_index(
             .withColumn("static", static_score_col(int(max_bl)).cast("float"))
             .select("bucket", "term", "doc_id", "flags", "static", "rank")
         )
+
+    # Fused mode (default) never materializes the scatter files: the SAME
+    # grouped shuffle feeds the segment encoder directly (sort → mapInArrow
+    # → segment write in one job), eliminating the build's largest
+    # intermediate write+rescan — the component bench/encode_control.py
+    # proved is the host's non-scaling page-allocation cost. The staged
+    # path remains for bucket-group-granular resume (fuse_scatter=False)
+    # and is what a resumed pre-fused build keeps using.
+    fused = fuse_scatter if fuse_scatter is not None else True
+    if "scatter" in lin.done or any(s.startswith("segments_g") for s in lin.done):
+        fused = False
+    elif "lexicon" in lin.done or "segments_fused" in lin.done:
+        fused = True
+
+    if not fused and "scatter" not in lin.done:
+        t0 = time.time()
         (
-            postings.repartition(
+            _posting_stream().repartition(
                 nparts,
                 F.col("bucket"),
                 F.pmod(F.hash("term"), F.lit(n_tgrp)),
@@ -794,8 +828,93 @@ def build_index(
             eff_salts=int(eff_salts),
             wall_s=round(time.time() - t0, 3),
         )
-    scatter_grouped = lin.done["scatter"].get("layout") == "grouped_v2"
-    eff_salts = int(lin.done["scatter"].get("eff_salts", eff_salts))
+    if not fused:
+        scatter_grouped = lin.done["scatter"].get("layout") == "grouped_v2"
+        eff_salts = int(lin.done["scatter"].get("eff_salts", eff_salts))
+
+    # ---- fused lexicon + segments (scatterless path) ------------------------
+    if fused and "lexicon" not in lin.done:
+        t0 = time.time()
+        # df per (bucket, term) straight off the staged docs (terms arrays
+        # are per-doc-deduped, so count == document frequency) — map-side
+        # combinable, output rows ∝ vocabulary. No _with_doc_id join: the
+        # lexicon doesn't need doc ids, so the scan prunes to one column.
+        lex = (
+            spark.read.parquet(stage_docs)
+            .select(F.explode("terms").alias("term"))
+            .withColumn(
+                "bucket",
+                (F.crc32(F.encode(F.col("term"), "UTF-8")) % N_TERM_BUCKETS).cast(
+                    "int"
+                ),
+            )
+            .groupBy("bucket", "term")
+            .agg(F.count("*").alias("df"))
+        )
+        lex = lex.sortWithinPartitions("bucket", "term")
+        if io.backend == "parquet":
+            lex_tmp = lexicon_dir + "_tmp_fused"
+            io.write(lex, lex_tmp, partition_by=["bucket"])
+            _move_bucket_dirs(lex_tmp, lexicon_dir)
+        else:
+            io.write(
+                lex,
+                lexicon_dir,
+                mode="overwrite_partitions",
+                partition_by=["bucket"],
+            )
+        # eff_salts rides the lineage so a resume with changed args still
+        # splits encode runs on exactly the grouping this build shuffled
+        lin.record(
+            "lexicon", eff_salts=int(eff_salts), wall_s=round(time.time() - t0, 3)
+        )
+    if fused:
+        eff_salts = int(lin.done["lexicon"].get("eff_salts", eff_salts))
+    if fused and "segments_fused" not in lin.done:
+        t0 = time.time()
+        # hot-term set from the published lexicon (re-derivable on resume)
+        hot_terms = frozenset(
+            r["term"]
+            for r in io.read(lexicon_dir)
+            .where(F.col("df") > fancy_threshold)
+            .select("term")
+            .collect()
+        )
+        hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
+        encode_fn = _encode_partition_fn(
+            seg_size, eff_salts, max(n_docs, 1), hot_terms_bc=hot_bc
+        )
+        # each task Arrow-materializes its whole sorted shuffle partition —
+        # bound the per-task posting count so worker memory stays flat as
+        # the corpus grows (tasks scale out, not up)
+        nparts_f = max(nparts, int(total_postings) // FUSED_ROWS_PER_TASK + 1)
+        stream = (
+            _posting_stream()
+            .repartition(
+                nparts_f,
+                F.col("bucket"),
+                F.pmod(F.hash("term"), F.lit(n_tgrp)),
+                (F.col("doc_id") * eff_salts / F.lit(max(n_docs, 1))).cast("int"),
+            )
+            .sortWithinPartitions("bucket", "term", "doc_id")
+        )
+        encoded = stream.mapInArrow(
+            encode_fn, schema=SEGMENTS_SCHEMA
+        ).sortWithinPartitions("bucket", "term", "first_doc")
+        if io.backend == "parquet":
+            seg_tmp = postings_dir + "_tmp_fused"
+            io.write(encoded, seg_tmp, partition_by=["bucket"])
+            _move_bucket_dirs(seg_tmp, postings_dir)
+        else:
+            io.write(
+                encoded,
+                postings_dir,
+                mode="overwrite_partitions",
+                partition_by=["bucket"],
+            )
+        if hot_bc is not None:
+            hot_bc.unpersist()
+        lin.record("segments_fused", wall_s=round(time.time() - t0, 3))
 
     # ---- stage segments, per bucket group ----------------------------------
     # One streaming pass per task cuts exact segments — full AND fancy kinds
@@ -803,9 +922,14 @@ def build_index(
     # scatter files already group and sort the stream, so this stage is
     # shuffle-free: scan → encode → write. (A resumed pre-v2 scatter layout
     # gets the legacy re-shuffle + sort instead.)
-    groups = [
-        list(range(g, N_TERM_BUCKETS, bucket_groups)) for g in range(bucket_groups)
-    ]
+    groups = (
+        []
+        if fused
+        else [
+            list(range(g, N_TERM_BUCKETS, bucket_groups))
+            for g in range(bucket_groups)
+        ]
+    )
     # encode parallelism is set by file packing/splitting of the scatter
     # read — size read partitions so each bucket group fans out to ~nparts
     # tasks (row-group splits of one file are safe: the encoder's boundary

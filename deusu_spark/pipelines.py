@@ -2432,6 +2432,191 @@ def q_full_outer_daily(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sketch-then-verify heavy hitters, integer-exact weighted sampling, robust
+# (median/MAD) outlier filtering, and the production-shape MinHash (16 hashes,
+# tunable b×r bands) with estimate-vs-exact Jaccard.
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters (terms with frequency > n/K, K=30) via the
+    sketch-then-verify pattern that survives 100 TB: phase 1 runs a
+    MERGEABLE Misra-Gries summary (63 counters) INSIDE each partition —
+    bounded state, no shuffle of the long tail — whose union is a
+    guaranteed superset of every global heavy hitter (per-partition
+    undercount ≤ n_p/64, so any term with Σ count > n/30 keeps a positive
+    counter somewhere); phase 2 broadcast-semi-joins the tiny candidate
+    set back and recounts EXACTLY, so the result is deterministic and
+    identical to the full groupBy — without ever shuffling the full
+    vocabulary. The n/K compare is integer (cnt*K > n): no float boundary.
+    Reference analog: the df>100k fancy-hits policy (GenDb.dpr:1053) picks
+    hot terms the same way, from exact df."""
+    import pandas as pd
+
+    K = 30
+    MG = 63  # counters per partition; undercount ≤ n_p/(MG+1) < n_p/K
+    toks = _tokens(_t(spark, sf_dir, "documents"))
+    total = toks.count()
+
+    def mg_summary(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["t"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > MG:
+                # mergeable-summaries reduction: subtract the (MG+1)-th
+                # largest count from all, drop the non-positive
+                sub = sorted(counters.values(), reverse=True)[MG]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        yield pd.DataFrame({"t": list(counters)})
+
+    cands = toks.mapInPandas(mg_summary, "t string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * K > F.lit(total))
+        .orderBy(F.desc("cnt"), "t")
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted corpus downsampling (keep probability ∝ document length,
+    capped at 128 tokens — the quality/length-weighted sampling pass of a
+    training-data pipeline) made INTEGER-exact: the acceptance test is
+    hv*128 < n_tok*65536 where hv is the first 16 bits of md5(doc_id) —
+    pure 64-bit integer arithmetic, so Spark and any oracle agree to the
+    bit (no float threshold at the acceptance boundary). Per-row filter,
+    no shuffle; stable under reruns and repartitioning."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    h = F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    hv = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+    return (
+        d.select("doc_id", F.size(arr).cast("bigint").alias("n_tok"), hv.alias("hv"))
+        .where(F.col("hv") * F.lit(128) < F.col("n_tok") * F.lit(65536))
+        .select("doc_id", F.col("n_tok").cast("int").alias("n_tok"))
+        .orderBy("doc_id")
+    )
+
+
+def _hist_median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-key EXACT interpolated median (percentile_cont 0.5) the
+    scale-right way: histogram groupBy (map-side combinable) + cumulative
+    window over the small distinct-value domain — never collects a group's
+    raw values into one reducer (q_corpus_profile's pattern, factored)."""
+    hist = df.groupBy(key, val).agg(F.count("*").alias("c"))
+    n = df.groupBy(key).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(key).orderBy(val)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(n, key)
+    h = (F.col("n") - 1) * F.lit(0.5)
+    v0 = F.min(F.when(F.col("cum") >= F.floor(h) + 1, F.col(val)))
+    v1 = F.min(F.when(F.col("cum") >= F.ceil(h) + 1, F.col(val)))
+    return cum.groupBy(key, "n").agg(
+        (v0 + (h - F.floor(h)) * (v1 - v0)).alias(out)
+    ).drop("n")
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust length-outlier filter (median/MAD, the outlier gate quality
+    pipelines use because mean/stddev are themselves skewed by the
+    outliers): per language, flag docs with |n_tok − median| > 1.5×MAD.
+    Both medians come from _hist_median — exact percentile_cont via
+    histogram + cumulative window, no per-group value collection. All
+    quantities are exact binary fractions (medians of integers are .0/.5),
+    and the flag compare is scaled to 2·dev > 3·mad — exact in any IEEE
+    engine, no rounding at the decision boundary."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    x = d.select("doc_id", "lang", F.size(arr).alias("n_tok"))
+    med = _hist_median(x, "lang", "n_tok", "med")
+    dev = x.join(F.broadcast(med), "lang").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("n_tok") - F.lit(2) * F.col("med"))
+    )
+    mad = _hist_median(dev, "lang", "dev2", "mad2")
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .where(F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad2"))
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_lsh16(spark, sf_dir):
+    """MinHash-LSH at the production shape the 4-hash demo scales to:
+    16 md5 min-hashes, b=4 bands × r=4 rows (band key = concat of 4
+    signature components, so a candidate needs a full 4-hash band match —
+    the b×r knob that trades recall for candidate volume). Emits each
+    candidate pair's ESTIMATED Jaccard (matching fraction of the 16
+    components — the only similarity a 100 TB pass can afford) next to the
+    EXACT shingle Jaccard (computed only on the bounded candidate set, the
+    verify stage), so the estimate's fidelity is itself oracle-checked.
+    One groupBy for signatures, band-key hash join for candidates — never
+    all-pairs."""
+    NH, R = 16, 4
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"m{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(NH)
+        ]
+    )
+    bands = None
+    for b in range(NH // R):
+        key = F.concat_ws("|", *[F.col(f"h{b * R + i}") for i in range(R)])
+        part = sig.select("doc_id", F.concat(F.lit(f"b{b}:"), key).alias("band"))
+        bands = part if bands is None else bands.unionAll(part)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(NH)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(NH)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NH)
+    ) / F.lit(float(NH))
+    pairs = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", F.round(est, 5).alias("est_jaccard")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.sh") == F.col("y.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                5,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2496,4 +2681,8 @@ QUERIES = {
     "set_ops_users": q_set_ops_users,
     "pmi_bigrams": q_pmi_bigrams,
     "full_outer_daily": q_full_outer_daily,
+    "heavy_hitters": q_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "mad_outliers": q_mad_outliers,
+    "minhash_lsh16": q_minhash_lsh16,
 }

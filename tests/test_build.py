@@ -223,5 +223,9 @@ def test_resume_skips_done_stages(spark, tiny_corpus, tiny_index_dir):
     vdir = current_index_dir(tiny_index_dir)
     with open(f"{vdir}/_lineage.jsonl") as f:
         steps = [json.loads(line)["step"] for line in f]
-    assert "docs" in steps and "scatter" in steps and "publish" in steps
-    assert any(s.startswith("segments_g") for s in steps)
+    assert "docs" in steps and "publish" in steps
+    # either layout: fused (lexicon + segments_fused) or staged
+    # (scatter + per-group segments)
+    assert ("lexicon" in steps and "segments_fused" in steps) or (
+        "scatter" in steps and any(s.startswith("segments_g") for s in steps)
+    )
