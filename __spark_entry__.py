@@ -765,6 +765,19 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "mad_outliers": _mad_outliers_sql(),
         "minhash_lsh16": _minhash_lsh16_sql(),
+        "bloom_dedup_new": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(
+                           list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), z -> z <> ''), 1, 8), ' '))
+                           AS fp
+                FROM documents)
+            SELECT doc_id, fp FROM f
+            WHERE doc_id % 5 <> 0
+              AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 = 0)
+            ORDER BY doc_id
+        """,
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

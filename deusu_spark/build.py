@@ -44,6 +44,7 @@ import math
 import os
 import shutil
 import time
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -460,15 +461,31 @@ def _encode_partition_fn(
             return
         hot = hot_terms_bc.value if hot_terms_bc is not None else frozenset()
         terms = tbl.column("term").chunk(0)
-        docs = tbl.column("doc_id").chunk(0).to_numpy()
-        flags = tbl.column("flags").chunk(0).to_numpy().astype(np.int64)
         statics = tbl.column("static").chunk(0).to_numpy().astype(np.float64)
-        buckets = tbl.column("bucket").chunk(0).to_numpy()
-        ranks = (
-            tbl.column("rank").chunk(0).to_numpy().astype(np.int64)
-            if "rank" in tbl.column_names
-            else None
-        )
+        if "pack" in tbl.column_names:
+            # packed layout (fused path): doc_id<<4 | fancy_eligible<<3 |
+            # flags — one long instead of (doc_id, flags, rank, bucket),
+            # halving the bytes each posting drags through the shuffle and
+            # the Arrow materialization. Bucket is recomputed per emitted
+            # SEGMENT (vocabulary-sized work) instead of carried per
+            # POSTING; fancy eligibility (rank_lo < rank < rank_hi) was
+            # folded to one bit JVM-side before the shuffle.
+            pack = tbl.column("pack").chunk(0).to_numpy()
+            docs = pack >> 4
+            flags = (pack & 7).astype(np.int64)
+            fancy_ok = (pack & 8) != 0
+            ranks = None
+            buckets = None
+        else:
+            docs = tbl.column("doc_id").chunk(0).to_numpy()
+            flags = tbl.column("flags").chunk(0).to_numpy().astype(np.int64)
+            buckets = tbl.column("bucket").chunk(0).to_numpy()
+            fancy_ok = None
+            ranks = (
+                tbl.column("rank").chunk(0).to_numpy().astype(np.int64)
+                if "rank" in tbl.column_names
+                else None
+            )
         # run boundary = term change OR salt change OR non-ascending doc_id
         # (see the input contract above). A "run_salt" input column overrides
         # the computed salt: merge.py's fancy rebuild feeds disjoint
@@ -530,10 +547,25 @@ def _encode_partition_fn(
                     ],
                 )
                 take_ix = ss if abs_idx is None else abs_idx[ss]
+                seg_terms = pc.take(terms, pa.array(take_ix))
+                if bk is None:
+                    # packed layout: bucket = crc32(term) % 64, recomputed
+                    # at segment granularity (same parity as the JVM
+                    # F.crc32 expression — zlib.crc32 over UTF-8 bytes)
+                    bk_seg = np.fromiter(
+                        (
+                            zlib.crc32(t.encode("utf-8")) % N_TERM_BUCKETS
+                            for t in seg_terms.to_pylist()
+                        ),
+                        dtype=np.int32,
+                        count=b - a,
+                    )
+                else:
+                    bk_seg = bk[ss].astype(np.int32, copy=False)
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(bk[ss].astype(np.int32, copy=False)),
-                        pc.take(terms, pa.array(take_ix)),
+                        pa.array(bk_seg),
+                        seg_terms,
                         pa.repeat(pa.scalar(kind), b - a),
                         pa.array(d[ss]),
                         pa.array(d[seg_ends[a:b] - 1]),
@@ -549,20 +581,23 @@ def _encode_partition_fn(
             yield from emit_batches(
                 docs, flags, statics, buckets, run_id, None, "full"
             )
-        if ranks is not None and hot:
+        if (ranks is not None or fancy_ok is not None) and hot:
             run_hot = pc.is_in(
                 pc.take(terms, pa.array(run_starts)),
                 options=pc.SetLookupOptions(value_set=pa.array(sorted(hot))),
             ).to_numpy(zero_copy_only=False)
-            fidx = np.flatnonzero(
-                run_hot[run_id] & (ranks > rank_lo) & (ranks < rank_hi)
+            eligible = (
+                fancy_ok
+                if ranks is None
+                else (ranks > rank_lo) & (ranks < rank_hi)
             )
+            fidx = np.flatnonzero(run_hot[run_id] & eligible)
             if fidx.size:
                 yield from emit_batches(
                     docs[fidx],
                     flags[fidx],
                     statics[fidx],
-                    buckets[fidx],
+                    None if buckets is None else buckets[fidx],
                     run_id[fidx],
                     fidx,
                     "fancy",
@@ -748,13 +783,26 @@ def build_index(
     # scatter used, even on resume with changed args.
     eff_salts = max(n_salts, n_docs // (seg_size * 256) + 1)
 
-    def _posting_stream() -> DataFrame:
-        """Exploded posting rows with bucket + folded static score — the
-        input of BOTH segment paths (staged scatter write / fused shuffle)."""
+    def _posting_stream(packed: bool = False) -> DataFrame:
+        """Exploded posting rows with folded static score — the input of
+        BOTH segment paths (staged scatter write / fused shuffle).
+
+        ``packed=False`` (staged layout): (bucket, term, doc_id, flags,
+        static, rank) — the on-disk scatter format, resumable per bucket
+        group, parquet-stat-prunable by term.
+
+        ``packed=True`` (fused shuffle): (term, pack, static) where
+        pack = doc_id<<4 | fancy_eligible<<3 | flags. The shuffle is the
+        build's largest data movement (every posting exactly once); packing
+        drops the bucket and rank columns and merges flags into the doc id,
+        roughly halving the bytes per posting through shuffle write/read,
+        the partition sort, and the Arrow hand-off to the encoder. Bucket
+        and fancy eligibility are recovered term-/bit-wise downstream
+        (fancy window per FANCY_RANK_LO/HI — the encoder's defaults)."""
         sd = _with_doc_id(
             spark.read.parquet(stage_docs), doc_id_offset, pid_counts
         )
-        return (
+        base = (
             sd.select(
                 "doc_id",
                 "fd",
@@ -774,18 +822,30 @@ def build_index(
                 "rank",
                 "backlinks",
             )
-            .withColumn(
-                "bucket",
-                (F.crc32(F.encode(F.col("term"), "UTF-8")) % N_TERM_BUCKETS).cast(
-                    "int"
-                ),
-            )
             # fold the four sidecar columns into the single pre-IDF static
             # score while still JVM-side (whole-stage codegen); float32 —
             # it only feeds the max_static pruning bounds (±1 margin)
             .withColumn("static", static_score_col(int(max_bl)).cast("float"))
-            .select("bucket", "term", "doc_id", "flags", "static", "rank")
         )
+        if packed:
+            eligible = (F.col("rank") > FANCY_RANK_LO) & (
+                F.col("rank") < FANCY_RANK_HI
+            )
+            return base.select(
+                "term",
+                (
+                    F.shiftleft(F.col("doc_id"), 4)
+                    + F.when(eligible, F.lit(8)).otherwise(F.lit(0))
+                    + F.col("flags").cast("bigint")
+                ).alias("pack"),
+                "static",
+            )
+        return base.withColumn(
+            "bucket",
+            (F.crc32(F.encode(F.col("term"), "UTF-8")) % N_TERM_BUCKETS).cast(
+                "int"
+            ),
+        ).select("bucket", "term", "doc_id", "flags", "static", "rank")
 
     # Fused mode (default) never materializes the scatter files: the SAME
     # grouped shuffle feeds the segment encoder directly (sort → mapInArrow
@@ -888,15 +948,25 @@ def build_index(
         # bound the per-task posting count so worker memory stays flat as
         # the corpus grows (tasks scale out, not up)
         nparts_f = max(nparts, int(total_postings) // FUSED_ROWS_PER_TASK + 1)
+        # packed rows: same grouping keys as the staged scatter (bucket and
+        # salt recomputed from term / pack>>4 inside the repartition
+        # expressions), but each posting carries one long + one float + the
+        # term instead of six columns — see _posting_stream(packed=True)
         stream = (
-            _posting_stream()
+            _posting_stream(packed=True)
             .repartition(
                 nparts_f,
-                F.col("bucket"),
+                (F.crc32(F.encode(F.col("term"), "UTF-8")) % N_TERM_BUCKETS).cast(
+                    "int"
+                ),
                 F.pmod(F.hash("term"), F.lit(n_tgrp)),
-                (F.col("doc_id") * eff_salts / F.lit(max(n_docs, 1))).cast("int"),
+                (
+                    F.shiftright(F.col("pack"), 4) * eff_salts / F.lit(max(n_docs, 1))
+                ).cast("int"),
             )
-            .sortWithinPartitions("bucket", "term", "doc_id")
+            # term groups runs; pack ascending == doc_id ascending (doc id
+            # occupies the high bits and each (term, doc) posting is unique)
+            .sortWithinPartitions("term", "pack")
         )
         encoded = stream.mapInArrow(
             encode_fn, schema=SEGMENTS_SCHEMA

@@ -2617,6 +2617,102 @@ def q_minhash_lsh16(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup via a broadcast Bloom prefilter + exact verify.
+
+BLOOM_M = 1 << 18  # filter bits (32 KiB) — sized for the demo corpus;
+BLOOM_K = 5  # production sizes m ≈ 10·|ref| bits for ~1% fp at k=5
+BLOOM_REF_MOD = 5  # doc_id % 5 == 0 plays the already-ingested corpus
+
+
+def q_bloom_dedup_new(spark, sf_dir):
+    """Dedup NEW documents against an already-ingested reference corpus —
+    the incremental-ingest gate of a training-data pipeline, where the
+    reference is 10^12 docs and can be neither broadcast as a set nor
+    shuffled per batch. Sketch-then-verify, exact result:
+
+    1. Build a Bloom filter over the reference fingerprints: each
+       partition fills a constant-size numpy bitmap (mapInPandas) and the
+       driver OR-merges one bitmap per partition — bytes collected are
+       m/8 × partitions, independent of corpus size.
+    2. Broadcast the merged bitmap and test every new doc with k
+       double-hashed probes; h1/h2 are JVM xxhash64 COLUMNS, so the
+       vectorized pandas stage does only numpy bit arithmetic. Bloom has
+       no false negatives, so every negative is definitively new.
+    3. Exact-verify only the (tiny) positive set: scan the reference once
+       against the BROADCAST positives (left_semi) to find confirmed
+       collisions — false positives survive, so the output equals the
+       plain anti-join an oracle runs directly.
+
+    Fingerprint = md5 over the first 8 tokens (a prefix fingerprint —
+    template-generated docs collide on it, giving the verify stage real
+    work; swap in the full-text md5 of dedup_exact for strict dedup)."""
+    import numpy as np
+    import pandas as pd
+
+    def _bloom_positions(pdf, i):
+        # double-hashed bit position i: (h1 + i·h2) mod m, uint64
+        # wraparound; h1/h2 are JVM-computed xxhash64 columns — no
+        # per-row Python hashing
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        h2 = pdf["h2"].to_numpy().astype(np.uint64)
+        return (h1 + np.uint64(i) * h2) % np.uint64(BLOOM_M)
+
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    prefix = F.concat_ws(" ", F.slice(arr, 1, 8))
+    f = d.select("doc_id", F.md5(prefix).alias("fp")).withColumn(
+        "h1", F.xxhash64("fp")
+    ).withColumn("h2", F.xxhash64(F.concat(F.col("fp"), F.lit(":2"))))
+    ref = f.where(F.col("doc_id") % BLOOM_REF_MOD == 0)
+    new = f.where(F.col("doc_id") % BLOOM_REF_MOD != 0)
+
+    def build_bloom(batches):
+        bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            for i in range(BLOOM_K):
+                pos = _bloom_positions(pdf, i)
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+        yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    parts = ref.select("h1", "h2").mapInPandas(build_bloom, "bm binary")
+    merged = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for row in parts.collect():
+        merged |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(merged.tobytes())
+
+    def bloom_test(batches):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            member = np.ones(len(pdf), dtype=bool)
+            for i in range(BLOOM_K):
+                pos = _bloom_positions(pdf, i)
+                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                member &= (
+                    np.right_shift(byte, (pos & np.uint64(7)).astype(np.uint8))
+                    & 1
+                ) != 0
+            yield pdf.loc[member, ["doc_id", "fp"]]
+
+    positives = new.mapInPandas(bloom_test, "doc_id long, fp string")
+    confirmed = (
+        ref.select("fp")
+        .join(F.broadcast(positives.select("fp").distinct()), "fp", "left_semi")
+        .distinct()
+    )
+    return (
+        new.select("doc_id", "fp")
+        .join(F.broadcast(confirmed), "fp", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2685,4 +2781,5 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "mad_outliers": q_mad_outliers,
     "minhash_lsh16": q_minhash_lsh16,
+    "bloom_dedup_new": q_bloom_dedup_new,
 }
