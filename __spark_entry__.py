@@ -778,6 +778,29 @@ def oracle_sql() -> dict[str, str]:
               AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 = 0)
             ORDER BY doc_id
         """,
+        "quantile_bisect": """
+            SELECT count(*) AS n_rows,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id % 25 = 0),
+                 r AS (SELECT vec_id AS rid, embedding::DOUBLE[] AS re
+                       FROM embeddings WHERE vec_id % 25 <> 0),
+                 s AS (SELECT qid, rid,
+                              round(list_dot_product(qe, re)
+                                    / (sqrt(list_dot_product(qe, qe))
+                                       * sqrt(list_dot_product(re, re))),
+                                    4) AS cos_sim
+                       FROM q CROSS JOIN r)
+            SELECT qid, rid, cos_sim FROM s
+            QUALIFY row_number()
+                OVER (PARTITION BY qid ORDER BY cos_sim DESC, rid) = 1
+            ORDER BY qid
+        """,
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

@@ -2713,6 +2713,203 @@ def q_bloom_dedup_new(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles via histogram bisection — no global sort.
+
+QUANT_BISECT_LIMIT = 8192  # final-range collect bound (driver-side sort)
+QUANT_BISECT_BUCKETS = 4096  # histogram resolution per narrowing pass
+
+
+def _kth_smallest(df: DataFrame, col: str, ks: list[int]) -> dict[int, float]:
+    """Exact k-th smallest values (1-indexed ranks) of ``df[col]`` WITHOUT a
+    global sort: iterative histogram bisection. Each pass groups the current
+    candidate range into QUANT_BISECT_BUCKETS buckets (one map-side-combined
+    groupBy → B rows to the driver), picks the bucket containing the rank,
+    and re-scans with the range filter PUSHED DOWN to the parquet scan
+    (row-group min/max stats prune everything outside it). Candidate count
+    shrinks ~B× per pass, so a 10^12-row table needs 3-4 passes before the
+    final ≤QUANT_BISECT_LIMIT-row collect; nothing proportional to n ever
+    reaches the driver. The next range's bounds are the BUCKET's own
+    min/max (from the same aggregation), never arithmetic on float bucket
+    edges — bucket assignment is monotone in the value, so [min_j, max_j]
+    selects exactly bucket j's rows and the running rank offset stays exact."""
+    import numpy as np
+
+    stats = df.agg(
+        F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    n = stats["n"]
+    out: dict[int, float] = {}
+    B = QUANT_BISECT_BUCKETS
+    for k in sorted(set(ks)):
+        if not 1 <= k <= n:
+            raise ValueError(f"rank {k} out of range 1..{n}")
+        lo, hi, before, cnt = float(stats["lo"]), float(stats["hi"]), 0, n
+        for _ in range(64):  # depth bound; each pass shrinks cnt ~B×
+            if lo == hi:  # all candidates equal
+                out[k] = lo
+                break
+            if cnt <= QUANT_BISECT_LIMIT:
+                vals = np.sort(
+                    np.array(
+                        [
+                            r[0]
+                            for r in df.where(
+                                (F.col(col) >= lo) & (F.col(col) <= hi)
+                            )
+                            .select(col)
+                            .collect()
+                        ]
+                    )
+                )
+                out[k] = float(vals[k - before - 1])
+                break
+            w = (hi - lo) / B
+            bucket = F.least(
+                F.greatest(F.floor((F.col(col) - lo) / w), F.lit(0)),
+                F.lit(B - 1),
+            ).cast("int")
+            hist = sorted(
+                df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+                .groupBy(bucket.alias("b"))
+                .agg(
+                    F.count("*").alias("c"),
+                    F.min(col).alias("bmin"),
+                    F.max(col).alias("bmax"),
+                )
+                .collect(),
+                key=lambda r: r["b"],
+            )
+            run = before
+            for r in hist:
+                if run + r["c"] >= k:
+                    lo, hi, before, cnt = (
+                        float(r["bmin"]),
+                        float(r["bmax"]),
+                        run,
+                        r["c"],
+                    )
+                    break
+                run += r["c"]
+        else:
+            raise RuntimeError("bisection failed to converge")
+    return out
+
+
+def q_quantile_bisect(spark, sf_dir):
+    """Exact p25/p50/p75 of lineitem prices at any scale — the global-sort
+    killer. A naive exact quantile is ORDER BY over the full table (one
+    range-shuffle of ALL 10^12 rows); percentile_approx trades that for
+    error bounds. This keeps exactness at O(log_B n) histogram passes, each
+    a map-side-combined aggregation over an ever-narrower predicate-pushed
+    range (see _kth_smallest). Interpolation matches quantile_cont:
+    rank r = 1+(n-1)q, v = v_floor + frac·(v_ceil − v_floor); results land
+    on the ¼-cent grid so the 4-decimal round is representation-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    col = "l_extendedprice"
+    n = li.count()
+    qs = (0.25, 0.50, 0.75)
+    ranks: list[int] = []
+    parts = []
+    for q in qs:
+        r = 1 + (n - 1) * q
+        k1 = int(r)
+        frac = r - k1
+        k2 = min(k1 + 1, n)
+        parts.append((k1, k2, frac))
+        ranks += [k1, k2]
+    kv = _kth_smallest(li, col, ranks)
+    vals = [
+        round(kv[k1] + frac * (kv[k2] - kv[k1]), 4)
+        for (k1, k2, frac) in parts
+    ]
+    return spark.createDataFrame(
+        [(n, *vals)], "n_rows bigint, p25 double, p50 double, p75 double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN join: per-query nearest neighbor over an embedding corpus.
+
+KNN_QUERY_MOD = 25  # vec_id % 25 == 0 plays the query set (2% of vectors)
+
+
+def q_knn_join(spark, sf_dir):
+    """Nearest-neighbor JOIN (top-1 per query) — the batch-retrieval shape
+    of embedding dedup / RAG eval, distinct from the single-probe
+    q_embedding_cosine_topk. Block nested-loop with partial top-k merge:
+
+    - the (small) query matrix is collected once and broadcast as ONE numpy
+      float64 array — never a per-row crossJoin of query rows;
+    - every corpus partition streams through mapInPandas and computes the
+      full query×batch similarity block with one BLAS matmul per Arrow
+      batch, keeping a running per-query best — emitted rows per task =
+      n_queries, independent of partition size;
+    - candidates (partitions × queries rows) resolve with one tiny
+      window — total shuffled bytes are O(partitions · queries), nothing
+      proportional to the corpus crosses the wire.
+
+    Ordering is on the ROUNDED similarity with vec_id tiebreak at BOTH
+    levels (in-partition and global), so the winner is engine-independent
+    and identical to the oracle's full cross-join argmax."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def partition_best(batches):
+        ids, qm = bc.value
+        best_sim = np.full(len(ids), -2.0)
+        best_rid = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+            sims = np.round(rm @ qm.T, 4)  # (batch, queries)
+            rids = pdf["vec_id"].to_numpy()
+            csim = sims.max(axis=0)  # per query: best sim in batch …
+            masked = np.where(
+                sims == csim[None, :],
+                rids[:, None],
+                np.iinfo(np.int64).max,
+            )
+            crid = masked.min(axis=0)  # … lowest rid among the ties
+            better = (csim > best_sim) | (
+                (csim == best_sim) & (crid < best_rid)
+            )
+            best_sim = np.where(better, csim, best_sim)
+            best_rid = np.where(better, crid, best_rid)
+        yield pd.DataFrame(
+            {"qid": ids, "rid": best_rid, "cos_sim": best_sim}
+        )
+
+    cands = (
+        e.where(F.col("vec_id") % KNN_QUERY_MOD != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(partition_best, "qid long, rid long, cos_sim double")
+        .where(F.col("cos_sim") > -2.0)  # drop empty-partition sentinels
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("rid"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", "rid", "cos_sim")
+        .orderBy("qid")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2782,4 +2979,6 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "minhash_lsh16": q_minhash_lsh16,
     "bloom_dedup_new": q_bloom_dedup_new,
+    "quantile_bisect": q_quantile_bisect,
+    "knn_join": q_knn_join,
 }

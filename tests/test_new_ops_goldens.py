@@ -119,3 +119,58 @@ def test_tfidf_pairs_bounded_and_symmetric_free(spark):
         key = (r["doc_a"], r["doc_b"])
         assert key not in seen
         seen.add(key)
+
+
+def test_kth_smallest_matches_full_sort(spark, monkeypatch):
+    """_kth_smallest vs np.sort on an adversarial distribution — 60% mass
+    on ONE duplicated value (exercises the all-equal short-circuit), heavy
+    skew, negatives and huge outliers — with the collect limit and bucket
+    count shrunk to force several narrowing passes."""
+    import numpy as np
+
+    monkeypatch.setattr(pipelines, "QUANT_BISECT_LIMIT", 64)
+    monkeypatch.setattr(pipelines, "QUANT_BISECT_BUCKETS", 8)
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            np.full(3000, 42.5),
+            rng.lognormal(0, 3, 1500),
+            -rng.lognormal(0, 2, 400),
+            np.array([1e12, -1e12, 0.0]),
+            rng.normal(42.5, 1e-9, 97),  # near-duplicate cloud
+        ]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    s = np.sort(vals)
+    n = len(vals)
+    ks = [1, 2, n // 4, n // 2, n // 2 + 1, (3 * n) // 4, n - 1, n]
+    got = pipelines._kth_smallest(df, "x", ks)
+    for k in ks:
+        assert got[k] == s[k - 1], (k, got[k], s[k - 1])
+
+
+def test_knn_join_against_local_brute_force(spark):
+    """knn_join vs a driver-side numpy brute force with identical rounding
+    and tie-break rules — independent of the DuckDB oracle's SQL path."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    qmask = ids % pipelines.KNN_QUERY_MOD == 0
+    sims = np.round(m[~qmask] @ m[qmask].T, 4)
+    rids = ids[~qmask]
+    expect = {}
+    for j, qid in enumerate(ids[qmask]):
+        best = min(zip(-sims[:, j], rids))
+        expect[int(qid)] = (int(best[1]), float(-best[0]))
+    got = {
+        r["qid"]: (r["rid"], r["cos_sim"])
+        for r in pipelines.q_knn_join(spark, SF_DIR).collect()
+    }
+    assert got == expect
