@@ -74,6 +74,16 @@ from .constants import (
 # memory stays flat while task count grows with the corpus
 FUSED_ROWS_PER_TASK = 4_000_000
 
+# fused-mode term dictionary: when the vocabulary fits under this many
+# terms, each posting shuffles an int64 term id (bucket<<26 | rank-within-
+# bucket) instead of the term string — smaller shuffle rows, a radix-
+# sortable numeric sort key instead of UTF8 byte compares, and the encoder
+# recovers strings per SEGMENT (vocabulary-sized work) from a broadcast
+# reverse map. Above the cap (driver copy of the vocab would be too big)
+# the string layout is used unchanged — output is identical either way.
+DICT_VOCAB_MAX = int(os.environ.get("SPARK_GRAFT_DICT_VOCAB_MAX", "2000000"))
+DICT_BUCKET_BITS = 26  # ≤2^26 terms per crc bucket under the cap
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("_pid", T.IntegerType()),
@@ -401,6 +411,7 @@ def _encode_partition_fn(
     rank_lo: int = FANCY_RANK_LO,
     rank_hi: int = FANCY_RANK_HI,
     emit_full: bool = True,
+    dict_bc=None,
 ):
     """mapInArrow factory: encode a task's posting rows into bounded
     self-contained varbyte segments + block-max metadata. One Arrow stream
@@ -460,7 +471,21 @@ def _encode_partition_fn(
         if n == 0:
             return
         hot = hot_terms_bc.value if hot_terms_bc is not None else frozenset()
-        terms = tbl.column("term").chunk(0)
+        if dict_bc is not None and "tid" in tbl.column_names:
+            # dict layout (fused path, vocab under DICT_VOCAB_MAX): the
+            # term string never rides the shuffle — tid = bucket<<26 |
+            # rank-within-bucket, decoded per segment from the broadcast
+            # reverse map (dict_tids sorted ascending, so searchsorted is
+            # an exact index)
+            dmaps = dict_bc.value
+            dict_tids = dmaps["tids"]
+            dict_terms = dmaps["terms"]
+            hot_tids = dmaps["hot_tids"]
+            tids = tbl.column("tid").chunk(0).to_numpy()
+            terms = None
+        else:
+            dict_tids = dict_terms = hot_tids = tids = None
+            terms = tbl.column("term").chunk(0)
         statics = tbl.column("static").chunk(0).to_numpy().astype(np.float64)
         if "pack" in tbl.column_names:
             # packed layout (fused path): doc_id<<4 | fancy_eligible<<3 |
@@ -501,9 +526,12 @@ def _encode_partition_fn(
         start_mask[0] = True
         start_mask[1:] = (docs[1:] <= docs[:-1]) | (salts[1:] != salts[:-1])
         if n > 1:
-            start_mask[1:] |= pc.not_equal(
-                terms.slice(1), terms.slice(0, n - 1)
-            ).to_numpy(zero_copy_only=False)
+            if terms is None:
+                start_mask[1:] |= tids[1:] != tids[:-1]
+            else:
+                start_mask[1:] |= pc.not_equal(
+                    terms.slice(1), terms.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
         run_starts = np.flatnonzero(start_mask)
         run_id = np.cumsum(start_mask) - 1
 
@@ -547,21 +575,30 @@ def _encode_partition_fn(
                     ],
                 )
                 take_ix = ss if abs_idx is None else abs_idx[ss]
-                seg_terms = pc.take(terms, pa.array(take_ix))
-                if bk is None:
-                    # packed layout: bucket = crc32(term) % 64, recomputed
-                    # at segment granularity (same parity as the JVM
-                    # F.crc32 expression — zlib.crc32 over UTF-8 bytes)
-                    bk_seg = np.fromiter(
-                        (
-                            zlib.crc32(t.encode("utf-8")) % N_TERM_BUCKETS
-                            for t in seg_terms.to_pylist()
-                        ),
-                        dtype=np.int32,
-                        count=b - a,
+                if terms is None:
+                    seg_tids = tids[take_ix]
+                    seg_terms = dict_terms.take(
+                        pa.array(np.searchsorted(dict_tids, seg_tids))
                     )
+                    # dict layout: bucket lives in the tid's high bits
+                    bk_seg = (seg_tids >> DICT_BUCKET_BITS).astype(np.int32)
                 else:
-                    bk_seg = bk[ss].astype(np.int32, copy=False)
+                    seg_terms = pc.take(terms, pa.array(take_ix))
+                    if bk is None:
+                        # packed layout: bucket = crc32(term) % 64,
+                        # recomputed at segment granularity (same parity as
+                        # the JVM F.crc32 expression — zlib.crc32 over
+                        # UTF-8 bytes)
+                        bk_seg = np.fromiter(
+                            (
+                                zlib.crc32(t.encode("utf-8")) % N_TERM_BUCKETS
+                                for t in seg_terms.to_pylist()
+                            ),
+                            dtype=np.int32,
+                            count=b - a,
+                        )
+                    else:
+                        bk_seg = bk[ss].astype(np.int32, copy=False)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(bk_seg),
@@ -581,11 +618,17 @@ def _encode_partition_fn(
             yield from emit_batches(
                 docs, flags, statics, buckets, run_id, None, "full"
             )
-        if (ranks is not None or fancy_ok is not None) and hot:
-            run_hot = pc.is_in(
-                pc.take(terms, pa.array(run_starts)),
-                options=pc.SetLookupOptions(value_set=pa.array(sorted(hot))),
-            ).to_numpy(zero_copy_only=False)
+        hot_any = bool(hot) or (hot_tids is not None and hot_tids.size > 0)
+        if (ranks is not None or fancy_ok is not None) and hot_any:
+            if terms is None:
+                run_hot = np.isin(tids[run_starts], hot_tids)
+            else:
+                run_hot = pc.is_in(
+                    pc.take(terms, pa.array(run_starts)),
+                    options=pc.SetLookupOptions(
+                        value_set=pa.array(sorted(hot))
+                    ),
+                ).to_numpy(zero_copy_only=False)
             eligible = (
                 fancy_ok
                 if ranks is None
@@ -932,42 +975,110 @@ def build_index(
         eff_salts = int(lin.done["lexicon"].get("eff_salts", eff_salts))
     if fused and "segments_fused" not in lin.done:
         t0 = time.time()
-        # hot-term set from the published lexicon (re-derivable on resume)
-        hot_terms = frozenset(
-            r["term"]
-            for r in io.read(lexicon_dir)
-            .where(F.col("df") > fancy_threshold)
-            .select("term")
-            .collect()
-        )
-        hot_bc = spark.sparkContext.broadcast(hot_terms) if hot_terms else None
+        # one driver copy of the lexicon decides the shuffle layout: under
+        # DICT_VOCAB_MAX terms, postings shuffle an int64 term id instead
+        # of the term string (smaller rows, radix-sortable key) and the
+        # same copy yields the hot-term set; above the cap, the string
+        # layout + a hot-term collect (both re-derivable on resume)
+        lex_df = io.read(lexicon_dir).select("bucket", "term", "df")
+        vocab_n = lex_df.count()
+        dict_bc = None
+        hot_bc = None
+        tid_dim = None
+        if 0 < vocab_n <= DICT_VOCAB_MAX:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            ltbl = lex_df.toArrow().combine_chunks()
+            order = pc.sort_indices(
+                ltbl,
+                sort_keys=[("bucket", "ascending"), ("term", "ascending")],
+            )
+            ltbl = ltbl.take(order).combine_chunks()
+            bks = ltbl.column("bucket").chunk(0).to_numpy().astype(np.int64)
+            dfs = ltbl.column("df").chunk(0).to_numpy()
+            terms_arr = ltbl.column("term").chunk(0)
+            # rank within bucket: arange minus each bucket run's start
+            starts = np.flatnonzero(
+                np.concatenate(([True], bks[1:] != bks[:-1]))
+            )
+            run_ix = np.cumsum(
+                np.concatenate(([True], bks[1:] != bks[:-1]))
+            ) - 1
+            seq = np.arange(len(bks), dtype=np.int64) - starts[run_ix]
+            tids = (bks << DICT_BUCKET_BITS) | seq
+            dict_bc = spark.sparkContext.broadcast(
+                {
+                    "tids": tids,
+                    "terms": terms_arr,
+                    "hot_tids": tids[dfs > fancy_threshold],
+                }
+            )
+            tid_dim = spark.createDataFrame(
+                pd.DataFrame(
+                    {"term": terms_arr.to_pylist(), "tid": tids}
+                )
+            )
+        else:
+            hot_terms = frozenset(
+                r["term"]
+                for r in lex_df.where(F.col("df") > fancy_threshold)
+                .select("term")
+                .collect()
+            )
+            hot_bc = (
+                spark.sparkContext.broadcast(hot_terms) if hot_terms else None
+            )
         encode_fn = _encode_partition_fn(
-            seg_size, eff_salts, max(n_docs, 1), hot_terms_bc=hot_bc
+            seg_size,
+            eff_salts,
+            max(n_docs, 1),
+            hot_terms_bc=hot_bc,
+            dict_bc=dict_bc,
         )
         # each task Arrow-materializes its whole sorted shuffle partition —
         # bound the per-task posting count so worker memory stays flat as
         # the corpus grows (tasks scale out, not up)
         nparts_f = max(nparts, int(total_postings) // FUSED_ROWS_PER_TASK + 1)
-        # packed rows: same grouping keys as the staged scatter (bucket and
-        # salt recomputed from term / pack>>4 inside the repartition
-        # expressions), but each posting carries one long + one float + the
-        # term instead of six columns — see _posting_stream(packed=True)
-        stream = (
-            _posting_stream(packed=True)
-            .repartition(
-                nparts_f,
-                (F.crc32(F.encode(F.col("term"), "UTF-8")) % N_TERM_BUCKETS).cast(
-                    "int"
-                ),
-                F.pmod(F.hash("term"), F.lit(n_tgrp)),
-                (
-                    F.shiftright(F.col("pack"), 4) * eff_salts / F.lit(max(n_docs, 1))
-                ).cast("int"),
+        salt_expr = (
+            F.shiftright(F.col("pack"), 4) * eff_salts / F.lit(max(n_docs, 1))
+        ).cast("int")
+        if dict_bc is not None:
+            # dict rows: (tid, pack, static) — the broadcast hash join maps
+            # term→tid JVM-side before the shuffle; bucket rides in the
+            # tid's high bits so every grouping key is a numeric expression
+            stream = (
+                _posting_stream(packed=True)
+                .join(F.broadcast(tid_dim), "term")
+                .select("tid", "pack", "static")
+                .repartition(
+                    nparts_f,
+                    F.shiftright(F.col("tid"), DICT_BUCKET_BITS),
+                    F.pmod(F.hash("tid"), F.lit(n_tgrp)),
+                    salt_expr,
+                )
+                # tid groups runs; pack ascending == doc_id ascending (doc
+                # id occupies the high bits; each (term, doc) is unique)
+                .sortWithinPartitions("tid", "pack")
             )
-            # term groups runs; pack ascending == doc_id ascending (doc id
-            # occupies the high bits and each (term, doc) posting is unique)
-            .sortWithinPartitions("term", "pack")
-        )
+        else:
+            # packed rows: same grouping keys as the staged scatter (bucket
+            # and salt recomputed from term / pack>>4 inside the
+            # repartition expressions), but each posting carries one long +
+            # one float + the term instead of six columns
+            stream = (
+                _posting_stream(packed=True)
+                .repartition(
+                    nparts_f,
+                    (
+                        F.crc32(F.encode(F.col("term"), "UTF-8"))
+                        % N_TERM_BUCKETS
+                    ).cast("int"),
+                    F.pmod(F.hash("term"), F.lit(n_tgrp)),
+                    salt_expr,
+                )
+                .sortWithinPartitions("term", "pack")
+            )
         encoded = stream.mapInArrow(
             encode_fn, schema=SEGMENTS_SCHEMA
         ).sortWithinPartitions("bucket", "term", "first_doc")
@@ -984,7 +1095,13 @@ def build_index(
             )
         if hot_bc is not None:
             hot_bc.unpersist()
-        lin.record("segments_fused", wall_s=round(time.time() - t0, 3))
+        if dict_bc is not None:
+            dict_bc.unpersist()
+        lin.record(
+            "segments_fused",
+            dict_encoded=dict_bc is not None,
+            wall_s=round(time.time() - t0, 3),
+        )
 
     # ---- stage segments, per bucket group ----------------------------------
     # One streaming pass per task cuts exact segments — full AND fancy kinds
