@@ -758,6 +758,103 @@ def _minhash_lsh16_sql() -> str:
     """
 
 
+_HLL_SQL = """
+    WITH a AS (
+        SELECT lang, list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents),
+    tk2 AS (
+        SELECT lang, 1 AS gram, unnest(a) AS t FROM a
+        UNION ALL
+        SELECT lang, 2 AS gram, a[i] || ' ' || a[i+1] AS t
+        FROM (SELECT lang, a, unnest(range(1, len(a))) AS i
+              FROM a WHERE len(a) >= 2)),
+    hh AS (
+        SELECT lang, gram, t, md5('hll:' || t) AS h FROM tk2),
+    rr AS (
+        SELECT lang, gram,
+               CAST('0x' || substr(h, 1, 2) AS BIGINT) % 64 AS reg,
+               CAST('0x' || substr(h, 3, 15) AS BIGINT) AS v
+        FROM hh),
+    rho AS (
+        SELECT lang, gram, reg,
+               LEAST(CASE WHEN v = 0 THEN 61
+                          ELSE 61 - length(bin(v)) END, 41) AS rho
+        FROM rr),
+    regs AS (SELECT lang, gram, reg, max(rho) AS mr
+             FROM rho GROUP BY lang, gram, reg),
+    s AS (
+        SELECT lang, gram,
+               CAST(sum(CAST(1 AS BIGINT) << (41 - mr)) AS BIGINT)
+                   AS s_present,
+               count(*) AS nreg
+        FROM regs GROUP BY lang, gram),
+    ex AS (SELECT lang, gram, count(DISTINCT t) AS exact_distinct
+           FROM hh GROUP BY lang, gram),
+    raw AS (
+        SELECT lang, gram, s_present, nreg,
+               (0.709e0 * 4096e0) * 2199023255552e0
+                   / CAST(s_present + (64 - nreg) * 2199023255552 AS DOUBLE)
+                   AS raw_est
+        FROM s)
+    SELECT raw.lang AS lang, raw.gram AS gram,
+           round(CASE WHEN (64 - nreg) > 0 AND raw_est <= 160e0
+                      THEN 64e0 * ln(64e0 / CAST(64 - nreg AS DOUBLE))
+                      ELSE raw_est END, 2) AS est_distinct,
+           ex.exact_distinct AS exact_distinct,
+           CAST(64 - nreg AS INTEGER) AS zero_regs
+    FROM raw JOIN ex USING (lang, gram)
+    ORDER BY lang, gram
+"""
+
+_MIXTURE_SQL = """
+    WITH quota AS (
+        SELECT lang,
+               CAST(10 * floor(sqrt(count(*))) AS BIGINT) AS quota
+        FROM documents GROUP BY lang),
+    ranked AS (
+        SELECT doc_id, lang, md5('mix:' || doc_id) AS h,
+               CAST('0x' || substr(md5('mixsalt:' || doc_id), 1, 1)
+                    AS BIGINT) % 8 AS salt
+        FROM documents),
+    r1 AS (
+        SELECT doc_id, lang, h,
+               row_number() OVER (PARTITION BY lang, salt ORDER BY h) AS rn1
+        FROM ranked),
+    surv AS (
+        SELECT r1.doc_id, r1.lang, r1.h, quota.quota
+        FROM r1 JOIN quota USING (lang) WHERE rn1 <= quota)
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT doc_id, lang, quota,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM surv)
+    WHERE rn <= quota
+    ORDER BY lang, rank
+"""
+
+_TRIANGLE_SQL = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+        SELECT ab.u AS n1, ab.v AS n2, bc.v AS n3
+        FROM e ab
+        JOIN e bc ON ab.v = bc.u
+        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+    per_node AS (
+        SELECT node, count(*) AS tri_cnt
+        FROM (SELECT n1 AS node FROM tri
+              UNION ALL SELECT n2 FROM tri
+              UNION ALL SELECT n3 FROM tri)
+        GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS node, tri_cnt
+    FROM per_node
+    ORDER BY tri_cnt DESC, node
+    LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -801,6 +898,9 @@ def oracle_sql() -> dict[str, str]:
                 OVER (PARTITION BY qid ORDER BY cos_sim DESC, rid) = 1
             ORDER BY qid
         """,
+        "hll_distinct": _HLL_SQL,
+        "domain_mixture": _MIXTURE_SQL,
+        "triangle_count": _TRIANGLE_SQL,
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

@@ -2910,6 +2910,221 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch, temperature-scaled domain mixture
+# sampling, and degree-oriented triangle counting.
+
+HLL_M = 64  # registers (p=6); standard error ~ 1.04/sqrt(64) = 13%
+HLL_RHO_CAP = 41  # caps 2^(cap-rho) so the register sum stays in int64
+HLL_SCALE = 1 << HLL_RHO_CAP  # 2^41, the integer fixed-point for sum(2^-rho)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Distinct unigram + bigram count per language via a HyperLogLog
+    sketch (Flajolet et al. 2007) — on this corpus the unigram groups land
+    in the linear-counting regime and the bigram groups in the raw-HLL
+    regime, so both estimator branches are driver-gated. Made FULLY
+    deterministic and cross-engine exact:
+    the register index is the first byte of md5('hll:'||t) mod 64 and rho
+    is 61 - bitlength of the next 60 hash bits (rho capped at 41), so the
+    register table is pure integer arithmetic. The harmonic sum is kept in
+    int64 fixed point (sum of 2^(41-rho), absent registers contribute
+    2^41) — order-independent, no float accumulation — and the single
+    float division at the end is IEEE-identical in Spark and DuckDB.
+    Scale shape: token -> (lang, reg, rho) map + ONE map-side-combinable
+    groupBy(lang, reg).max(rho); nothing ever shuffles the token stream's
+    long tail, and merging two corpora's sketches is register-wise max —
+    the property that makes HLL the 100 TB cardinality operator. The exact
+    count_distinct alongside is the verification twin (affordable at test
+    scale only). Small-range regime (raw estimate <= 2.5m with empty
+    registers) applies the standard linear-counting correction
+    m*ln(m/zero_regs); the branch predicate compares values that are
+    bit-identical in both engines, so the branch itself is deterministic.
+    Reference analog: the info.txt UniqueWords stat (GenDb.dpr:658-668),
+    which the reference computes exactly in one pass on one node."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    base = d.select("lang", arr.alias("a"))
+    uni = base.select("lang", F.lit(1).alias("gram"), F.explode("a").alias("t"))
+    bi = base.where(F.size("a") >= 2).select(
+        "lang",
+        F.lit(2).alias("gram"),
+        F.explode(
+            F.expr("transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i+1]))")
+        ).alias("t"),
+    )
+    tk = uni.unionByName(bi)
+    h = F.md5(F.concat(F.lit("hll:"), F.col("t")))
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(v)))
+    regs = (
+        tk.select(
+            "lang",
+            "gram",
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % HLL_M).alias("reg"),
+            F.least(rho, F.lit(HLL_RHO_CAP)).cast("int").alias("rho"),
+        )
+        .groupBy("lang", "gram", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    s = regs.groupBy("lang", "gram").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - mr)")
+        ).alias("s_present"),
+        F.count("*").alias("nreg"),
+    )
+    exact = tk.groupBy("lang", "gram").agg(
+        F.countDistinct("t").alias("exact_distinct")
+    )
+    zeros = F.lit(HLL_M) - F.col("nreg")
+    raw = (
+        (F.lit(0.709) * F.lit(4096.0))
+        * F.lit(float(HLL_SCALE))
+        / (F.col("s_present") + zeros * F.lit(HLL_SCALE)).cast("double")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    est = F.round(
+        F.when((zeros > 0) & (raw <= F.lit(2.5 * HLL_M)), lc).otherwise(raw), 2
+    )
+    return (
+        s.join(exact, ["lang", "gram"])
+        .select(
+            "lang",
+            "gram",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            zeros.cast("int").alias("zero_regs"),
+        )
+        .orderBy("lang", "gram")
+    )
+
+
+MIX_QUOTA_MULT = 10  # per-domain quota = 10 * isqrt(domain doc count)
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain-mixture sampling (the Pile/LLaMA corpus
+    recipe: per-domain quota proportional to count^alpha, flattening the
+    head domains) at alpha = 0.5, made integer-exact: quota =
+    10*floor(sqrt(c)) — IEEE sqrt is correctly rounded in both engines and
+    floor(sqrt(int)) never straddles an integer below 2^52, so the quota
+    is bit-identical everywhere with no float threshold. Selection is the
+    deterministic md5 order statistic (lowest md5('mix:'||doc_id) ranks
+    first), computed scale-right in TWO phases like q_topk_ngrams: a
+    per-(lang, 8-way md5 salt) partial rank keeps only rank <= quota, then
+    the global per-lang rank runs over <= 8*quota survivors — no window
+    ever partitions a whole domain (the per-domain reducer at 100 TB), and
+    the final window's input is bounded by salts*quota regardless of
+    corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    quota = d.groupBy("lang").agg(
+        (F.lit(MIX_QUOTA_MULT) * F.floor(F.sqrt(F.count("*"))))
+        .cast("bigint")
+        .alias("quota")
+    )
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    salt = F.conv(F.substring(F.md5(F.concat(F.lit("mixsalt:"), F.col("doc_id").cast("string"))), 1, 1), 16, 10).cast("bigint") % 8
+    ranked = d.select(
+        "doc_id", "lang", h.alias("h"), salt.alias("salt")
+    ).withColumn(
+        "rn1",
+        F.row_number().over(
+            Window.partitionBy("lang", "salt").orderBy("h")
+        ),
+    )
+    survivors = ranked.join(F.broadcast(quota), "lang").where(
+        F.col("rn1") <= F.col("quota")
+    )
+    final = survivors.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("h"))
+    ).where(F.col("rn") <= F.col("quota"))
+    return final.select(
+        "doc_id", "lang", F.col("rn").cast("int").alias("rank")
+    ).orderBy("lang", "rank")
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle participation over the parts-co-ordered graph
+    (two parts are adjacent iff some order contains both — the
+    market-basket projection), top 20 nodes. Degree-oriented
+    compact-forward counting (Schank & Wagner 2005 / Latapy 2008): every
+    edge is directed from its (degree, id)-smaller endpoint, wedges are
+    enumerated only at each triangle's unique order-minimum apex, and the
+    closing edge resolves with ONE more equi-join — max oriented
+    out-degree is O(sqrt(|E|)), so the wedge count is bounded by
+    sum(outdeg^2) << sum(deg^2) of the naive all-wedges join, the skew
+    lever that survives power-law degree distributions at 100 TB. The
+    DuckDB oracle counts the same triangles with the naive ordered 3-way
+    self-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge from the (d, id)-smaller endpoint; carry the head's
+    # order key so the wedge join can order its two heads without a
+    # further degree lookup
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("dd"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("dd"),
+                )
+            )
+            .alias("x")
+        )
+        .select("x.src", "x.dst", "x.dd")
+    )
+    e1 = ed.select(
+        F.col("src"), F.col("dst").alias("a"), F.col("dd").alias("da")
+    )
+    e2 = ed.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("dd").alias("db")
+    )
+    wedges = e1.join(e2, "src").where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closing = ed.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    tris = wedges.join(closing, ["a", "b"]).select(
+        F.col("src").alias("n1"), F.col("a").alias("n2"), F.col("b").alias("n3")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+        .orderBy(F.desc("tri_cnt"), "node")
+        .limit(20)
+    )
+    return per_node.select(F.col("node").cast("bigint").alias("node"), "tri_cnt")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -2981,4 +3196,7 @@ QUERIES = {
     "bloom_dedup_new": q_bloom_dedup_new,
     "quantile_bisect": q_quantile_bisect,
     "knn_join": q_knn_join,
+    "hll_distinct": q_hll_distinct,
+    "domain_mixture": q_domain_mixture,
+    "triangle_count": q_triangle_count,
 }
