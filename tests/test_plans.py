@@ -230,3 +230,44 @@ def test_pagerank_iteration_constant_lineage(spark, sf_dir="/root/testdata/sf0.0
     assert "Scan ExistingRDD" in plan  # the checkpointed previous round
     # exactly one (edges ⋈ ranks) join round in the final plan, not ITERS
     assert plan.count("Scan parquet") <= 4
+
+
+def test_hll_stays_jvm_with_partial_agg(spark, sf_dir="/root/testdata/sf0.001"):
+    """The HLL sketch must be pure column expressions (no Python worker in
+    the token->register map) and the register reduction must be a
+    map-side-combinable HashAggregate — the property that lets a 100 TB
+    token stream reduce to 64 registers per group without shuffling the
+    long tail. No window, no nested loop anywhere."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_hll_distinct(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_domain_mixture_first_window_is_salted(spark, sf_dir="/root/testdata/sf0.001"):
+    """Two-phase rank: the first window must partition by (lang, salt) —
+    never a whole domain in one sort task — and the quota join must be a
+    broadcast (the quota table is one row per domain). All JVM."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_domain_mixture(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("Window") >= 2
+    assert "salt" in plan  # the salted first-phase partition key
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_is_all_equi_joins(spark, sf_dir="/root/testdata/sf0.001"):
+    """Compact-forward triangle counting: every join (edge construction,
+    degree lookups, wedge join, closing-edge probe) must be an equi
+    hash/sort join — a nested-loop anywhere turns Σoutdeg² into |E|²."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_triangle_count(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
