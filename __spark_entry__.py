@@ -855,6 +855,52 @@ _TRIANGLE_SQL = """
 """
 
 
+_FUNNEL_SQL = """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT t1.user_id, t1.t1 AS t1, t2.t2 AS t2, t3.t3 AS t3,
+           1 + CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END AS stage_reached
+    FROM t1
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    ORDER BY user_id
+"""
+
+_SPELL_SQL = """
+    WITH lex AS (
+        SELECT DISTINCT unnest(list_filter(regexp_split_to_array(
+            lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        FROM documents),
+    base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')[1] AS t0
+        FROM documents
+        WHERE len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) > 0),
+    nz AS (
+        SELECT doc_id,
+               substr(t0, 1, CAST(doc_id % length(t0) AS INT))
+                   || substr(t0, CAST(doc_id % length(t0) AS INT) + 2)
+                   AS q
+        FROM base)
+    SELECT doc_id, q, term
+    FROM nz JOIN lex ON levenshtein(q, term) <= 1
+    WHERE q <> ''
+    ORDER BY doc_id, term
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -901,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_SQL,
         "domain_mixture": _MIXTURE_SQL,
         "triangle_count": _TRIANGLE_SQL,
+        "funnel_steps": _FUNNEL_SQL,
+        "spell_correct": _SPELL_SQL,
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

@@ -3125,6 +3125,117 @@ def q_triangle_count(spark, sf_dir):
     return per_node.select(F.col("node").cast("bigint").alias("node"), "tri_cnt")
 
 
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis and SymSpell spell correction.
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase per user: the
+    first view, the first click strictly AFTER it, the first purchase
+    strictly after that. Computed with per-step min-aggregations joined
+    forward (each step = one map-side-combinable groupBy + one equi-join
+    against the previous step's one-row-per-user table) — NOT a window
+    over each user's whole event history, so per-task state stays O(1)
+    per user at any history length. stage_reached is the funnel depth
+    (1-3). The sessionization ops own the within-session variant; this is
+    the cross-session lifecycle funnel."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", stage.alias("stage_reached"))
+        .orderBy("user_id")
+    )
+
+
+def q_spell_correct(spark, sf_dir):
+    """Query spell correction against the corpus lexicon via the SymSpell
+    deletion-neighborhood join (Garbe 2012): candidates are pairs whose
+    single-character-deletion sets intersect (del(a) ∪ {a}) ∩ (del(b) ∪
+    {b}) ≠ ∅ — a COMPLETE cover of levenshtein ≤ 1 — found with one
+    equi-join on the deletion key (≤ len+1 keys per term, never an
+    all-pairs product; at a 10^7-term lexicon the naive verify join is
+    10^14 pairs, the banded join ~10^8 keys). Candidates then verify with
+    the exact JVM levenshtein. The noisy query side is planted
+    deterministically (each document contributes its first token with the
+    (doc_id mod len)-th character deleted), so the op has guaranteed real
+    work; the DuckDB oracle runs the bounded exact verify join. The
+    reference has no spell correction — this is the "did you mean"
+    operator its query box (cgi/suchmaschine.dpr) would want."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    lex = (
+        d.select(F.explode(arr).alias("term"))
+        .distinct()
+    )
+    first_tok = arr.getItem(0)
+
+    def pos_on(c):  # 0-based position of the deleted character
+        return (F.col("doc_id") % F.length(c)).cast("int")
+
+    noisy = (
+        d.where(F.size(arr) > 0)
+        .select("doc_id", first_tok.alias("t0"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("t0").substr(F.lit(1), pos_on("t0")),
+                F.col("t0").substr(pos_on("t0") + 2, F.length("t0")),
+            ).alias("q"),
+        )
+        .where(F.col("q") != "")
+    )
+
+    def _del_keys(col):
+        # the term itself + every single-character deletion
+        return F.array_union(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col)),
+                ),
+            ),
+        )
+
+    lk = lex.select("term", F.explode(_del_keys(F.col("term"))).alias("k"))
+    qk = noisy.select(
+        "doc_id", "q", F.explode(_del_keys(F.col("q"))).alias("k")
+    )
+    return (
+        qk.join(lk, "k")
+        .select("doc_id", "q", "term")
+        .distinct()
+        .where(F.levenshtein("q", "term") <= 1)
+        .orderBy("doc_id", "term")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -3199,4 +3310,6 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "domain_mixture": q_domain_mixture,
     "triangle_count": q_triangle_count,
+    "funnel_steps": q_funnel_steps,
+    "spell_correct": q_spell_correct,
 }

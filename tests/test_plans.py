@@ -271,3 +271,28 @@ def test_triangle_count_is_all_equi_joins(spark, sf_dir="/root/testdata/sf0.001"
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_funnel_has_no_window_and_equi_joins(spark, sf_dir="/root/testdata/sf0.001"):
+    """Funnel steps must be min-aggregations joined forward (map-side
+    combinable, O(1) state per user) — no per-user window over the whole
+    event history, no nested loop, no Python."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_funnel_steps(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_spell_correct_joins_on_deletion_key(spark, sf_dir="/root/testdata/sf0.001"):
+    """SymSpell candidates must come from an EQUI-join on the deletion
+    key; a nested-loop levenshtein verify join is the lexicon² blowup the
+    banding exists to avoid."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_spell_correct(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)

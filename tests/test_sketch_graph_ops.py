@@ -124,3 +124,35 @@ def test_triangle_count_matches_adjacency_sets(spark):
         for r in pipelines.q_triangle_count(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+def test_funnel_steps_are_ordered_and_monotone(spark):
+    rows = pipelines.q_funnel_steps(spark, SF_DIR).collect()
+    assert rows, "funnel produced no users"
+    assert any(r["stage_reached"] == 3 for r in rows)
+    for r in rows:
+        # a later stage implies every earlier stage, strictly ordered
+        if r["t3"] is not None:
+            assert r["t2"] is not None and r["t2"] < r["t3"]
+        if r["t2"] is not None:
+            assert r["t1"] is not None and r["t1"] < r["t2"]
+        assert r["stage_reached"] == 1 + (r["t2"] is not None) + (
+            r["t3"] is not None
+        )
+
+
+def test_spell_correct_always_recovers_the_source_term(spark, docs):
+    """Every planted typo is one deletion away from its source token, so
+    the SymSpell candidate join must recover the source for EVERY query —
+    a recall-1 guarantee the shared verify predicate cannot fake."""
+    got = {}
+    for r in pipelines.q_spell_correct(spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], set()).add(r["term"])
+    n_checked = 0
+    for doc_id, _, text in docs:
+        toks = [t for t in TOK.split(text.lower()) if t]
+        if not toks or len(toks[0]) < 2:
+            continue
+        assert toks[0] in got.get(doc_id, set()), (doc_id, toks[0])
+        n_checked += 1
+    assert n_checked > 100
