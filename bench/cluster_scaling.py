@@ -52,13 +52,14 @@ JOB = textwrap.dedent(
     from deusu_spark.session import get_spark
 
     master_url, corpus_path, n_exec = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    exec_mem = os.environ.get("SPARK_GRAFT_CSCALE_EXEC_MEM", "4g")
     spark = get_spark(
         app=f"deusu-cscale-{n_exec}",
         master=master_url,
         shuffle_partitions=2 * n_exec,
         extra={
             "spark.executor.cores": "2",
-            "spark.executor.memory": "4g",
+            "spark.executor.memory": exec_mem,
             "spark.cores.max": str(2 * n_exec),
         },
     )
@@ -156,7 +157,8 @@ def run_level(
             procs.append(subprocess.Popen(
                 [spark_class, "org.apache.spark.deploy.worker.Worker",
                  f"spark://127.0.0.1:{mport}",
-                 "--cores", "2", "--memory", "6g",
+                 "--cores", "2",
+                 "--memory", os.environ.get("SPARK_GRAFT_CSCALE_WORKER_MEM", "6g"),
                  "--webui-port", str(_free_port()),
                  "--work-dir", os.path.join(tmp, f"work{i}")],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,

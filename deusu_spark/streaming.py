@@ -277,3 +277,33 @@ def dedup_stream(
     return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming fact ×
+    dimension join (events stream enriched with the customer's market
+    segment). The static side rides a BROADCAST hash join, so the
+    streaming side never shuffles and the join is STATELESS: no
+    watermark, no buffered state; every micro-batch joins against the
+    broadcast copy (Spark re-resolves the static relation per batch, so a
+    dim refresh is picked up on the next micro-batch — the slowly
+    changing dimension story). LEFT join keeps events whose user has no
+    dimension row, with the segment defaulted — dropping facts on a dim
+    miss is the classic enrichment bug. Batch twin: the same join on the
+    same tables (test_streaming pins equality)."""
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mkt_segment"),
+        )
+    )
+    return (
+        events.select("event_id", "user_id", "event_type", "ts")
+        .join(d, "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce("mkt_segment", F.lit("UNKNOWN")).alias("mkt_segment"),
+        )
+    )

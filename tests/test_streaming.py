@@ -205,3 +205,25 @@ def test_dedup_stream_suppresses_replays(spark, events_stream_dir):
         assert n_all == 2 * len(want_ids)
     finally:
         shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_enrich_stream_matches_batch_and_keeps_dim_misses(spark, events_stream_dir):
+    """Stream-static broadcast enrichment == the same batch left join; no
+    event is lost on a dimension miss (the LEFT-join contract)."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_stream_dir)
+    dim = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    got = _run_stream(
+        spark, streaming.enrich_stream(src, dim), "enrich_stream"
+    ).collect()
+    want = streaming.enrich_stream(
+        spark.read.parquet(events_stream_dir), dim
+    ).collect()
+
+    def key(r):
+        return (r["event_id"], r["user_id"], r["event_type"], r["mkt_segment"])
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == spark.read.parquet(events_stream_dir).count()
+    segs = {r["mkt_segment"] for r in got}
+    assert len(segs - {"UNKNOWN"}) >= 1  # the join really enriched
