@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import math
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pyarrow.dataset as pads
@@ -382,9 +383,14 @@ class ShardedSearcher:
     In production each shard is a separate server process behind a thin
     fan-out (this class in-process is the same code path); the Q14 result
     cache belongs in front of the fan-out, exactly where the reference
-    puts it."""
+    puts it. In-process the shards fan out on a thread pool
+    (``parallel=True``): the per-shard work is numpy/pyarrow, which
+    releases the GIL, so the fan-out overlaps shard CPU the way separate
+    shard servers would; results merge deterministically regardless of
+    completion order (global (score desc, doc_id asc) sort; candidate
+    totals are an order-free sum)."""
 
-    def __init__(self, index_root: str, n_shards: int = 2):
+    def __init__(self, index_root: str, n_shards: int = 2, parallel: bool = True):
         with open(
             os.path.join(current_index_dir(index_root), "meta.json")
         ) as f:
@@ -396,6 +402,11 @@ class ShardedSearcher:
         ]
         self.shards = [LocalSearcher(index_root, doc_range=r) for r in ranges]
         self.meta = self.shards[0].meta
+        self._pool = (
+            ThreadPoolExecutor(max_workers=len(self.shards))
+            if parallel and len(self.shards) > 1
+            else None
+        )
         # bm25 needs the GLOBAL avgdl on every shard (a shard's local mean
         # would skew its scores)
         total_dl = sum(float(s.dl.sum()) for s in self.shards)
@@ -418,13 +429,24 @@ class ShardedSearcher:
             return []
         fetch = max(k, MAX_RESULTS)
 
+        def one_shard(sh, use_fancy: bool, md: str):
+            docs, vals = sh._run_pass(terms, w, use_fancy, mode=md)
+            return len(docs), sh._topk(docs, vals, fetch, is_float=md == "bm25")
+
         def run(use_fancy: bool, md: str):
+            if self._pool is not None:
+                parts = list(
+                    self._pool.map(
+                        lambda sh: one_shard(sh, use_fancy, md), self.shards
+                    )
+                )
+            else:
+                parts = [one_shard(sh, use_fancy, md) for sh in self.shards]
             rows: list = []
             total = 0
-            for sh in self.shards:
-                docs, vals = sh._run_pass(terms, w, use_fancy, mode=md)
-                total += len(docs)
-                rows.extend(sh._topk(docs, vals, fetch, is_float=md == "bm25"))
+            for n, top in parts:
+                total += n
+                rows.extend(top)
             rows.sort(key=lambda r: (-r[1], r[0]))
             return rows[:fetch], total
 

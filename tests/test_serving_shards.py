@@ -56,3 +56,16 @@ def test_sharded_fetch_results(sharded, local):
     got = sharded.fetch_results(rows)
     want = local.fetch_results(rows)
     assert [(r.doc_id, r.url) for r in got] == [(r.doc_id, r.url) for r in want]
+
+
+def test_parallel_and_sequential_fanout_identical(tiny_index_dir):
+    """The thread-pool fan-out must be a pure execution-strategy change:
+    identical results to the sequential loop for every query and mode."""
+    par = ShardedSearcher(tiny_index_dir, n_shards=3, parallel=True)
+    seq = ShardedSearcher(tiny_index_dir, n_shards=3, parallel=False)
+    assert par._pool is not None and seq._pool is None
+    for q in QUERIES:
+        for mode in ("deusu", "bm25"):
+            assert par.search(q, k=1000, mode=mode) == seq.search(
+                q, k=1000, mode=mode
+            ), (q, mode)
