@@ -134,6 +134,19 @@ def main() -> None:
         engine_stats["queries_per_s_serving_cached"] = round(
             reps * len(ENGINE_QUERIES) / warm_s, 1
         )
+
+        # sharded serving tier: 2 doc-range shards, parallel thread-pool
+        # fan-out, cold caches (fresh searcher) — the beyond-one-node shape
+        from deusu_spark.query_local import ShardedSearcher
+
+        sh = ShardedSearcher(idx_dir, n_shards=2)
+        sh.search("w4999", k=10)
+        t0 = time.time()
+        for q in ENGINE_QUERIES:
+            sh.search(q, k=10)
+        engine_stats["queries_per_s_serving_sharded2"] = round(
+            len(ENGINE_QUERIES) / (time.time() - t0), 3
+        )
         shutil.rmtree(idx_dir, ignore_errors=True)
     except Exception as e:  # keep the bench line emitting even on failure
         engine_stats["error"] = repr(e)
