@@ -669,6 +669,39 @@ class Lineage:
         self.done[step] = rec
 
 
+# Measured bracket (BENCH_CLUSTER.md heap study): 2.0 GiB/core spills the
+# fused shuffle (4g/2-core executors lose to staged), 4.0 GiB/core wins
+# outright (8g/2-core sets the records) — the knee is placed between them.
+FUSE_MIN_GIB_PER_CORE = 3.0
+
+
+def _mem_gib(mem: str) -> float:
+    """Parse a Spark memory string ('4g', '4096m', '2048k', bytes)."""
+    m = str(mem).strip().lower()
+    mult = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    if m and m[-1] in mult:
+        return float(m[:-1]) * mult[m[-1]]
+    return float(m) / (1024**3)
+
+
+def default_fuse_scatter(master: str, executor_memory: str, executor_cores) -> bool:
+    """Pick the build layout from the deployment shape: the fused
+    scatterless path holds the full posting shuffle + in-partition sort
+    in executor memory, which the cluster heap study (BENCH_CLUSTER.md)
+    showed spills at 2 GiB per executor core and wins outright at 4 —
+    below the knee the staged write-then-rescan layout is faster.
+    local[*] masters run
+    one big driver-sized JVM where the fused path measured neutral-to-
+    better, so they stay fused."""
+    if str(master).startswith("local"):
+        return True
+    try:
+        per_core = _mem_gib(executor_memory) / max(int(executor_cores), 1)
+    except (ValueError, TypeError):
+        return True
+    return per_core >= FUSE_MIN_GIB_PER_CORE
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -896,8 +929,19 @@ def build_index(
     # intermediate write+rescan — the component bench/encode_control.py
     # proved is the host's non-scaling page-allocation cost. The staged
     # path remains for bucket-group-granular resume (fuse_scatter=False)
-    # and is what a resumed pre-fused build keeps using.
-    fused = fuse_scatter if fuse_scatter is not None else True
+    # and is what a resumed pre-fused build keeps using. On small-memory
+    # executors the fused in-job shuffle+sort spills where the staged
+    # layout streams through the page cache (measured: BENCH_CLUSTER.md —
+    # @4×4g executors fused loses 144 vs 118 s, @8g it wins outright), so
+    # the default adapts to executor memory per core.
+    if fuse_scatter is not None:
+        fused = fuse_scatter
+    else:
+        fused = default_fuse_scatter(
+            spark.conf.get("spark.master", "local"),
+            spark.conf.get("spark.executor.memory", "4g"),
+            spark.conf.get("spark.executor.cores", "2"),
+        )
     if "scatter" in lin.done or any(s.startswith("segments_g") for s in lin.done):
         fused = False
     elif "lexicon" in lin.done or "segments_fused" in lin.done:

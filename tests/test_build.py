@@ -229,3 +229,22 @@ def test_resume_skips_done_stages(spark, tiny_corpus, tiny_index_dir):
     assert ("lexicon" in steps and "segments_fused" in steps) or (
         "scatter" in steps and any(s.startswith("segments_g") for s in steps)
     )
+
+
+def test_default_fuse_scatter_tracks_heap_per_core():
+    """The fused layout engages only where the heap study says it wins:
+    local masters always; cluster executors above the measured heap knee
+    (2 GiB/core spills, 4 GiB/core wins; knee at 3)."""
+    from deusu_spark.build import default_fuse_scatter
+
+    assert default_fuse_scatter("local[32]", "1g", "8")
+    assert default_fuse_scatter("local", "512m", "1")
+    # the measured 4-executor configs from BENCH_CLUSTER.md
+    assert not default_fuse_scatter("spark://h:7077", "4g", "2")  # spills
+    assert default_fuse_scatter("spark://h:7077", "8g", "2")      # record
+    assert not default_fuse_scatter("spark://h:7077", "4096m", "2")
+    assert default_fuse_scatter("spark://h:7077", "8388608k", "2")
+    assert not default_fuse_scatter("k8s://api", "16g", "8")
+    assert default_fuse_scatter("yarn", "24g", "4")
+    # unparseable memory config falls back to fused (the common case)
+    assert default_fuse_scatter("spark://h:7077", "auto", "2")
