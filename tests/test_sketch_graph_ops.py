@@ -156,3 +156,49 @@ def test_spell_correct_always_recovers_the_source_term(spark, docs):
         assert toks[0] in got.get(doc_id, set()), (doc_id, toks[0])
         n_checked += 1
     assert n_checked > 100
+
+
+def test_negative_sampling_ring_semantics(spark, docs):
+    """Pure-Python consistent-hash-ring recompute: every anchor gets
+    exactly NEG_K negatives, all from other languages, in clockwise ring
+    order — including anchors near the ring tail (wrap-around)."""
+    ring = sorted(
+        (hashlib.md5(f"ring:{d}".encode()).hexdigest(), d, lang)
+        for d, lang, _ in docs
+    )
+    by_doc = {d: i for i, (_, d, _) in enumerate(ring)}
+    langs = {d: lang for d, lang, _ in docs}
+    got = {}
+    for r in pipelines.q_negative_sampling(spark, SF_DIR).collect():
+        got.setdefault(r["anchor"], []).append((r["rank"], r["negative"]))
+    anchors = [d for d, _, _ in docs if d % 10 == 0]
+    assert set(got) == set(anchors)
+    n = len(ring)
+    for a in anchors:
+        expect = []
+        i = by_doc[a]
+        for step in range(1, n):
+            _, d, lang = ring[(i + step) % n]
+            if lang != langs[a]:
+                expect.append(d)
+            if len(expect) == pipelines.NEG_K:
+                break
+        sel = [d for _, d in sorted(got[a])]
+        assert sel == expect, a
+        assert all(langs[d] != langs[a] for d in sel)
+
+
+def test_moving_average_trailing_window(spark):
+    """Python recompute of the 24h trailing sum per type from the hourly
+    counts; also pins that the frame is TIME-range (a gap in hours must
+    NOT pull older rows in the way a 24-ROWS frame would)."""
+    rows = pipelines.q_moving_average(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["h"])
+        for i, r in enumerate(rs):
+            lo = r["h"].timestamp() - 86399
+            want = sum(x["cnt"] for x in rs[: i + 1] if x["h"].timestamp() >= lo)
+            assert r["cnt_24h"] == want, (et, r["h"])
