@@ -986,6 +986,23 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": _SPELL_SQL,
         "negative_sampling": _NEGSAMP_SQL,
         "moving_average": _MOVAVG_SQL,
+        "json_props_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(props->>'$.k' AS INTEGER) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(CASE WHEN k IS NULL THEN -1
+                             ELSE floor(k / 10.0) END AS INTEGER) AS k_decile,
+                   count(*) AS n,
+                   sum(k) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   count(DISTINCT k) AS distinct_k
+            FROM x
+            GROUP BY 1, 2
+            ORDER BY event_type, k_decile
+        """,
         "tfidf_cosine_pairs": _tfidf_cosine_sql(),
         "full_outer_daily": """
             WITH e AS (

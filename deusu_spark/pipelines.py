@@ -3348,6 +3348,37 @@ def q_moving_average(spark, sf_dir):
     ).orderBy("event_type", "h")
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Event-payload analytics straight off the raw JSON column: extract
+    props.k with the engine's native JSON path functions
+    (get_json_object — JVM-side, no Python, no UDF-parsed JSON) and
+    aggregate per (event_type, k-decile). The semi-structured-log shape:
+    schema-on-read extraction feeding a map-side-combinable aggregate; at
+    100 TB the extraction runs inside whole-stage codegen on the scan, so
+    malformed rows cost a null, not a task failure (nulls are counted and
+    reported, not dropped silently)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.when(F.col("k").isNull(), F.lit(-1))
+            .otherwise(F.floor(F.col("k") / 10))
+            .cast("int")
+            .alias("k_decile"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -3426,4 +3457,5 @@ QUERIES = {
     "spell_correct": q_spell_correct,
     "negative_sampling": q_negative_sampling,
     "moving_average": q_moving_average,
+    "json_props_stats": q_json_props_stats,
 }

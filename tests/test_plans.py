@@ -318,3 +318,13 @@ def test_negative_sampling_no_cross_join(spark, sf_dir="/root/testdata/sf0.001")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_json_extraction_stays_jvm(spark, sf_dir="/root/testdata/sf0.001"):
+    """get_json_object must run as a JVM expression on the scan (no
+    Python UDF JSON parsing) feeding a combinable HashAggregate."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_json_props_stats(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
