@@ -20,7 +20,13 @@ import numpy as np
 import pyarrow.dataset as pads
 
 from .build import current_index_dir, load_tombstones, static_scores
-from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
+from .constants import (
+    DEFAULT_WEIGHTS,
+    FANCY_RANK_HI,
+    FANCY_RANK_LO,
+    MAX_RESULTS,
+    SCORE_CLAMP,
+)
 from .queryplan import PlanTerm, compile_query
 from . import codec
 from .synth import crc32
@@ -128,6 +134,19 @@ class LocalSearcher:
         self, term: str, use_fancy: bool, df: int
     ) -> tuple[np.ndarray, np.ndarray]:
         kind = "fancy" if use_fancy and df > self.meta["fancy_threshold"] else "full"
+        if kind == "fancy" and self.term_df(term) <= self.meta["fancy_threshold"]:
+            # fancy-hole fallback (federation: the GLOBAL df crossed the
+            # threshold but THIS index was built with local df below it, so
+            # no fancy segments exist here). The fancy list is a pure
+            # per-doc predicate — term present AND domain rank inside the
+            # window (build.py fancy emit; GenDb.dpr:1053-1071) — so it is
+            # reconstructed exactly from the full postings + the rank
+            # sidecar, which is precisely what merge.py's fancy-hole
+            # rebuild materializes offline.
+            docs, flags = self._term_postings(term, False, df)
+            loc = docs - self.doc_lo
+            m = (self.rank[loc] > FANCY_RANK_LO) & (self.rank[loc] < FANCY_RANK_HI)
+            return docs[m], flags[m]
         ckey = (term, kind)
         hit = self._term_cache.get(ckey)
         if hit is not None:
@@ -479,6 +498,126 @@ class ShardedSearcher:
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         # doc ids are global; any shard's docmeta dataset read resolves them
         return self.shards[0].fetch_results(rows)
+
+
+class FederatedSearcher:
+    """Query-time federation over k INDEPENDENTLY BUILT indexes —
+    rank-identical to querying merge.merge_indexes() of the same indexes,
+    without running the merge. Three things make per-part execution exact
+    under global semantics:
+
+    - global corpus stats: the query compiles ONCE against summed df and
+      n_docs (so every part scores with the merged idf), and each part's
+      avgdl / max-backlink normalizers are overridden with the global
+      values the merged index would carry;
+    - global doc ids: part i's local ids shift by Σ n_docs_<i — the exact
+      offset rule merge.py applies when it rebases segments;
+    - fancy holes: a term hot globally but cold in one part has no fancy
+      segments there; _term_postings reconstructs that part's fancy list
+      exactly from full postings + the domain-rank window (the list is a
+      pure per-doc predicate), which is what merge.py materializes
+      offline.
+
+    The coordinator then merges per-part top-k by (score desc, doc asc)
+    and sums candidate counts for the reference's two-pass rule — the
+    same coordinator contract as ShardedSearcher, so results match the
+    merged index's single server bit-for-bit (tests/test_merge.py pins
+    it). Use case: querying index versions that are published per-tenant
+    / per-time-window and not yet (or never) compacted into one."""
+
+    def __init__(self, index_roots: list[str], parallel: bool = True):
+        self.parts = [LocalSearcher(r) for r in index_roots]
+        thrs = {int(p.meta["fancy_threshold"]) for p in self.parts}
+        if len(thrs) != 1:
+            raise ValueError(
+                f"federation needs one fancy policy, got thresholds {thrs}"
+            )
+        self.meta = self.parts[0].meta
+        self.offsets = []
+        off = 0
+        for p in self.parts:
+            self.offsets.append(off)
+            off += int(p.meta["n_docs"])
+        self.n_docs = off
+        total_dl = sum(float(p.dl.sum()) for p in self.parts)
+        avgdl = total_dl / max(self.n_docs, 1)
+        gmax_bl = max(p.max_bl for p in self.parts)
+        for p in self.parts:
+            p.avgdl = avgdl
+            p.max_bl = gmax_bl
+            p.n_docs = self.n_docs  # bm25 idf must use the global corpus
+        self._pool = (
+            ThreadPoolExecutor(max_workers=len(self.parts))
+            if parallel and len(self.parts) > 1
+            else None
+        )
+
+    def term_df(self, term: str) -> int:
+        return sum(p.term_df(term) for p in self.parts)
+
+    def compile(self, query: str) -> list[PlanTerm]:
+        return compile_query(query, self.n_docs, self.term_df)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        mode: str = "deusu",
+    ) -> list[tuple[int, int]]:
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        terms = self.compile(query)
+        if not terms:
+            return []
+        fetch = max(k, MAX_RESULTS)
+
+        def one_part(arg, use_fancy: bool, md: str):
+            p, off = arg
+            docs, vals = p._run_pass(terms, w, use_fancy, mode=md)
+            top = p._topk(docs, vals, fetch, is_float=md == "bm25")
+            return len(docs), [(d + off, v) for d, v in top]
+
+        def run(use_fancy: bool, md: str):
+            args = list(zip(self.parts, self.offsets))
+            if self._pool is not None:
+                parts = list(
+                    self._pool.map(lambda a: one_part(a, use_fancy, md), args)
+                )
+            else:
+                parts = [one_part(a, use_fancy, md) for a in args]
+            rows: list = []
+            total = 0
+            for n, top in parts:
+                total += n
+                rows.extend(top)
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            return rows[:fetch], total
+
+        if mode == "bm25":
+            rows, _ = run(False, "bm25")
+            return rows[:k]
+        if any(
+            t.host is None and t.df > self.meta["fancy_threshold"]
+            for t in terms
+        ):
+            rows, total = run(True, "deusu")
+            if total >= MAX_RESULTS:
+                return rows[:k]
+        rows, _ = run(False, "deusu")
+        return rows[:k]
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        mode: str = "deusu",
+    ) -> list[list[tuple[int, int]]]:
+        return [
+            self.search(q, k=k, weights=weights, mode=mode) for q in queries
+        ]
 
 
 def _blv(bl: np.ndarray, max_bl: int) -> np.ndarray:

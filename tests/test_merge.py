@@ -173,6 +173,35 @@ def test_merge_segment_ranges_disjoint(spark, merge_env):
             assert f1 <= l1 < f2, (key, spans)
 
 
+def test_federated_equals_merged_and_fresh(tiny_index_dir, merge_env):
+    """Query-time federation over the two UNMERGED shard indexes must be
+    rank-identical (doc ids AND scores) to querying the merged index —
+    and hence to the fresh whole-corpus build — across the full query
+    set, both modes, k=10 and k=1000. This exercises global-df idf,
+    global avgdl/max-backlink normalizers, the merge doc-id offset rule,
+    and the fancy-hole per-part fallback (terms hot globally but cold in
+    one shard)."""
+    from deusu_spark.query_local import FederatedSearcher, LocalSearcher
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearcher(dirs)
+    merged = LocalSearcher(out)
+    fresh = LocalSearcher(tiny_index_dir)
+    assert fed.n_docs == merged.n_docs
+    for q in QUERIES:
+        want = merged.search(q, k=1000)
+        assert fed.search(q, k=1000) == want, q
+        assert fresh.search(q, k=1000) == want, q
+    for q in ["linux", "linux ubuntu", "w0042"]:
+        assert fed.search(q, k=10, mode="bm25") == merged.search(
+            q, k=10, mode="bm25"
+        ), q
+    # sequential fan-out is the same result (pure execution strategy)
+    seq = FederatedSearcher(dirs, parallel=False)
+    for q in QUERIES[:6]:
+        assert seq.search(q, k=100) == fed.search(q, k=100), q
+
+
 def test_merge_carries_tombstones_shifted(spark, merge_env):
     """Takedowns on a shard survive the merge with their doc_ids shifted
     onto the merged id space: deleted docs are absent, survivors keep
@@ -200,3 +229,11 @@ def test_merge_carries_tombstones_shifted(spark, merge_env):
     for q in pre:
         got = ls.search(q, k=1000)
         assert got == [(d, s) for d, s in pre[q] if d not in t], q
+    # federation over the tombstoned shard must equal the re-merged index
+    # too (tombstones mask at decode in every part, shifted by the same
+    # offsets)
+    from deusu_spark.query_local import FederatedSearcher
+
+    fed = FederatedSearcher(dirs)
+    for q in ["linux", "google", f"host:{conv}"]:
+        assert fed.search(q, k=1000) == ls.search(q, k=1000), q
