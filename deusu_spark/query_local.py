@@ -11,6 +11,7 @@ Both are rank-identical to the oracle (tested)."""
 
 from __future__ import annotations
 
+import bisect
 import json
 import math
 import os
@@ -618,6 +619,18 @@ class FederatedSearcher:
         return [
             self.search(q, k=k, weights=weights, mode=mode) for q in queries
         ]
+
+    def fetch_results(self, rows: list[tuple[int, int]]) -> list:
+        """Resolve global doc ids back to their owning part's docmeta
+        (bisect on the offset table), preserving the input order — the
+        Q15 display-fetch contract of the other searchers."""
+        out = []
+        for doc, score in rows:
+            i = bisect.bisect_right(self.offsets, doc) - 1
+            r = self.parts[i].fetch_results([(doc - self.offsets[i], score)])[0]
+            r.doc_id = doc  # back onto the federated id space
+            out.append(r)
+        return out
 
 
 def _blv(bl: np.ndarray, max_bl: int) -> np.ndarray:

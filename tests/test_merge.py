@@ -237,3 +237,20 @@ def test_merge_carries_tombstones_shifted(spark, merge_env):
     fed = FederatedSearcher(dirs)
     for q in ["linux", "google", f"host:{conv}"]:
         assert fed.search(q, k=1000) == ls.search(q, k=1000), q
+
+
+def test_federated_fetch_results(tiny_index_dir, merge_env):
+    """Display fetch through the federation resolves each global doc id to
+    its owning part's docmeta with the SAME url/title/snippet the merged
+    index serves, and reports the federated doc id."""
+    from deusu_spark.query_local import FederatedSearcher, LocalSearcher
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearcher(dirs)
+    merged = LocalSearcher(out)
+    rows = merged.search("linux", k=10)
+    want = merged.fetch_results(rows)
+    got = fed.fetch_results(rows)
+    assert [(r.doc_id, r.url, r.title, r.snippet, r.host) for r in got] == [
+        (r.doc_id, r.url, r.title, r.snippet, r.host) for r in want
+    ]
