@@ -29,6 +29,7 @@ from .constants import (
     SCORE_CLAMP,
 )
 from .queryplan import PlanTerm, compile_query
+from .textproc import fold
 from . import codec
 from .synth import crc32
 
@@ -204,6 +205,46 @@ class LocalSearcher:
             self._term_cache[ckey] = (docs, flags)
             self._term_cache_elems += len(docs)
         return docs, flags
+
+    # ------------------------------------------------------------------
+    def suggest(self, term: str, k: int = 3) -> list[str]:
+        """Did-you-mean for a zero-hit query term: SymSpell deletion-
+        neighborhood lookup against the index lexicon (the serving twin
+        of pipelines.q_spell_correct), candidates verified with an exact
+        edit-distance<=1 check and ranked by df (the reference's query
+        box — cgi/suchmaschine.dpr — has no suggester; this is the
+        feature users ask for first). The deletion map is built lazily on
+        first use and sized by the lexicon (vocab x avg-len entries) —
+        the classic suggester-service memory trade; shard it with the
+        serving tier when the lexicon outgrows one box."""
+        t = fold(term.lower()) if term else term
+        if not t or self.term_df(t) > 0:
+            return []
+        dmap = self._suggest_map()
+        cands: set[str] = set()
+        for key in _deletions(t) | {t}:
+            cands.update(dmap.get(key, ()))
+        scored = sorted(
+            ((self._suggest_df[c], c) for c in cands if _lev_le1(t, c)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [c for _, c in scored[:k]]
+
+    def _suggest_map(self) -> dict[str, list[str]]:
+        if getattr(self, "_sugg", None) is None:
+            tbl = self._lexicon.to_table(columns=["term", "df"])
+            dfs: dict[str, int] = {}
+            for trm, d in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist()
+            ):
+                dfs[trm] = max(dfs.get(trm, 0), int(d))
+            sugg: dict[str, list[str]] = {}
+            for trm in dfs:
+                for key in _deletions(trm) | {trm}:
+                    sugg.setdefault(key, []).append(trm)
+            self._sugg = sugg
+            self._suggest_df = dfs
+        return self._sugg
 
     # ------------------------------------------------------------------
     def compile(self, query: str) -> list[PlanTerm]:
@@ -631,6 +672,29 @@ class FederatedSearcher:
             r.doc_id = doc  # back onto the federated id space
             out.append(r)
         return out
+
+
+def _deletions(t: str) -> set[str]:
+    return {t[:i] + t[i + 1:] for i in range(len(t))}
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 in one pass (no DP table needed at
+    this bound): equal lengths allow one substitution, off-by-one lengths
+    one insertion/deletion."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
 
 
 def _blv(bl: np.ndarray, max_bl: int) -> np.ndarray:

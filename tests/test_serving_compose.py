@@ -90,3 +90,46 @@ def test_cache_consistent_with_uncached(local_searcher):
     fresh = local_searcher._search_uncached(q, MAX_RESULTS, dict(DEFAULT_WEIGHTS), "deusu")
     cached = local_searcher.search(q, k=MAX_RESULTS)
     assert cached == fresh[:MAX_RESULTS]
+
+
+def test_suggest_did_you_mean(local_searcher):
+    """Zero-hit terms get SymSpell suggestions from the lexicon, ranked
+    by df; existing terms and hopeless typos get none."""
+    from deusu_spark.query_local import _lev_le1
+
+    s = local_searcher
+    assert s.suggest("linux") == []          # term exists: nothing to fix
+    got = s.suggest("linx")                   # one deletion away
+    assert "linux" in got
+    assert all(_lev_le1("linx", t) for t in got)
+    assert all(s.term_df(t) > 0 for t in got)
+    # ranked by df desc: the first suggestion is the most frequent fix
+    dfs = [s.term_df(t) for t in got]
+    assert dfs == sorted(dfs, reverse=True)
+    assert s.suggest("zzqqzz") == []          # nothing within one edit
+    assert s.suggest("") == []
+
+
+def test_lev_le1_exact():
+    from deusu_spark.query_local import _lev_le1
+
+    yes = [("a", "a"), ("ab", "b"), ("b", "ab"), ("abc", "adc"),
+           ("abc", "abcd"), ("abcd", "abc"), ("abc", "abc")]
+    for a, b in yes:
+        assert _lev_le1(a, b), (a, b)
+    import itertools
+    # brute-force cross-check against a real DP on short strings
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+    alpha = "ab"
+    words = ["".join(w) for n in range(4) for w in itertools.product(alpha, repeat=n)]
+    for a in words:
+        for b in words:
+            assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
