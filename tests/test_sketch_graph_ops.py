@@ -202,3 +202,36 @@ def test_moving_average_trailing_window(spark):
             lo = r["h"].timestamp() - 86399
             want = sum(x["cnt"] for x in rs[: i + 1] if x["h"].timestamp() >= lo)
             assert r["cnt_24h"] == want, (et, r["h"])
+
+
+def test_hll_sketches_merge_by_register_max(docs):
+    """The mergeability claim: HLL registers of two half-corpora combined
+    by register-wise max equal the whole-corpus registers, so the
+    estimate is identical — the property that lets per-partition /
+    per-day sketches roll up without touching raw data."""
+    toks = sorted(
+        {t for _, _, text in docs for t in TOK.split(text.lower()) if t}
+    )
+    half = len(toks) // 2
+    full_est, _ = _py_hll(toks)
+
+    def regs(tokens):
+        r = {}
+        for t in tokens:
+            h = hashlib.md5(b"hll:" + t.encode()).hexdigest()
+            reg = int(h[:2], 16) % 64
+            v = int(h[2:17], 16)
+            rho = min(61 if v == 0 else 61 - v.bit_length(), 41)
+            r[reg] = max(r.get(reg, 0), rho)
+        return r
+
+    a, b = regs(toks[:half]), regs(toks[half:])
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == regs(toks)
+    s = sum(1 << (41 - mr) for mr in merged.values())
+    zeros = 64 - len(merged)
+    s += zeros * (1 << 41)
+    est = (0.709 * 4096.0) * float(1 << 41) / float(s)
+    if zeros > 0 and est <= 2.5 * 64:
+        est = 64.0 * math.log(64.0 / zeros)
+    assert round(est, 2) == full_est
