@@ -986,6 +986,51 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": _SPELL_SQL,
         "negative_sampling": _NEGSAMP_SQL,
         "moving_average": _MOVAVG_SQL,
+        "retention_cohorts": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+            first AS (
+                SELECT user_id, min(wk) AS cohort_week
+                FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+            active AS (SELECT DISTINCT user_id, wk FROM ev)
+            SELECT cohort_week,
+                   CAST(datediff('day', cohort_week, wk) / 7 AS INTEGER)
+                       AS weeks_since,
+                   count(DISTINCT active.user_id) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY cohort_week, weeks_since
+        """,
+        "last_touch_attribution": """
+            WITH stream AS (
+                SELECT user_id, ts AS ets, 0 AS is_purchase,
+                       event_type AS touch_type, ts AS touch_ts,
+                       CAST(NULL AS DOUBLE) AS value
+                FROM events WHERE event_type IN ('view', 'click')
+                UNION ALL
+                SELECT user_id, ts, 1, NULL, NULL, value
+                FROM events WHERE event_type = 'purchase'),
+            carried AS (
+                SELECT user_id, ets, is_purchase, value,
+                       last_value(touch_type IGNORE NULLS) OVER w AS lt_type,
+                       last_value(touch_ts IGNORE NULLS) OVER w AS lt_ts
+                FROM stream
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY ets, is_purchase, touch_type
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            credited AS (
+                SELECT CASE WHEN lt_ts IS NOT NULL
+                                 AND epoch(ets) - epoch(lt_ts) <= 3600
+                            THEN lt_type ELSE 'direct' END AS channel,
+                       value
+                FROM carried WHERE is_purchase = 1)
+            SELECT channel, count(*) AS n_purchases,
+                   round(sum(value), 4) AS revenue
+            FROM credited GROUP BY channel ORDER BY channel
+        """,
         "json_props_stats": """
             WITH x AS (
                 SELECT event_type,

@@ -3379,6 +3379,109 @@ def q_json_props_stats(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort matrix: users grouped by SIGNUP week,
+    counted distinct in each week they show any activity — (cohort_week,
+    weeks_since, n_users); negative weeks_since = pre-signup activity,
+    kept (it is data truth and a classic instrumentation signal). The
+    scale shape is two map-side-combinable
+    aggregations and one equi-join against the one-row-per-user cohort
+    table: per-user first-seen (groupBy user, min ts), then distinct
+    (user, week) activity joined back — never a window over a user's full
+    event history and never a per-cohort reducer."""
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        "event_type",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+    )
+    # cohort anchor = the user's SIGNUP week; retention = any activity
+    first = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    active = ev.select("user_id", "wk").distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+ATTR_WINDOW_S = 3600  # last-touch lookback
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credits the most
+    recent preceding view/click by the same user within the hour, else
+    'direct'. Same union + ONE per-user window shape as q_asof_join (no
+    range join, no per-user cross product): touches and purchases
+    interleave in one (user, ts, tag)-ordered stream and
+    last(ignorenulls) carries the latest touch forward; purchases at the
+    exact touch timestamp attribute to it (ASOF <= semantics via the tag
+    sort). Output: credited touch type x purchase count + revenue."""
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(0).alias("is_purchase"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast("timestamp").alias("touch_ts"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "is_purchase", "touch_type")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stream = touches.unionByName(purchases).select(
+        "user_id",
+        "ets",
+        "is_purchase",
+        "value",
+        F.last("touch_type", ignorenulls=True).over(w).alias("lt_type"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    credited = stream.where(F.col("is_purchase") == 1).select(
+        F.when(
+            F.col("lt_ts").isNotNull()
+            & (
+                F.unix_timestamp("ets") - F.unix_timestamp("lt_ts")
+                <= ATTR_WINDOW_S
+            ),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -3458,4 +3561,6 @@ QUERIES = {
     "negative_sampling": q_negative_sampling,
     "moving_average": q_moving_average,
     "json_props_stats": q_json_props_stats,
+    "retention_cohorts": q_retention_cohorts,
+    "last_touch_attribution": q_last_touch_attribution,
 }

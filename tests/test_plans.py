@@ -328,3 +328,27 @@ def test_json_extraction_stays_jvm(spark, sf_dir="/root/testdata/sf0.001"):
     plan = _plan(pipelines.q_json_props_stats(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_retention_cohorts_no_window(spark, sf_dir="/root/testdata/sf0.001"):
+    """Cohort matrix = two combinable aggs + one equi-join; no per-user
+    window, no nested loop, no Python."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_retention_cohorts(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_attribution_is_union_plus_one_window(spark, sf_dir="/root/testdata/sf0.001"):
+    """Last-touch attribution reuses the as-of shape: union + ONE per-user
+    carry-forward window — no join operator at all."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_last_touch_attribution(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Union" in plan and "Window" in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "NestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
