@@ -230,6 +230,17 @@ class LocalSearcher:
         )
         return [c for _, c in scored[:k]]
 
+    def _suggest_candidates(self, t: str) -> set[str]:
+        """ALL verified edit-distance<=1 lexicon terms for a folded term —
+        the un-truncated set a federation coordinator needs to rank by
+        GLOBAL df (truncating per part first could drop the global
+        winner)."""
+        dmap = self._suggest_map()
+        cands: set[str] = set()
+        for key in _deletions(t) | {t}:
+            cands.update(dmap.get(key, ()))
+        return {c for c in cands if _lev_le1(t, c)}
+
     def _suggest_map(self) -> dict[str, list[str]]:
         if getattr(self, "_sugg", None) is None:
             tbl = self._lexicon.to_table(columns=["term", "df"])
@@ -660,6 +671,23 @@ class FederatedSearcher:
         return [
             self.search(q, k=k, weights=weights, mode=mode) for q in queries
         ]
+
+    def suggest(self, term: str, k: int = 3) -> list[str]:
+        """Federated did-you-mean, identical to the merged index's
+        suggester: every part contributes its FULL verified candidate set
+        (no per-part truncation) and ranking uses the summed (global) df —
+        a term present in only one part still competes on its true
+        federation-wide frequency."""
+        t = fold(term.lower()) if term else term
+        if not t or self.term_df(t) > 0:
+            return []
+        cands: set[str] = set()
+        for p in self.parts:
+            cands.update(p._suggest_candidates(t))
+        scored = sorted(
+            ((self.term_df(c), c) for c in cands), key=lambda x: (-x[0], x[1])
+        )
+        return [c for _, c in scored[:k]]
 
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         """Resolve global doc ids back to their owning part's docmeta

@@ -254,3 +254,18 @@ def test_federated_fetch_results(tiny_index_dir, merge_env):
     assert [(r.doc_id, r.url, r.title, r.snippet, r.host) for r in got] == [
         (r.doc_id, r.url, r.title, r.snippet, r.host) for r in want
     ]
+
+
+def test_federated_suggest_equals_merged(merge_env):
+    """Did-you-mean through the federation == the merged index's
+    suggester: un-truncated per-part candidates, global-df ranking."""
+    from deusu_spark.query_local import FederatedSearcher, LocalSearcher
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearcher(dirs)
+    merged = LocalSearcher(out)
+    checked = 0
+    for typo in ["linx", "linuxx", "goggle", "w004", "zzqqzz", "linux"]:
+        assert fed.suggest(typo, k=5) == merged.suggest(typo, k=5), typo
+        checked += bool(merged.suggest(typo, k=5))
+    assert checked >= 2  # the set must exercise real suggestions
