@@ -47,7 +47,13 @@ from pyspark.sql import types as T
 
 from . import codec
 from .build import current_index_dir, static_scores
-from .constants import DEFAULT_WEIGHTS, MAX_RESULTS, SCORE_CLAMP
+from .constants import (
+    DEFAULT_WEIGHTS,
+    FANCY_RANK_HI,
+    FANCY_RANK_LO,
+    MAX_RESULTS,
+    SCORE_CLAMP,
+)
 from .queryplan import PlanTerm, compile_query
 from .synth import crc32
 
@@ -741,6 +747,19 @@ class SearchEngine:
         )
         return rows, len(rows)
 
+    def _kind(self, t: PlanTerm, use_fancy: bool) -> str:
+        """Which postings kind a term reads on this index. ``fancy_hole``
+        (set per-part by FederatedSearchEngine) forces the full postings —
+        the rank-window mask in _score_rows then reconstructs the missing
+        fancy list exactly."""
+        if t.fancy_hole:
+            return "full"
+        return (
+            "fancy"
+            if use_fancy and t.df > self.meta["fancy_threshold"]
+            else "full"
+        )
+
     # -- segment metadata (no blobs, bounded driver copy) -----------------------
     def _segment_meta(self, terms: list[PlanTerm], use_fancy: bool) -> pd.DataFrame:
         """Per-query-term segment metadata for pruning decisions — assembled
@@ -754,11 +773,7 @@ class SearchEngine:
         for t in terms:
             if t.host is not None:
                 continue
-            kind = (
-                "fancy"
-                if use_fancy and t.df > self.meta["fancy_threshold"]
-                else "full"
-            )
+            kind = self._kind(t, use_fancy)
             sub = self._term_meta.get(t.key)
             if sub is None:
                 continue
@@ -808,11 +823,7 @@ class SearchEngine:
         for t in terms:
             if t.host is not None:
                 continue
-            kind = (
-                "fancy"
-                if use_fancy and t.df > self.meta["fancy_threshold"]
-                else "full"
-            )
+            kind = self._kind(t, use_fancy)
             k2 = (t.key, kind)
             term_specs.setdefault(k2, []).append((t.ti, t.url_only, t.title_only))
             iv_t = iv_for(t)
@@ -938,9 +949,11 @@ class SearchEngine:
                 "include_bl": t.include_backlink,
                 "is_host": t.host is not None,
                 "is_set": t.action == "SET",
+                "hole": bool(t.fancy_hole),
             }
             for t in terms
         }
+        hole_tis = [ti for ti, p in plan.items() if p["hole"]]
         max_bl = int(self.meta["max_backlinks"])
         n_docs = int(self.meta["n_docs"])
         avgdl = self.avgdl if mode == "bm25" else 1.0
@@ -996,8 +1009,22 @@ class SearchEngine:
                         )
                         v = np.round(s * p["idf"])
                         out[m] = np.minimum(v, SCORE_CLAMP)
+                doc_id = pdf["doc_id"].to_numpy(np.int64)
+                if hole_tis:
+                    # fancy-hole terms (federation): the part has no fancy
+                    # segments, so their full postings stand in — keep only
+                    # docs inside the domain-rank window, the exact per-doc
+                    # predicate the fancy encoder applies (build.py fancy
+                    # emit; GenDb.dpr:1053-1071)
+                    keep = np.ones(n, dtype=bool)
+                    for t_i in hole_tis:
+                        m = ti == t_i
+                        keep[m] = (rank[m] > FANCY_RANK_LO) & (
+                            rank[m] < FANCY_RANK_HI
+                        )
+                    ti, doc_id, out = ti[keep], doc_id[keep], out[keep]
                 yield pd.DataFrame(
-                    {"ti": ti, "doc_id": pdf["doc_id"].to_numpy(np.int64), "score": out}
+                    {"ti": ti, "doc_id": doc_id, "score": out}
                 )
 
         return joined.mapInPandas(score_fn, schema=SCORED_SCHEMA)
@@ -1073,7 +1100,7 @@ class SearchEngine:
     def _decode_segments(
         self, t: PlanTerm, intervals: np.ndarray, use_fancy: bool, w
     ) -> list[tuple[int, int]]:
-        kind = "fancy" if use_fancy and t.df > self.meta["fancy_threshold"] else "full"
+        kind = self._kind(t, use_fancy)
         b = crc32(t.key) % 64
         iv = _coarsen_intervals(intervals, self.max_range_predicates)
         segs = self.postings.where(
@@ -1112,6 +1139,343 @@ def _decode_only_fn(ti: int, tomb_bc=None):
                 )
 
     return fn
+
+
+class FederatedSearchEngine:
+    """Distributed query-time federation over k INDEPENDENTLY BUILT indexes
+    — rank-identical to ``SearchEngine`` over ``merge.merge_indexes()`` of
+    the same indexes, without running the merge. The distributed twin of
+    query_local.FederatedSearcher, with the same three globalizations:
+
+    - global corpus stats: the query compiles ONCE against summed df and
+      n_docs (merged idf), and each part's max-backlink / n_docs / avgdl
+      normalizers are overridden with the values the merged meta.json
+      would carry;
+    - global doc ids: part i's local ids shift by Σ n_docs_<i — the exact
+      offset rule merge.py applies when it rebases segments;
+    - fancy holes: a term hot globally but cold in one part has no fancy
+      segments there; PlanTerm.fancy_hole makes that part execute full
+      postings masked by the domain-rank window at score time
+      (_score_rows), the per-doc predicate merge.py materializes offline.
+
+    Execution stays fully distributed: each part runs its own pruned
+    passes (two-level metadata, interval intersection, block-max WAND —
+    unchanged and still exact per part, so merged per-part top-k is the
+    exact global top-k), submitted concurrently from a thread pool — on a
+    cluster the per-part jobs share executors, so federating costs no
+    repartition or rewrite of index files. The coordinator applies the
+    reference's two-pass rule on the SUMMED candidate counts
+    (searchservernew.dpr:1848-1855): per-part counts clamp at
+    max(k, 1001) ≥ MAX_RESULTS, so the summed signal crosses the
+    1000-results threshold exactly when the merged index's would.
+
+    Use case: querying index versions published per-tenant / per-time-
+    window (incremental.py deltas) before — or instead of — compaction."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_roots: list[str],
+        io=None,
+        parallel: bool = True,
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.spark = spark
+        self.parts = [SearchEngine(spark, r, io=io) for r in index_roots]
+        thrs = {int(p.meta["fancy_threshold"]) for p in self.parts}
+        if len(thrs) != 1:
+            raise ValueError(
+                f"federation needs one fancy policy, got thresholds {thrs}"
+            )
+        self.offsets: list[int] = []
+        off = 0
+        for p in self.parts:
+            self.offsets.append(off)
+            off += int(p.meta["n_docs"])
+        self.n_docs = off
+        gmax_bl = max(int(p.meta["max_backlinks"]) for p in self.parts)
+        self.meta = dict(self.parts[0].meta)
+        self.meta["n_docs"] = self.n_docs
+        self.meta["max_backlinks"] = gmax_bl
+        for p in self.parts:
+            # scoring normalizers the merged index would carry (parts are
+            # owned by the federation; sharing one engine is not supported)
+            p.meta = dict(p.meta)
+            p.meta["n_docs"] = self.n_docs
+            p.meta["max_backlinks"] = gmax_bl
+        self._avgdl: float | None = None
+        self._pool = (
+            ThreadPoolExecutor(max_workers=len(self.parts))
+            if parallel and len(self.parts) > 1
+            else None
+        )
+
+    def _map_parts(self, fn):
+        if self._pool is not None:
+            return list(self._pool.map(fn, self.parts))
+        return [fn(p) for p in self.parts]
+
+    @property
+    def avgdl(self) -> float:
+        """Global avgdl = Σ dl over every part / total docs — what the
+        merged docmeta would average. Pushed into each part so bm25's
+        length normalization uses the federation-wide value."""
+        if self._avgdl is None:
+            totals = self._map_parts(
+                lambda p: float(
+                    p.docmeta.agg(F.sum("dl")).collect()[0][0] or 0.0
+                )
+            )
+            self._avgdl = sum(totals) / max(self.n_docs, 1)
+            for p in self.parts:
+                p._avgdl = self._avgdl
+        return self._avgdl
+
+    def term_df(self, term: str) -> int:
+        return sum(p.term_df(term) for p in self.parts)
+
+    def compile(self, query: str) -> list[PlanTerm]:
+        """Global compile: ONE pruned metadata job per part (concurrent)
+        prefetches every candidate term, then df sums across parts."""
+        from .queryplan import host_of, parse_query
+
+        cands = set()
+        for kw in parse_query(query):
+            key = kw[1:] if kw[:1] in "+-" else kw
+            if host_of(key) is None and ":" not in key:
+                cands.add(key)
+        sc = sorted(cands)
+        self._map_parts(lambda p: p._fetch_term_meta(sc))
+        return compile_query(query, self.n_docs, self.term_df)
+
+    def _part_terms(
+        self, p: SearchEngine, terms: list[PlanTerm], use_fancy: bool
+    ) -> list[PlanTerm]:
+        """Per-part plan: flag fancy holes (global df above the threshold,
+        this part built below it). term_df is warm after compile() for
+        plain terms — no extra jobs."""
+        if not use_fancy:
+            return terms
+        import dataclasses
+
+        thr = self.meta["fancy_threshold"]
+        return [
+            dataclasses.replace(t, fancy_hole=True)
+            if t.host is None and t.df > thr and p.term_df(t.key) <= thr
+            else t
+            for t in terms
+        ]
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        prune: bool = True,
+        mode: str = "deusu",
+    ) -> list[tuple[int, int]]:
+        """Top-k [(doc_id, score)] on the federated (merged) id space, by
+        (score desc, doc_id asc) — the SearchEngine.search contract."""
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        terms = self.compile(query)
+        if not terms:
+            return []
+        prune = prune and w == DEFAULT_WEIGHTS and mode == "deusu"
+        if mode == "bm25":
+            _ = self.avgdl  # ensure the global normalizer is pushed down
+        rows, _ = self._two_pass(terms, k, w, prune, mode)
+        if mode == "bm25":
+            return [(d, round(s, 6)) for d, s in rows[:k]]
+        return [(d, int(s)) for d, s in rows[:k]]
+
+    def _two_pass(self, terms, k, w, prune, mode):
+        if mode == "deusu" and any(
+            t.host is None and t.df > self.meta["fancy_threshold"]
+            for t in terms
+        ):
+            rows, total = self._run(terms, k, w, True, prune, mode)
+            if total >= MAX_RESULTS:
+                return rows, total
+        return self._run(terms, k, w, False, prune, mode)
+
+    def _run(
+        self, terms, k: int, w, use_fancy: bool, prune: bool, mode: str
+    ) -> tuple[list[tuple[int, int]], int]:
+        """One federated pass: every part executes its own pruned pass
+        concurrently; merge by (score desc, global doc asc); sum counts."""
+
+        def one_part(arg):
+            p, off = arg
+            rows, cnt = p._run_pass(
+                self._part_terms(p, terms, use_fancy),
+                k,
+                w,
+                use_fancy=use_fancy,
+                prune=prune,
+                need_count=use_fancy,
+                mode=mode,
+            )
+            return cnt, [(d + off, s) for d, s in rows]
+
+        args = list(zip(self.parts, self.offsets))
+        if self._pool is not None:
+            outs = list(self._pool.map(one_part, args))
+        else:
+            outs = [one_part(a) for a in args]
+        merged: list[tuple[int, int]] = []
+        total = 0
+        for cnt, rows in outs:
+            total += cnt
+            merged.extend(rows)
+        merged.sort(key=lambda r: (-r[1], r[0]))
+        return merged, total
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+        prune: bool = True,
+        mode: str = "deusu",
+    ) -> list[list[tuple[int, int]]]:
+        """Batch federation, fully amortized: ONE union metadata prefetch
+        per part, then at most two union decode/score plans PER PART for
+        the whole batch (fancy, then full for the under-filled queries) —
+        N queries over P parts cost ~2·P plans, not N·P. The two-pass
+        decision and fancy-hole flags stay per-query GLOBAL (parts' own
+        search_many cannot be delegated to); per-query results are
+        rank-identical to search()."""
+        from .queryplan import host_of, parse_query
+
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        cands = set()
+        for q in queries:
+            for kw in parse_query(q):
+                key = kw[1:] if kw[:1] in "+-" else kw
+                if host_of(key) is None and ":" not in key:
+                    cands.add(key)
+        sc = sorted(cands)
+        self._map_parts(lambda p: p._fetch_term_meta(sc))
+        compiled = [self.compile(q) for q in queries]  # warm: no more jobs
+        nt = 0
+        for terms in compiled:
+            for t in terms:
+                t.ti = nt
+                nt += 1
+        prune = prune and w == DEFAULT_WEIGHTS and mode == "deusu"
+        results: list[list[tuple[int, int]] | None] = [None] * len(queries)
+
+        if mode == "bm25":
+            _ = self.avgdl
+            batch = [(qi, t) for qi, t in enumerate(compiled) if t]
+            merged, _ = self._run_many(
+                batch, {qi: k for qi, _ in batch}, w, False, mode, prune
+            )
+            return [
+                [(d, round(s, 6)) for d, s in merged.get(qi, [])[:k]]
+                if t
+                else []
+                for qi, t in enumerate(compiled)
+            ]
+
+        fancy_batch, full_batch = [], []
+        for qi, terms in enumerate(compiled):
+            if not terms:
+                results[qi] = []
+                continue
+            has_fancy = any(
+                t.host is None and t.df > self.meta["fancy_threshold"]
+                for t in terms
+            )
+            (fancy_batch if has_fancy else full_batch).append((qi, terms))
+
+        if fancy_batch:
+            fetch = max(k, MAX_RESULTS + 1)
+            merged, counts = self._run_many(
+                fancy_batch, {qi: fetch for qi, _ in fancy_batch},
+                w, True, mode, prune,
+            )
+            for qi, terms in fancy_batch:
+                if counts.get(qi, 0) >= MAX_RESULTS:
+                    results[qi] = [
+                        (d, int(s)) for d, s in merged.get(qi, [])[:k]
+                    ]
+                else:
+                    full_batch.append((qi, terms))
+        if full_batch:
+            merged, _ = self._run_many(
+                full_batch, {qi: k for qi, _ in full_batch},
+                w, False, mode, prune,
+            )
+            for qi, _ in full_batch:
+                results[qi] = [(d, int(s)) for d, s in merged.get(qi, [])[:k]]
+        return results  # type: ignore[return-value]
+
+    def _run_many(
+        self, batch, fetch_by_qi, w, use_fancy: bool, mode: str, prune: bool
+    ) -> tuple[dict[int, list[tuple[int, float]]], dict[int, int]]:
+        """One federated batch pass: every part runs ONE union plan for the
+        whole batch (_execute_many, hole-flagged terms per part), parts
+        concurrent. Returns (merged rows per query, summed count signal per
+        query — per-part counts clamp at fetch ≥ 1001, so the summed
+        ≥1000 decision matches the merged index's exactly)."""
+
+        def one_part(arg):
+            p, off = arg
+            pb = [
+                (qi, self._part_terms(p, terms, use_fancy))
+                for qi, terms in batch
+            ]
+            out = p._execute_many(pb, fetch_by_qi, w, use_fancy, mode, prune)
+            return {
+                qi: [(d + off, s) for d, s in rows]
+                for qi, rows in out.items()
+            }
+
+        args = list(zip(self.parts, self.offsets))
+        if self._pool is not None:
+            outs = list(self._pool.map(one_part, args))
+        else:
+            outs = [one_part(a) for a in args]
+        merged: dict[int, list[tuple[int, float]]] = {
+            qi: [] for qi, _ in batch
+        }
+        counts: dict[int, int] = {qi: 0 for qi, _ in batch}
+        for po in outs:
+            for qi, rows in po.items():
+                counts[qi] += len(rows)
+                merged[qi].extend(rows)
+        for qi in merged:
+            merged[qi].sort(key=lambda r: (-r[1], r[0]))
+        return merged, counts
+
+    def fetch_results(self, rows: list[tuple[int, int]]) -> list:
+        """Q15 display fetch: resolve each global doc id to its owning
+        part's docmeta (bisect on the offset table), preserving order."""
+        import bisect
+
+        out = []
+        for doc, score in rows:
+            i = bisect.bisect_right(self.offsets, doc) - 1
+            r = self.parts[i].fetch_results([(doc - self.offsets[i], score)])[0]
+            r.doc_id = doc  # back onto the federated id space
+            out.append(r)
+        return out
+
+    def query_info(self, query: str) -> dict:
+        terms = self.compile(query)
+        return {
+            "corpussize": self.n_docs,
+            "keywords": [
+                {"keyword": t.key, "occurrences": t.df, "idf": round(t.idf, 6)}
+                for t in terms
+            ],
+        }
 
 
 def _bl_value(bl: np.ndarray, max_bl: int) -> np.ndarray:

@@ -58,6 +58,13 @@ class PlanTerm:
     idf: float = 0.0
     include_backlink: bool = False
     ti: int = -1
+    # federation: GLOBAL df crossed the fancy threshold but the index part
+    # executing this term was built with local df below it, so no fancy
+    # segments exist there — execute against full postings masked by the
+    # domain-rank window at score time (the fancy list is a pure per-doc
+    # predicate, GenDb.dpr:1053-1071; merge.py materializes the same
+    # fallback offline when it rebuilds fancy holes)
+    fancy_hole: bool = False
 
 
 def host_of(key: str) -> str | None:

@@ -256,6 +256,111 @@ def test_federated_fetch_results(tiny_index_dir, merge_env):
     ]
 
 
+def test_federated_engine_equals_merged(spark, merge_env):
+    """The DISTRIBUTED federation (FederatedSearchEngine over the two
+    unmerged shard indexes) is rank-identical — doc ids AND scores — to
+    SearchEngine over the merged index, across single hot/cold terms,
+    AND/NOT, host and title filters, the hot-hot WAND path, and bm25.
+    Exercises global-df idf, global max-backlink/avgdl overrides, the
+    doc-id offset rule, and per-part fancy holes, all through the
+    distributed pruned passes."""
+    from deusu_spark.query import FederatedSearchEngine, SearchEngine
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearchEngine(spark, dirs)
+    merged = SearchEngine(spark, out)
+    assert fed.n_docs == int(merged.meta["n_docs"])
+    for q in [
+        "linux",  # hot single term (fancy two-pass + single-term block-max)
+        "w0042",  # cold single term
+        "linux ubuntu",  # implicit AND, df-reordered
+        "linux -google",  # NOT
+        "host:conv00000017 linux",  # host + term mix
+        "intitle:assistant linux",  # flag-filtered term
+        "google java",  # hot-hot AND (multi-term block-max WAND)
+    ]:
+        assert fed.search(q, k=1000) == merged.search(q, k=1000), q
+    for q in ["linux", "linux ubuntu"]:
+        assert fed.search(q, k=10, mode="bm25") == merged.search(
+            q, k=10, mode="bm25"
+        ), q
+    # sequential fan-out is the same result (pure execution strategy)
+    seq = FederatedSearchEngine(spark, dirs, parallel=False)
+    assert seq.search("linux ubuntu", k=100) == fed.search(
+        "linux ubuntu", k=100
+    )
+
+
+def test_federated_engine_search_many(spark, merge_env):
+    """Batched federation (2 union plans per part for the whole batch)
+    equals both the merged engine's search_many and per-query federated
+    search — including a fancy two-pass query, NOT, and an empty query."""
+    from deusu_spark.query import FederatedSearchEngine, SearchEngine
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearchEngine(spark, dirs)
+    merged = SearchEngine(spark, out)
+    qs = ["linux", "w0042", "linux -google", "google java", "nosuchterm12345"]
+    got = fed.search_many(qs, k=50)
+    assert got == merged.search_many(qs, k=50)
+    for q, rows in zip(qs, got):
+        assert rows == fed.search(q, k=50), q
+    assert fed.search_many(["linux", "w0042"], k=10, mode="bm25") == (
+        merged.search_many(["linux", "w0042"], k=10, mode="bm25")
+    )
+
+
+def test_federated_engine_fancy_hole_pass(spark, merge_env):
+    """The fancy PASS itself (not just the final two-pass result) matches
+    the merged index's on a genuine hole term: per-part full postings
+    masked by the domain-rank window must reproduce the merged fancy
+    list's rows AND the candidate-count signal exactly."""
+    from deusu_spark.constants import DEFAULT_WEIGHTS
+    from deusu_spark.query import FederatedSearchEngine, SearchEngine
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearchEngine(spark, dirs, parallel=False)
+    merged = SearchEngine(spark, out)
+    thr = TINY_FANCY_THRESHOLD
+    # discover a genuine hole term from the shard lexicons: hot globally,
+    # cold (<= threshold) in at least one shard
+    import pyarrow.dataset as pads
+
+    from deusu_spark.build import current_index_dir
+
+    local = []
+    for d in dirs:
+        t = pads.dataset(
+            os.path.join(current_index_dir(d), "lexicon")
+        ).to_table(columns=["term", "df"])
+        local.append(dict(zip(t["term"].to_pylist(), t["df"].to_pylist())))
+    gdf: dict[str, int] = {}
+    for m in local:
+        for term, df in m.items():
+            gdf[term] = gdf.get(term, 0) + df
+    hole_term = sorted(
+        t
+        for t, df in gdf.items()
+        if df > thr and any(m.get(t, 0) <= thr for m in local)
+    )[0]
+    w = dict(DEFAULT_WEIGHTS)
+    ft = fed.compile(hole_term)
+    assert any(
+        pt.fancy_hole
+        for p in fed.parts
+        for pt in fed._part_terms(p, ft, use_fancy=True)
+    )
+    rows_f, cnt_f = fed._run(ft, 1000, w, True, True, "deusu")
+    mt = merged.compile(hole_term)
+    rows_m, cnt_m = merged._run_pass(
+        mt, 1000, w, use_fancy=True, prune=True, need_count=True, mode="deusu"
+    )
+    assert cnt_f == cnt_m
+    assert [(d, int(s)) for d, s in rows_f] == [
+        (d, int(s)) for d, s in rows_m
+    ]
+
+
 def test_federated_suggest_equals_merged(merge_env):
     """Did-you-mean through the federation == the merged index's
     suggester: un-truncated per-part candidates, global-df ranking."""
