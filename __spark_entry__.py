@@ -1453,6 +1453,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.4
             ORDER BY doc_a, doc_b
         """,
+        "setsim_prefix_pairs": f"""
+            WITH sh AS ({_SHINGLES.format(maxdoc=2**62)}),
+                 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+                 inter AS (
+                     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            count(*) AS inter
+                     FROM sh a JOIN sh b
+                       ON a.sh = b.sh AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 5) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.4
+            ORDER BY doc_a, doc_b
+        """,
         "minhash_band_candidates": f"""
             WITH {_MINHASH_PAIR_CTES}
             SELECT doc_a, doc_b FROM pairs

@@ -335,6 +335,69 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+SETSIM_TAU = 0.4
+
+
+def q_setsim_prefix_pairs(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (the PPJoin /
+    All-Pairs family, Bayardo et al. WWW'07; Chaudhuri et al. SSJoin):
+    near-duplicate pairs by word-3-gram Jaccard >= 0.4 over the WHOLE
+    documents table — the same semantics as q_ngram_jaccard_pairs' exact
+    baseline (which must stay doc-capped because it joins on EVERY
+    shingle, candidates ~ Σ_sh df(sh)², dominated by hot shingles), but
+    the scale path: under one global shingle order (document frequency
+    asc, shingle asc — rarest first), two sets with J >= τ MUST share an
+    element of their first |s| - ceil(τ·|s|) + 1 shingles, so each doc
+    joins only on that rarest-first PREFIX and every surviving candidate
+    is verified with the exact Jaccard. No recall loss (unlike MinHash
+    bands) and no all-pairs: the hot shingles that blow up the naive join
+    sit at the END of the global order and never enter a prefix.
+
+    Scale shape at 100 TB: one map-side-combinable df groupBy, one
+    per-doc bounded sort (set size, never corpus-wide), a hash join keyed
+    on RARE shingles (prefix df is low by construction — the
+    frequency-ascending order is itself the anti-skew measure; AQE skew
+    join is the backstop), then an id-keyed verify join. τ controls the
+    candidate volume; production swaps the shingle string for a 64-bit
+    hash to shrink the shuffle, semantics unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("shdf"))
+    ordered = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("shdf", "sh"))).alias("arr"))
+    )
+    docs = ordered.select(
+        "doc_id",
+        F.expr("transform(arr, s -> s.sh)").alias("toks"),
+        F.expr(
+            "slice(transform(arr, s -> s.sh), 1, "
+            f"cast(size(arr) - ceil(size(arr) * {SETSIM_TAU}) + 1 AS int))"
+        ).alias("pref"),
+    )
+    pa = docs.select(F.col("doc_id").alias("doc_a"), F.explode("pref").alias("p"))
+    pb = docs.select(F.col("doc_id").alias("doc_b"), F.explode("pref").alias("p"))
+    cand = (
+        pa.join(pb, "p")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ja = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    jb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size(F.array_union("ta", "tb"))
+    return (
+        cand.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .withColumn("jaccard", F.round(inter / uni, 5))
+        .where(F.col("jaccard") >= SETSIM_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_minhash_band_candidates(spark, sf_dir):
     """MinHash-LSH candidate pairs: 4 md5-based min-hashes, 2 bands of 2 —
     pairs sharing a band bucket. Portable (md5 lexicographic min on both
@@ -3501,6 +3564,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "setsim_prefix_pairs": q_setsim_prefix_pairs,
     "minhash_band_candidates": q_minhash_band_candidates,
     "dedup_clusters": q_dedup_clusters,
     "dedup_filtered_corpus": q_dedup_filtered_corpus,

@@ -320,6 +320,18 @@ def test_negative_sampling_no_cross_join(spark, sf_dir="/root/testdata/sf0.001")
     assert "Window" in plan
 
 
+def test_setsim_prefix_join_shape(spark, sf_dir="/root/testdata/sf0.001"):
+    """The prefix-filtered set-similarity join must be pure equi-joins on
+    the prefix shingle and doc ids (no all-pairs product) with every
+    expression JVM-side — the properties that keep it exact AND scalable
+    where the naive shingle join blows up on hot shingles."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_setsim_prefix_pairs(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
 def test_json_extraction_stays_jvm(spark, sf_dir="/root/testdata/sf0.001"):
     """get_json_object must run as a JVM expression on the scan (no
     Python UDF JSON parsing) feeding a combinable HashAggregate."""
