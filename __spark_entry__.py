@@ -84,6 +84,38 @@ def _simhash_sql() -> str:
     """
 
 
+def _dsir_sql() -> str:
+    from deusu_spark.pipelines import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MAXDOC,
+        _hex15_to_long_sql,
+    )
+
+    h_expr = _hex15_to_long_sql("strpos", "h16")
+    k = DSIR_BUCKETS
+    md = DSIR_TARGET_MAXDOC
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, ({h_expr} % {k}) AS b FROM (
+                SELECT doc_id, substr(md5(t), 1, 15) AS h16
+                FROM ({_TOKS}))),
+             raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+             tgt AS (SELECT b, count(*) AS ct FROM tok
+                     WHERE doc_id < {md} GROUP BY b),
+             tot AS (SELECT (SELECT count(*) FROM tok) AS tr,
+                            (SELECT count(*) FROM tok WHERE doc_id < {md}) AS tt),
+             ratio AS (
+                 SELECT raw.b,
+                        ln(((coalesce(ct, 0) + 1) * 1.0 / (tt + {k})) /
+                           ((cr + 1) * 1.0 / (tr + {k}))) AS lr
+                 FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(lr), 5) AS dsir_logweight
+        FROM tok JOIN ratio USING (b)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _simhash_near_dup_sql() -> str:
     from deusu_spark.pipelines import (
         SIMHASH_BAND_BITS,
@@ -1140,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _corpus_shuffle_sql(),
         "pii_redact": _pii_redact_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
+        "dsir_weights": _dsir_sql(),
         "training_pipeline": _training_pipeline_sql(),
         "dup_spans": _dup_spans_sql(),
         "topk_ngrams": _topk_ngrams_sql(),

@@ -1481,6 +1481,62 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+DSIR_BUCKETS = 64
+DSIR_TARGET_MAXDOC = 100  # the curated seed slice standing in for the target domain
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed-feature distribution is — the modern
+    pretraining-data selection op. Features are unigram occurrences hashed
+    into 64 buckets (portable md5-hex arithmetic, the simhash trick);
+    bucket unigram models p̂_target / p̂_raw get add-1 smoothing; a doc's
+    log-weight is Σ_tokens ln(p̂_t(b)/p̂_r(b)). The target here is the
+    curated seed slice doc_id < 100; raw is the whole corpus.
+
+    Scale shape at 100 TB: one token explode, TWO 64-row map-side-
+    combinable groupBys (the models are 64 rows at ANY corpus size), the
+    log-ratio table rides a broadcast join back onto the exploded tokens,
+    then one per-doc aggregation. No windows, no driver state; the actual
+    resampling step downstream is the existing integer-exact
+    weighted-sample operator over these weights."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(d).withColumn(
+        "h16", F.expr("substr(md5(t), 1, 15)")
+    ).withColumn(
+        "b",
+        (F.expr(_hex15_to_long_sql("instr", "h16")) % DSIR_BUCKETS).cast("int"),
+    ).select("doc_id", "b")
+    raw = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.where(F.col("doc_id") < DSIR_TARGET_MAXDOC)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot_r = toks.count()
+    tot_t = toks.where(F.col("doc_id") < DSIR_TARGET_MAXDOC).count()
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce("ct", F.lit(0)) + 1) / F.lit(float(tot_t + DSIR_BUCKETS)))
+                / ((F.col("cr") + 1) / F.lit(float(tot_r + DSIR_BUCKETS)))
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 5).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_training_pipeline(spark, sf_dir):
     """The composed end-to-end training-data pipeline — quality gate →
     exact dedup → benchmark decontamination → token-window chunking →
@@ -3589,6 +3645,7 @@ QUERIES = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "pii_redact": q_pii_redact,
     "unigram_logprob": q_unigram_logprob,
+    "dsir_weights": q_dsir_weights,
     "training_pipeline": q_training_pipeline,
     "dup_spans": q_dup_spans,
     "topk_ngrams": q_topk_ngrams,

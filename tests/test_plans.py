@@ -332,6 +332,19 @@ def test_setsim_prefix_join_shape(spark, sf_dir="/root/testdata/sf0.001"):
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
 
 
+def test_dsir_model_join_is_broadcast(spark, sf_dir="/root/testdata/sf0.001"):
+    """DSIR importance weights: the 64-row bucket log-ratio model must ride
+    a broadcast join onto the exploded tokens (never shuffling the corpus
+    on the bucket key), all expressions JVM-side, no windows."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_dsir_weights(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
 def test_json_extraction_stays_jvm(spark, sf_dir="/root/testdata/sf0.001"):
     """get_json_object must run as a JVM expression on the scan (no
     Python UDF JSON parsing) feeding a combinable HashAggregate."""
