@@ -202,60 +202,6 @@ def test_federated_equals_merged_and_fresh(tiny_index_dir, merge_env):
         assert seq.search(q, k=100) == fed.search(q, k=100), q
 
 
-def test_merge_carries_tombstones_shifted(spark, merge_env):
-    """Takedowns on a shard survive the merge with their doc_ids shifted
-    onto the merged id space: deleted docs are absent, survivors keep
-    their exact merged scores (prefix property — corpus < 1000 results)."""
-    from deusu_spark.build import current_index_dir, load_tombstones
-    from deusu_spark.incremental import delete_conversations
-    from deusu_spark.merge import merge_indexes
-    from deusu_spark.query_local import LocalSearcher
-
-    root, dirs, out, _m = merge_env
-    base = LocalSearcher(out)
-    pre = {q: base.search(q, k=1000) for q in ["linux", "google"]}
-    # delete the conversation of shard B's top 'linux' doc — guaranteed to
-    # live on shard B, so its merged doc_ids only exist via the shift
-    sb = LocalSearcher(dirs[1])
-    conv = sb.fetch_results(sb.search("linux", k=1))[0].host
-    delete_conversations(spark, dirs[1], [conv])
-
-    out2 = os.path.join(root, "merged_tomb")
-    merge_indexes(spark, dirs, out2)
-    t = set(load_tombstones(current_index_dir(out2)).tolist())
-    assert t, "expected shifted tombstones in the merged index"
-    ls = LocalSearcher(out2)
-    assert ls.search(f"host:{conv}", k=1000) == []
-    for q in pre:
-        got = ls.search(q, k=1000)
-        assert got == [(d, s) for d, s in pre[q] if d not in t], q
-    # federation over the tombstoned shard must equal the re-merged index
-    # too (tombstones mask at decode in every part, shifted by the same
-    # offsets)
-    from deusu_spark.query_local import FederatedSearcher
-
-    fed = FederatedSearcher(dirs)
-    for q in ["linux", "google", f"host:{conv}"]:
-        assert fed.search(q, k=1000) == ls.search(q, k=1000), q
-
-
-def test_federated_fetch_results(tiny_index_dir, merge_env):
-    """Display fetch through the federation resolves each global doc id to
-    its owning part's docmeta with the SAME url/title/snippet the merged
-    index serves, and reports the federated doc id."""
-    from deusu_spark.query_local import FederatedSearcher, LocalSearcher
-
-    _root, dirs, out, _m = merge_env
-    fed = FederatedSearcher(dirs)
-    merged = LocalSearcher(out)
-    rows = merged.search("linux", k=10)
-    want = merged.fetch_results(rows)
-    got = fed.fetch_results(rows)
-    assert [(r.doc_id, r.url, r.title, r.snippet, r.host) for r in got] == [
-        (r.doc_id, r.url, r.title, r.snippet, r.host) for r in want
-    ]
-
-
 def test_federated_engine_equals_merged(spark, merge_env):
     """The DISTRIBUTED federation (FederatedSearchEngine over the two
     unmerged shard indexes) is rank-identical — doc ids AND scores — to
@@ -289,8 +235,6 @@ def test_federated_engine_equals_merged(spark, merge_env):
     assert seq.search("linux ubuntu", k=100) == fed.search(
         "linux ubuntu", k=100
     )
-
-
 def test_federated_engine_search_many(spark, merge_env):
     """Batched federation (2 union plans per part for the whole batch)
     equals both the merged engine's search_many and per-query federated
@@ -308,8 +252,6 @@ def test_federated_engine_search_many(spark, merge_env):
     assert fed.search_many(["linux", "w0042"], k=10, mode="bm25") == (
         merged.search_many(["linux", "w0042"], k=10, mode="bm25")
     )
-
-
 def test_federated_engine_fancy_hole_pass(spark, merge_env):
     """The fancy PASS itself (not just the final two-pass result) matches
     the merged index's on a genuine hole term: per-part full postings
@@ -358,6 +300,66 @@ def test_federated_engine_fancy_hole_pass(spark, merge_env):
     assert cnt_f == cnt_m
     assert [(d, int(s)) for d, s in rows_f] == [
         (d, int(s)) for d, s in rows_m
+    ]
+
+def test_merge_carries_tombstones_shifted(spark, merge_env):
+    """Takedowns on a shard survive the merge with their doc_ids shifted
+    onto the merged id space: deleted docs are absent, survivors keep
+    their exact merged scores (prefix property — corpus < 1000 results)."""
+    from deusu_spark.build import current_index_dir, load_tombstones
+    from deusu_spark.incremental import delete_conversations
+    from deusu_spark.merge import merge_indexes
+    from deusu_spark.query_local import LocalSearcher
+
+    root, dirs, out, _m = merge_env
+    base = LocalSearcher(out)
+    pre = {q: base.search(q, k=1000) for q in ["linux", "google"]}
+    # delete the conversation of shard B's top 'linux' doc — guaranteed to
+    # live on shard B, so its merged doc_ids only exist via the shift
+    sb = LocalSearcher(dirs[1])
+    conv = sb.fetch_results(sb.search("linux", k=1))[0].host
+    delete_conversations(spark, dirs[1], [conv])
+
+    out2 = os.path.join(root, "merged_tomb")
+    merge_indexes(spark, dirs, out2)
+    t = set(load_tombstones(current_index_dir(out2)).tolist())
+    assert t, "expected shifted tombstones in the merged index"
+    ls = LocalSearcher(out2)
+    assert ls.search(f"host:{conv}", k=1000) == []
+    for q in pre:
+        got = ls.search(q, k=1000)
+        assert got == [(d, s) for d, s in pre[q] if d not in t], q
+    # federation over the tombstoned shard must equal the re-merged index
+    # too (tombstones mask at decode in every part, shifted by the same
+    # offsets)
+    from deusu_spark.query_local import FederatedSearcher
+
+    fed = FederatedSearcher(dirs)
+    for q in ["linux", "google", f"host:{conv}"]:
+        assert fed.search(q, k=1000) == ls.search(q, k=1000), q
+    # ... and so must the DISTRIBUTED federation (per-part tombstone
+    # broadcasts mask at decode inside the Spark plans)
+    from deusu_spark.query import FederatedSearchEngine
+
+    dfed = FederatedSearchEngine(spark, dirs)
+    for q in ["linux", f"host:{conv}"]:
+        assert dfed.search(q, k=1000) == ls.search(q, k=1000), q
+
+
+def test_federated_fetch_results(tiny_index_dir, merge_env):
+    """Display fetch through the federation resolves each global doc id to
+    its owning part's docmeta with the SAME url/title/snippet the merged
+    index serves, and reports the federated doc id."""
+    from deusu_spark.query_local import FederatedSearcher, LocalSearcher
+
+    _root, dirs, out, _m = merge_env
+    fed = FederatedSearcher(dirs)
+    merged = LocalSearcher(out)
+    rows = merged.search("linux", k=10)
+    want = merged.fetch_results(rows)
+    got = fed.fetch_results(rows)
+    assert [(r.doc_id, r.url, r.title, r.snippet, r.host) for r in got] == [
+        (r.doc_id, r.url, r.title, r.snippet, r.host) for r in want
     ]
 
 
