@@ -235,6 +235,16 @@ def test_federated_engine_equals_merged(spark, merge_env):
     assert seq.search("linux ubuntu", k=100) == fed.search(
         "linux ubuntu", k=100
     )
+    # custom weights disable pruning but keep the two-pass + hole logic
+    w = {"b1": 5}
+    assert fed.search("linux ubuntu", k=50, weights=w) == merged.search(
+        "linux ubuntu", k=50, weights=w
+    )
+    # degenerate single-part federation == the plain engine on that part
+    one = FederatedSearchEngine(spark, [dirs[0]])
+    assert one.search("linux", k=50) == SearchEngine(spark, dirs[0]).search(
+        "linux", k=50
+    )
 def test_federated_engine_search_many(spark, merge_env):
     """Batched federation (2 union plans per part for the whole batch)
     equals both the merged engine's search_many and per-query federated
