@@ -170,6 +170,30 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     return np.minimum(out, _EPS_TOP)
 
 
+DHASH_BITS = 64
+DHASH_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS
+DHASH_MAX_HAMMING = 10
+
+
+def dhash(img: np.ndarray) -> str:
+    """64-bit difference hash (dHash): luma-resize to a 9×8 grid, one bit
+    per horizontal neighbor comparison. Robust to resizing, re-encoding
+    and mild noise — the PERCEPTUAL image fingerprint (the image analog
+    of the text simhash; exact sha256 dedup misses re-encoded copies).
+    Returned as a '0'/'1' bit string so the banded join and the Hamming
+    verify reuse the simhash machinery verbatim."""
+    luma = img.astype(np.float32) @ np.asarray(
+        [0.299, 0.587, 0.114], dtype=np.float32
+    )
+    h, w = luma.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    grid = luma[rows][:, cols]
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint8).reshape(-1)
+    return "".join("1" if b else "0" for b in bits)
+
+
 def _stub_feature(payload: bytes) -> np.ndarray:
     """STUB for compressed formats (PNG/JPEG/MP4 — codec libs absent in
     this container): deterministic 16-dim sha256-derived vector keeps the
@@ -320,6 +344,84 @@ def dedup_media(media: DataFrame) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
         .orderBy("keep_media_id")
+    )
+
+
+def image_dhash_df(media: DataFrame) -> DataFrame:
+    """(media_id, dhash bit-string) for every decodable image — the
+    fingerprint stage of the perceptual near-dup join (Arrow-batched,
+    decode stays inside the task)."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids, hs = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if b[:2] == b"P6":
+                    ids.append(mid)
+                    hs.append(dhash(decode_ppm(b)))
+            yield pd.DataFrame({"media_id": ids, "dhash": hs})
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("dhash", T.StringType()),
+            ]
+        ),
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual image near-dup candidates: banded Hamming join over the
+    64-bit dHash — 4 bands of 16 bits, a pair is a candidate iff it agrees
+    on at least one whole band (complete for Hamming < DHASH_BANDS by
+    pigeonhole; the standard recall/cost trade beyond), then exact Hamming
+    verify ≤ max_hamming. Same shape as the text simhash near-dup join:
+    a hash join on the band key, no all-pairs work — the member of the
+    dedup family that catches re-encoded / resized / lightly-edited
+    copies that exact payload-sha256 dedup (dedup_media) misses."""
+    from .pipelines import simhash_hamming_sql
+
+    s = image_dhash_df(media)
+    bands = s.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{b}:"),
+                        F.substring(
+                            "dhash", 1 + b * DHASH_BAND_BITS, DHASH_BAND_BITS
+                        ),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "band")
+        .where(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("id_a"), F.col("y.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = s.select(F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"))
+    sb = s.select(F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"))
+    ham = F.expr(simhash_hamming_sql("ha", "hb", DHASH_BITS)).cast("int")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     )
 
 

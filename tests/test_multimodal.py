@@ -153,3 +153,55 @@ def test_audio_chunk_plan(spark):
         assert chunks[-1][1] == durations[mid]  # full coverage
         for (s, e), (s2, _) in zip(chunks, chunks[1:]):
             assert e == s2 and e - s == 700  # contiguous, bounded
+
+
+def _media_rows(spark, payloads: dict[int, bytes]):
+    rows = [
+        (mid, "image", "image/x-portable-pixmap", 0, 0, 0, bytearray(p))
+        for mid, p in sorted(payloads.items())
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_dhash_perceptual_near_dup(spark):
+    """Perceptual image dedup catches what exact sha256 dedup cannot:
+    a nearest-upscaled copy and a mildly brightened copy hash close to
+    their originals (the dHash is a neighbor-DIFFERENCE code, invariant
+    to uniform luma shifts and integer-factor nearest resizes), while
+    independent random images stay far. Candidate completeness for
+    Hamming < DHASH_BANDS is pinned against a pure-Python brute force."""
+    rng = np.random.default_rng(7)
+    imgs = {
+        i: rng.integers(0, 256, (40, 40, 3), dtype=np.uint8) for i in range(6)
+    }
+    payloads = {i: multimodal.encode_ppm(img) for i, img in imgs.items()}
+    payloads[10] = multimodal.encode_ppm(
+        multimodal.resize_nearest(imgs[0], 80, 80)
+    )
+    payloads[11] = multimodal.encode_ppm(
+        np.clip(imgs[1].astype(np.int16) + 3, 0, 255).astype(np.uint8)
+    )
+    media = _media_rows(spark, payloads)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(media).collect()
+    }
+    assert (0, 10) in got and got[(0, 10)] <= 3
+    assert (1, 11) in got and got[(1, 11)] <= 3
+    # no false pairs among the independent random images
+    assert not any(a < 6 and b < 6 for (a, b) in got)
+    # exact sha256 dedup does NOT see these as copies (distinct payloads)
+    assert multimodal.dedup_media(media).count() == len(payloads)
+    # pure-Python brute force: every pair under the pigeonhole-complete
+    # radius (< DHASH_BANDS) must be a reported candidate, with the same
+    # Hamming distance the SQL verify computed
+    hashes = {
+        mid: multimodal.dhash(multimodal.decode_ppm(p))
+        for mid, p in payloads.items()
+    }
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+            if ham < multimodal.DHASH_BANDS:
+                assert got.get((a, b)) == ham, (a, b, ham)
