@@ -416,6 +416,92 @@ def _unigram_logprob_sql() -> str:
     """
 
 
+def _semdedup_sql() -> str:
+    """DuckDB twin of SemDeDup: identical sampled centroids (vec_id < K),
+    identical rounded-cosine assignment (ties -> lowest cell), identical
+    within-cell pair prune with lowest-id-wins keep policy."""
+    from deusu_spark.pipelines import IVF_K, SEMDEDUP_T
+
+    dot = (
+        "(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+        "FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                                FROM (SELECT unnest(embedding) AS x))) AS nrm
+                   FROM embeddings),
+             cents AS (SELECT vec_id AS cell, embedding AS cemb, nrm AS cnrm
+                       FROM e WHERE vec_id < {IVF_K}),
+             sims AS (SELECT e.vec_id, c.cell,
+                             round({dot.format(a='e.embedding', b='c.cemb')}
+                                   / (e.nrm * c.cnrm), 4) AS sim
+                      FROM e CROSS JOIN cents c),
+             assigned AS (SELECT vec_id, cell FROM (
+                            SELECT vec_id, cell,
+                                   row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) AS rn
+                            FROM sims) WHERE rn = 1),
+             dup AS (SELECT b.vec_id AS vb, min(a.vec_id) AS dup_of
+                     FROM assigned a JOIN assigned b
+                       ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     JOIN e ea ON ea.vec_id = a.vec_id
+                     JOIN e eb ON eb.vec_id = b.vec_id
+                     WHERE round({dot.format(a='ea.embedding', b='eb.embedding')}
+                                 / (ea.nrm * eb.nrm), 4) >= {SEMDEDUP_T}
+                     GROUP BY b.vec_id)
+        SELECT e.vec_id, CAST(asg.cell AS INTEGER) AS cell,
+               dup.dup_of IS NULL AS keep, dup.dup_of
+        FROM e JOIN assigned asg ON asg.vec_id = e.vec_id
+        LEFT JOIN dup ON dup.vb = e.vec_id
+        ORDER BY e.vec_id
+    """
+
+
+def _ccnet_buckets_sql() -> str:
+    from deusu_spark.pipelines import CCNET_PARTS
+
+    return f"""
+        WITH toks AS (SELECT doc_id, t FROM ({_TOKS})),
+             model AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+             tot AS (SELECT sum(cnt) AS s FROM model),
+             lp AS (SELECT doc_id, round(avg(ln(cnt / s)), 5) AS logprob
+                    FROM toks JOIN model USING (t), tot GROUP BY doc_id),
+             n AS (SELECT d.doc_id, d.lang, lp.logprob,
+                          ntile({CCNET_PARTS}) OVER (PARTITION BY d.lang
+                              ORDER BY lp.logprob DESC, d.doc_id) AS part
+                   FROM documents d JOIN lp ON lp.doc_id = d.doc_id)
+        SELECT doc_id, lang, logprob,
+               CASE part WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM n ORDER BY doc_id
+    """
+
+
+def _classifier_score_sql() -> str:
+    from deusu_spark.pipelines import FT_BUCKETS, _hex15_to_long_sql
+
+    h_expr = _hex15_to_long_sql("strpos", "h16")
+    return f"""
+        WITH hb AS (SELECT doc_id, ({h_expr} % {FT_BUCKETS}) AS b FROM (
+                        SELECT doc_id, substr(md5('f:' || t), 1, 15) AS h16
+                        FROM ({_TOKS}))),
+             wt AS (SELECT doc_id,
+                           substr(md5('w:' || CAST(b AS VARCHAR)), 1, 2) AS wh
+                    FROM hb),
+             w AS (SELECT doc_id,
+                          ((strpos('0123456789abcdef', substr(wh, 1, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef', substr(wh, 2, 1)) - 1)
+                           - 127.5) / 127.5 AS w
+                   FROM wt),
+             s AS (SELECT doc_id, count(*) AS n_tokens,
+                          round(avg(w), 5) AS score
+                   FROM w GROUP BY doc_id)
+        SELECT doc_id, n_tokens, score, score > 0 AS keep
+        FROM s ORDER BY doc_id
+    """
+
+
 def _training_pipeline_sql() -> str:
     from deusu_spark.pipelines import (
         CHUNK_S,
@@ -1173,6 +1259,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "dsir_weights": _dsir_sql(),
+        "semdedup": _semdedup_sql(),
+        "ccnet_buckets": _ccnet_buckets_sql(),
+        "classifier_score": _classifier_score_sql(),
         "training_pipeline": _training_pipeline_sql(),
         "dup_spans": _dup_spans_sql(),
         "topk_ngrams": _topk_ngrams_sql(),

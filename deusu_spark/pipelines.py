@@ -3601,6 +3601,204 @@ def q_last_touch_attribution(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540) — the embedding-space dedup family member that the
+# exact baseline (q_embedding_near_dup_pairs) and the LSH candidates
+# (q_ann_lsh_candidates) bracket from below and above.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.4  # synthetic test embeddings are near-orthogonal; real
+# sentence embeddings cluster much tighter — production uses ~0.95+.
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup: k-means-assign every embedding to a cell,
+    compute pairwise cosine ONLY within each cell, and drop any vector
+    that has a near-duplicate (rounded cos >= SEMDEDUP_T) with a smaller
+    vec_id in its cell. Output: every vector with its cell, keep flag, and
+    (for dropped ones) the lowest-id duplicate it lost to.
+
+    Keep policy: lowest-id-wins — deterministic and oracle-checkable; the
+    paper's "keep the point farthest from the centroid" variant is the same
+    plan with the tie-break column swapped for (1 - best_sim).
+
+    100 TB shape (the paper's own design): assignment is map-only (literal
+    centroids in-plan at dim<=256, broadcast numpy matmul above — see
+    ivf_assign); the quadratic pair join is confined WITHIN cells, keyed
+    and shuffled by cell, and k is chosen to grow with n so cell size stays
+    bounded (n/k docs per cell) — there is never a global all-pairs. The
+    centroids here are the deterministic lowest-id sample (ivf_centroids)
+    so the DuckDB oracle can recompute the identical assignment; the
+    trained ivf_train centroids drop in unchanged."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    a = ivf_assign(e, cents).withColumn("nrm", nrm)
+    la = a.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    lb = a.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        la.join(lb, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .where(F.round(dot / (F.col("na") * F.col("nb")), 4) >= SEMDEDUP_T)
+        .groupBy("vb")
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return (
+        a.join(dup, a["vec_id"] == dup["vb"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+# arXiv:1911.00359): score every doc with the cheap unigram-LM proxy and
+# split each language into head/middle/tail terciles.
+# --------------------------------------------------------------------------
+
+CCNET_PARTS = 3
+_CCNET_NAMES = ["head", "middle", "tail"]
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet quality bucketing: per-doc mean unigram log-probability (the
+    perplexity proxy q_unigram_logprob established), then NTILE(3) within
+    each language ordered by (rounded logprob DESC, doc_id) — head = most
+    fluent third. Downstream pipelines keep head+middle and route tail to a
+    stricter filter, exactly CCNet's published recipe.
+
+    100 TB shape: the unigram model is a vocabulary-sized broadcast; the
+    scoring agg is map-side combinable; the only shuffle is the
+    per-language window, which CCNet itself runs per-language-shard. At
+    extreme per-language skew the NTILE window becomes the bottleneck —
+    the scale swap is two-pass: compute the two tercile thresholds via the
+    existing exact quantile-bisect operator (k bounded driver values),
+    then bucket map-only by comparison. Semantics identical except
+    boundary ties, which the deterministic (logprob, doc_id) order
+    resolves here."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    model = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt")).collect()[0][0]
+    lp = (
+        toks.join(F.broadcast(model), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 5
+            ).alias("logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("logprob"), "doc_id")
+    part = F.ntile(CCNET_PARTS).over(w)
+    return (
+        d.select("doc_id", "lang")
+        .join(lp, "doc_id")
+        .withColumn("part", part)
+        .select(
+            "doc_id",
+            "lang",
+            "logprob",
+            F.when(F.col("part") == 1, _CCNET_NAMES[0])
+            .when(F.col("part") == 2, _CCNET_NAMES[1])
+            .otherwise(_CCNET_NAMES[2])
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText-shaped; Joulin et al.
+# 2016, arXiv:1607.01759) — the model-based filter family (DCLM, FineWeb-Edu
+# pipelines score with exactly this shape, then threshold).
+# --------------------------------------------------------------------------
+
+FT_BUCKETS = 256
+
+
+def q_classifier_score(spark, sf_dir):
+    """Linear text classifier over hashed unigram features: each token
+    hashes into one of FT_BUCKETS weight slots (the fastText hashing
+    trick), the doc score is the mean slot weight, keep = score > 0. The
+    weights here are deterministic md5-derived stand-ins in [-1, 1) so the
+    DuckDB oracle can recompute them exactly; a trained weight vector
+    drops in as the same broadcast-sized lookup (FT_BUCKETS floats)
+    without touching the plan shape.
+
+    100 TB shape: everything is JVM column expressions (md5 + substring
+    arithmetic — no Python UDF anywhere); one explode, one map-side-
+    combinable per-doc agg; the "model" never exceeds FT_BUCKETS values so
+    inference is embarrassingly parallel — the same shape fastText
+    inference has on a cluster."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        _tokens(d)
+        .withColumn("h16", F.expr("substr(md5(concat('f:', t)), 1, 15)"))
+        .withColumn(
+            "b",
+            (F.expr(_hex15_to_long_sql("instr", "h16")) % FT_BUCKETS).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "wh", F.expr("substr(md5(concat('w:', CAST(b AS STRING))), 1, 2)")
+        )
+        .withColumn(
+            "w",
+            (
+                F.expr(
+                    "(instr('0123456789abcdef', substr(wh, 1, 1)) - 1) * 16"
+                    " + (instr('0123456789abcdef', substr(wh, 2, 1)) - 1)"
+                )
+                - F.lit(127.5)
+            )
+            / F.lit(127.5),
+        )
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("w"), 5).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            (F.col("score") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -3684,4 +3882,7 @@ QUERIES = {
     "json_props_stats": q_json_props_stats,
     "retention_cohorts": q_retention_cohorts,
     "last_touch_attribution": q_last_touch_attribution,
+    "semdedup": q_semdedup,
+    "ccnet_buckets": q_ccnet_buckets,
+    "classifier_score": q_classifier_score,
 }
