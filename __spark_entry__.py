@@ -502,6 +502,89 @@ def _classifier_score_sql() -> str:
     """
 
 
+def _domain_divergence_sql() -> str:
+    from deusu_spark.pipelines import DIV_BUCKETS, _hex15_to_long_sql
+
+    h_expr = _hex15_to_long_sql("strpos", "h16")
+    src_tok = (
+        "SELECT source, unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS t FROM documents"
+    )
+    return f"""
+        WITH tok AS (SELECT source, ({h_expr} % {DIV_BUCKETS}) AS b FROM (
+                         SELECT source, substr(md5('d:' || t), 1, 15) AS h16
+                         FROM ({src_tok}) WHERE t <> '')),
+             c AS (SELECT source, b, count(*) AS cnt FROM tok GROUP BY 1, 2),
+             tot AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY 1),
+             grid AS (SELECT s.source, g.b
+                      FROM (SELECT DISTINCT source FROM c) s,
+                           (SELECT unnest(range(0, {DIV_BUCKETS})) AS b) g),
+             p AS (SELECT grid.source, grid.b,
+                          (coalesce(cnt, 0) + 1) * 1.0
+                              / (tot + {DIV_BUCKETS}) AS p
+                   FROM grid
+                   LEFT JOIN c ON c.source = grid.source AND c.b = grid.b
+                   JOIN tot ON tot.source = grid.source)
+        SELECT x.source AS src_a, y.source AS src_b,
+               round(sum(0.5 * x.p * ln(x.p / ((x.p + y.p) / 2))
+                         + 0.5 * y.p * ln(y.p / ((x.p + y.p) / 2))), 5) AS js
+        FROM p x JOIN p y ON x.b = y.b AND x.source < y.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _zipf_fit_sql() -> str:
+    from deusu_spark.pipelines import ZIPF_TOP
+
+    return f"""
+        WITH model AS (SELECT t, count(*) AS cnt FROM ({_TOKS}) GROUP BY t),
+             top AS (SELECT t, cnt FROM model
+                     ORDER BY cnt DESC, t LIMIT {ZIPF_TOP}),
+             xy AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, t)) AS x,
+                           ln(cnt) AS y
+                    FROM top),
+             s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                          sum(x * y) AS sxy, sum(x * x) AS sxx
+                   FROM xy)
+        SELECT n AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 5) AS intercept
+        FROM s
+    """
+
+
+def _minhash_recall_sql() -> str:
+    return f"""
+        WITH {_MINHASH_PAIR_CTES},
+             cand AS (SELECT doc_a, doc_b FROM pairs WHERE doc_b < 200),
+             tsh AS ({_SHINGLES.format(maxdoc=200)}),
+             sz AS (SELECT doc_id, count(*) AS sz FROM tsh GROUP BY doc_id),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              count(*) AS inter
+                       FROM tsh a JOIN tsh b
+                         ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             truth AS (SELECT doc_a, doc_b FROM inter
+                       JOIN sz sa ON sa.doc_id = doc_a
+                       JOIN sz sb ON sb.doc_id = doc_b
+                       WHERE round(inter / (sa.sz + sb.sz - inter), 5) >= 0.4),
+             j AS (SELECT coalesce(t.hit, 0) AS t, coalesce(c.hit, 0) AS c
+                   FROM (SELECT doc_a, doc_b, 1 AS hit FROM truth) t
+                   FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS hit FROM cand) c
+                     USING (doc_a, doc_b)),
+             s AS (SELECT sum(t) AS n_truth, sum(c) AS n_candidates,
+                          sum(t * c) AS n_hit
+                   FROM j)
+        SELECT n_truth, n_candidates, n_hit,
+               CASE WHEN n_truth > 0
+                    THEN round(n_hit * 1.0 / n_truth, 5) END AS recall,
+               CASE WHEN n_candidates > 0
+                    THEN round(n_hit * 1.0 / n_candidates, 5) END AS precision
+        FROM s
+    """
+
+
 def _training_pipeline_sql() -> str:
     from deusu_spark.pipelines import (
         CHUNK_S,
@@ -1262,6 +1345,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "classifier_score": _classifier_score_sql(),
+        "domain_divergence": _domain_divergence_sql(),
+        "zipf_fit": _zipf_fit_sql(),
+        "minhash_recall": _minhash_recall_sql(),
         "training_pipeline": _training_pipeline_sql(),
         "dup_spans": _dup_spans_sql(),
         "topk_ngrams": _topk_ngrams_sql(),

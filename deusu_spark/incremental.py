@@ -378,21 +378,39 @@ def stream_transcripts(
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
     **build_kwargs,
 ):
     """Structured Streaming sink: per micro-batch incremental index update
     (readStream → foreachBatch(incremental_update) → atomic snapshot swap).
-    Caveat: the delta's fancy lists only cover delta postings; a periodic
-    compact_index() re-optimizes layout + accelerators WITHOUT re-reading
-    the corpus (a full rebuild — the reference's periodic GenDb run — is
-    only needed to physically clear tombstones and refresh stats)."""
+
+    ``compact_every=k`` runs compact_index() after every k appended
+    batches: the delta's fancy lists only cover delta postings, and
+    per-delta segment runs fragment the layout — compaction re-optimizes
+    both WITHOUT re-reading the corpus (a full rebuild, the reference's
+    periodic GenDb run, is then only needed to physically clear tombstones
+    and refresh corpus stats). The batch counter is driver-memory
+    best-effort (a restarted query starts counting afresh) — compaction is
+    idempotent layout maintenance, so cadence drift is harmless."""
+
+    state = {"appends": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_update(
-            batch_df.sparkSession, out_dir, batch_df, **build_kwargs
-        )
+        if not os.path.exists(os.path.join(out_dir, "CURRENT")):
+            # bootstrap: the first non-empty batch full-builds the base
+            # index the appends extend
+            buildmod.build_index(
+                batch_df.sparkSession, batch_df, out_dir, **build_kwargs
+            )
+        else:
+            incremental_update(
+                batch_df.sparkSession, out_dir, batch_df, **build_kwargs
+            )
+        state["appends"] += 1
+        if compact_every and state["appends"] % compact_every == 0:
+            compact_index(batch_df.sparkSession, out_dir)
 
     return (
         stream_df.writeStream.foreachBatch(process)

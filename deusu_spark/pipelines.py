@@ -3799,6 +3799,171 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus diagnostics + approximation-quality evaluation: the "measure,
+# don't guess" ops a mixture designer runs before committing 100 TB of
+# compute to a data recipe.
+# --------------------------------------------------------------------------
+
+DIV_BUCKETS = 64
+
+
+def q_domain_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source token
+    distributions — the mixture-design diagnostic (which domains are
+    near-duplicates of each other, which add diversity) that sits upstream
+    of q_domain_mixture's sampling quotas. Tokens hash into 64 buckets
+    (the DSIR trick) with add-1 smoothing so every source's distribution
+    is defined on the same bounded support.
+
+    100 TB shape: ONE token explode + a (source, bucket) groupBy whose
+    output is n_sources x 64 rows at ANY corpus size; everything after —
+    the bucket grid, the smoothing, the pairwise JS self-join — runs on
+    that bounded table, so the op costs one corpus pass regardless of
+    source count or token volume."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .withColumn("h16", F.expr("substr(md5(concat('d:', t)), 1, 15)"))
+        .withColumn(
+            "b",
+            (F.expr(_hex15_to_long_sql("instr", "h16")) % DIV_BUCKETS).cast(
+                "int"
+            ),
+        )
+    )
+    cnts = toks.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+    tot = cnts.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    grid = (
+        cnts.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(DIV_BUCKETS).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    p = (
+        grid.join(cnts, ["source", "b"], "left")
+        .join(tot, "source")
+        .select(
+            "source",
+            "b",
+            (
+                (F.coalesce("cnt", F.lit(0)) + 1)
+                / (F.col("tot") + F.lit(DIV_BUCKETS))
+            ).alias("p"),
+        )
+    )
+    x = p.select(
+        F.col("source").alias("src_a"), "b", F.col("p").alias("px")
+    )
+    y = p.select(
+        F.col("source").alias("src_b"), "b", F.col("p").alias("py")
+    )
+    m = (F.col("px") + F.col("py")) / 2
+    term = 0.5 * F.col("px") * F.log(F.col("px") / m) + 0.5 * F.col(
+        "py"
+    ) * F.log(F.col("py") / m)
+    return (
+        x.join(y, "b")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(term), 5).alias("js"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+ZIPF_TOP = 100
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus rank-frequency curve: least-squares
+    slope/intercept of ln(freq) on ln(rank) for the top-100 terms — the
+    sanity diagnostic that synthetic or over-deduplicated corpora fail
+    (natural text slopes ~ -1). Output is ONE row, deterministic under the
+    (count DESC, term) tie-break.
+
+    100 TB shape: the term-count agg is map-side combinable; the top-100
+    is a TakeOrdered (never a global window over the vocabulary); the
+    regression runs as closed-form sums over 100 rows. No stage sees more
+    than vocabulary-sized data and nothing funnels unbounded rows through
+    one task."""
+    d = _t(spark, sf_dir, "documents")
+    model = _tokens(d).groupBy("t").agg(F.count("*").alias("cnt"))
+    top = model.orderBy(F.desc("cnt"), "t").limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("cnt"), "t")
+    xy = (
+        top.withColumn("r", F.row_number().over(w))
+        .select(
+            F.log("r").alias("x"),
+            F.log("cnt").alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 5).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 5).alias(
+            "intercept"
+        ),
+    )
+
+
+def q_minhash_recall(spark, sf_dir):
+    """Approximation-quality evaluation as a first-class query: recall and
+    precision of the MinHash-LSH candidate pairs against the EXACT 3-gram
+    Jaccard >= 0.4 ground truth on the shared doc_id < 200 slice. This is
+    the measurement that justifies (or vetoes) swapping the exact dedup
+    path for the probabilistic one at scale — run it on a sample BEFORE
+    trusting LSH with 100 TB.
+
+    100 TB shape: both inputs are the existing bounded operators; the
+    comparison is a full-outer equi-join on the pair key plus one global
+    agg — output is ONE row."""
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    cand = (
+        q_minhash_band_candidates(spark, sf_dir)
+        .where(F.col("doc_b") < 200)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_cand"))
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_truth", F.lit(0)).alias("t"),
+        F.coalesce("in_cand", F.lit(0)).alias("c"),
+    )
+    s = j.agg(
+        F.sum("t").alias("n_truth"),
+        F.sum("c").alias("n_candidates"),
+        F.sum(F.col("t") * F.col("c")).alias("n_hit"),
+    )
+    return s.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hit") / F.col("n_truth"), 5),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hit") / F.col("n_candidates"), 5),
+        ).alias("precision"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -3885,4 +4050,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "ccnet_buckets": q_ccnet_buckets,
     "classifier_score": q_classifier_score,
+    "domain_divergence": q_domain_divergence,
+    "zipf_fit": q_zipf_fit,
+    "minhash_recall": q_minhash_recall,
 }
