@@ -377,3 +377,46 @@ def test_attribution_is_union_plus_one_window(spark, sf_dir="/root/testdata/sf0.
     for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
               "NestedLoopJoin", "CartesianProduct"):
         assert j not in plan, j
+
+
+def test_semdedup_pair_join_is_cell_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """SemDeDup's quadratic stage must be confined WITHIN cells: the pair
+    join is a cell-keyed equi-join (shuffle by cell), never a global
+    product, and the dim-64 assignment is the literal map-only path."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_semdedup(spark, sf_dir))
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
+def test_ccnet_window_is_lang_partitioned(spark, sf_dir="/root/testdata/sf0.001"):
+    """The tercile window partitions by language (CCNet's own sharding) —
+    a global unpartitioned NTILE would funnel the corpus through one
+    task."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_ccnet_buckets(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_classifier_score_stays_jvm(spark, sf_dir="/root/testdata/sf0.001"):
+    """The hashed linear classifier is md5/substring column arithmetic:
+    no Python evaluator anywhere, one map-side-combinable aggregate."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_classifier_score(spark, sf_dir))
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_zipf_topk_bounds_sort(spark, sf_dir="/root/testdata/sf0.001"):
+    """The top-100 must be a TakeOrdered over the vocabulary, never a
+    global sort of all terms."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_zipf_fit(spark, sf_dir))
+    assert "TakeOrdered" in plan
+    assert "EvalPython" not in plan
