@@ -478,6 +478,45 @@ def _ccnet_buckets_sql() -> str:
     """
 
 
+def _bucket_checksum_sql() -> str:
+    from deusu_spark.pipelines import CKSUM_BUCKETS, CKSUM_MOD, _hex15_to_long_sql
+
+    rh = _hex15_to_long_sql("strpos", "rh16")
+    kh = _hex15_to_long_sql("strpos", "kh16")
+    return f"""
+        WITH h AS (SELECT substr(md5('r:' || concat_ws('|', l_orderkey,
+                              l_partkey, l_suppkey, l_linenumber,
+                              l_returnflag, l_linestatus)), 1, 15) AS rh16,
+                          substr(md5('b:' || concat_ws(':', l_orderkey,
+                              l_linenumber)), 1, 15) AS kh16
+                   FROM lineitem),
+             v AS (SELECT ({kh} % {CKSUM_BUCKETS}) AS bucket,
+                          ({rh} % {CKSUM_MOD}) AS rv
+                   FROM h)
+        SELECT bucket, count(*) AS n_rows, sum(rv) AS checksum
+        FROM v GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _containment_pairs_sql() -> str:
+    from deusu_spark.pipelines import CONTAIN_T
+
+    return f"""
+        WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
+             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              count(*) AS n_inter
+                       FROM sh a JOIN sh b
+                         ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                       GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter, sz.sz AS sz_a,
+               round(n_inter * 1.0 / sz.sz, 5) AS containment
+        FROM inter JOIN sz ON sz.doc_id = inter.doc_a
+        WHERE round(n_inter * 1.0 / sz.sz, 5) >= {CONTAIN_T}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def _classifier_score_sql() -> str:
     from deusu_spark.pipelines import FT_BUCKETS, _hex15_to_long_sql
 
@@ -1343,6 +1382,30 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _unigram_logprob_sql(),
         "dsir_weights": _dsir_sql(),
         "semdedup": _semdedup_sql(),
+        "bucket_checksum": _bucket_checksum_sql(),
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            ORDER BY gid, l_returnflag, l_linestatus
+        """,
+        "token_entropy": f"""
+            WITH tf AS (SELECT doc_id, t, count(*) AS c
+                        FROM ({_TOKS}) WHERE doc_id < 200 GROUP BY 1, 2),
+                 tot AS (SELECT doc_id, sum(c) AS n, count(*) AS nd
+                         FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   max(n) AS n_tokens,
+                   max(nd) AS n_distinct,
+                   round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 5) AS entropy
+            FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "containment_pairs": _containment_pairs_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "classifier_score": _classifier_score_sql(),
         "domain_divergence": _domain_divergence_sql(),

@@ -3964,6 +3964,143 @@ def q_minhash_recall(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Anti-entropy table checksums: the cross-cluster validation primitive a
+# 100 TB deployment runs after every replication/migration (Cassandra/Dynamo
+# -style Merkle buckets, flattened to one level). Reference analog: DeuSu
+# verifies its dual indexes by byte-comparing ready.dat/ready2.dat counters
+# (GenDb.dpr); at Spark scale the same assurance is a per-bucket
+# order-invariant checksum both sides compute independently.
+# --------------------------------------------------------------------------
+
+CKSUM_BUCKETS = 64
+CKSUM_MOD = 1_000_000_007  # sum of per-row residues stays far below 2^63
+
+
+def q_bucket_checksum(spark, sf_dir):
+    """Order-invariant per-bucket checksum over lineitem: every row hashes
+    its canonical value string, buckets by its KEY hash (so a corrupted
+    value moves the checksum but not the bucket), and each bucket reports
+    (row count, sum of row-hash residues). Two replicas disagree => the
+    diff is localized to 1/64th of the table without moving any data.
+
+    Scale shape: pure column md5 arithmetic (whole-stage codegen) into ONE
+    map-side-combinable hash aggregate — the shuffle carries 64 rows per
+    partition regardless of table size, and the modular sum is mergeable
+    across clusters/segments (sums add, counts add)."""
+    li = _t(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    key_str = F.concat_ws(":", "l_orderkey", "l_linenumber")
+    h = li.select(
+        F.substring(F.md5(F.concat(F.lit("r:"), row_str)), 1, 15).alias("rh16"),
+        F.substring(F.md5(F.concat(F.lit("b:"), key_str)), 1, 15).alias("kh16"),
+    )
+    rh = F.expr(_hex15_to_long_sql("instr", "rh16"))
+    kh = F.expr(_hex15_to_long_sql("instr", "kh16"))
+    v = h.select(
+        (kh % CKSUM_BUCKETS).alias("bucket"), (rh % CKSUM_MOD).alias("rv")
+    )
+    return (
+        v.groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.sum("rv").alias("checksum"))
+        .orderBy("bucket")
+    )
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS ((flag, status), (flag), ()) revenue — the explicit
+    multi-granularity aggregate completing the rollup/cube family: one
+    scan, Catalyst's Expand node fans each row into exactly the requested
+    groupings (3 here, vs cube's 4), then one hash aggregate. gid is the
+    portable grouping(flag)*2 + grouping(status) bitmask."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy (nats) of the unigram token distribution —
+    the gibberish/repetition quality signal the Gopher-family filters use
+    alongside duplicate-word fraction (q_repetition_signals): low entropy
+    = keyboard mash or loops, suspiciously high = random token soup.
+
+    Scale shape: two map-side-combinable hash aggregates (doc×term counts,
+    then the per-doc -sum(p ln p) fold) joined on doc_id — no windows, no
+    Python, shuffles keyed by (doc_id, t) then doc_id."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tf = _tokens(d).groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("nd")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.max("nd").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 5).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAIN_T = 0.8
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment C(A,B) = |S(A) ∩ S(B)| / |S(A)|
+    (Broder 1997's second resemblance measure): catches a document QUOTED
+    INSIDE a larger one, which symmetric Jaccard dilutes below any usable
+    threshold. Emits ordered pairs with C >= CONTAIN_T.
+
+    Scale shape: inverted shingle join (shuffle keyed by shingle content)
+    + one pair-keyed count — candidate generation at 10^12 docs swaps in
+    the rarest-prefix filter (see q_setsim_prefix_pairs) in front of the
+    same verify join; no all-pairs anywhere."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.col("sz").alias("sz_a"),
+            F.round(F.col("n_inter") / F.col("sz"), 5).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4053,4 +4190,8 @@ QUERIES = {
     "domain_divergence": q_domain_divergence,
     "zipf_fit": q_zipf_fit,
     "minhash_recall": q_minhash_recall,
+    "bucket_checksum": q_bucket_checksum,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "token_entropy": q_token_entropy,
+    "containment_pairs": q_containment_pairs,
 }

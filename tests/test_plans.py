@@ -420,3 +420,47 @@ def test_zipf_topk_bounds_sort(spark, sf_dir="/root/testdata/sf0.001"):
     plan = _plan(pipelines.q_zipf_fit(spark, sf_dir))
     assert "TakeOrdered" in plan
     assert "EvalPython" not in plan
+
+
+def test_bucket_checksum_is_one_combinable_agg(spark, sf_dir="/root/testdata/sf0.001"):
+    """Anti-entropy checksums must be pure codegen md5 arithmetic into ONE
+    map-side-combinable aggregate — no Python, no join, no window: the
+    shuffle carries 64 rows per partition at any table size."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_bucket_checksum(spark, sf_dir))
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_grouping_sets_uses_expand(spark, sf_dir="/root/testdata/sf0.001"):
+    """GROUPING SETS compiles to Catalyst's Expand (3 requested groupings),
+    one scan + one hash aggregate — never a union of three scans."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_grouping_sets_revenue(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EvalPython" not in plan
+
+
+def test_token_entropy_no_window(spark, sf_dir="/root/testdata/sf0.001"):
+    """The entropy fold is two combinable hash aggregates + one doc_id
+    equi-join — a per-doc window over token rows would serialize on the
+    biggest doc instead."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_token_entropy(spark, sf_dir))
+    assert "EvalPython" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_containment_join_is_equi(spark, sf_dir="/root/testdata/sf0.001"):
+    """Containment candidate+verify rides the inverted shingle equi-join —
+    no nested loop / cartesian anywhere in the plan."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_containment_pairs(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
