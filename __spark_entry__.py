@@ -517,6 +517,31 @@ def _containment_pairs_sql() -> str:
     """
 
 
+def _zorder_layout_sql() -> str:
+    from deusu_spark.pipelines import ZORDER_BITS, _zquant_sql, _zvalue_sql
+
+    z = _zvalue_sql(
+        _zquant_sql(
+            "l_partkey",
+            "(SELECT min(l_partkey) FROM lineitem)",
+            "(SELECT max(l_partkey) FROM lineitem)",
+        ),
+        _zquant_sql(
+            "l_suppkey",
+            "(SELECT min(l_suppkey) FROM lineitem)",
+            "(SELECT max(l_suppkey) FROM lineitem)",
+        ),
+    )
+    shift = 2 * ZORDER_BITS - 6
+    return f"""
+        SELECT ({z} >> {shift}) AS zbucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+
 def _classifier_score_sql() -> str:
     from deusu_spark.pipelines import FT_BUCKETS, _hex15_to_long_sql
 
@@ -1406,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "containment_pairs": _containment_pairs_sql(),
+        "zorder_layout": _zorder_layout_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "classifier_score": _classifier_score_sql(),
         "domain_divergence": _domain_divergence_sql(),

@@ -4101,6 +4101,82 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+ZORDER_BITS = 8  # quantized bits per dimension (16-bit z-value)
+ZORDER_BUCKETS = 64
+
+
+def _zvalue_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """Portable Morton/Z-curve bit interleave of two {bits}-bit ints —
+    identical integer arithmetic on Spark and DuckDB (>> << & are shared
+    syntax): bit i of `a` lands at position 2i, of `b` at 2i+1."""
+    parts = [
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _zquant_sql(col: str, mn: str, mx: str, bits: int = ZORDER_BITS) -> str:
+    """Deterministic equi-width quantization of `col` to [0, 2^bits):
+    floor((x - min) * 2^bits / (max - min + 1)). FLOOR (not bare
+    CAST-to-INT, which DuckDB rounds while Spark truncates) keeps both
+    engines bucketing identically, and ties never depend on row order
+    (unlike NTILE). This is the bin step every real Z-ORDER rewrite
+    performs before interleaving (raw keys would leave high bits zero)."""
+    return (
+        f"CAST(FLOOR((({col}) - ({mn})) * {1 << bits}"
+        f" / (({mx}) - ({mn}) + 1)) AS INT)"
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) data-layout statistics over lineitem: every
+    row's (partkey, suppkey) interleaves into a 32-bit z-value, z-space
+    splits into 64 contiguous ranges (= files under a Z-ORDER BY rewrite),
+    and each range reports count + min/max of BOTH dimensions.
+
+    This is the lakehouse multi-column file-skipping primitive (Delta
+    OPTIMIZE ZORDER / Iceberg sort-order rewrite): a linear sort keeps
+    min/max tight on the LEADING column only, while the z-curve bounds
+    every interleaved dimension per file, so point/range predicates on
+    EITHER column prune most files. The min/max spans this query emits are
+    exactly the skipping metadata a scan would consult; DeuSu's analog is
+    the term-bucket directory that prunes its index reads (rwi.pas).
+
+    Scale shape: ONE tiny scalar job computes the min/max quantization
+    bounds (production: approxQuantile bins, broadcast); the z-value is
+    pure codegen integer arithmetic over those literal bounds; the layout
+    stats are ONE map-side-combinable aggregate on a 64-key space. The
+    production rewrite is repartitionByRange(z) + write — the same
+    expression feeding a shuffle instead of a groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    shift = 2 * ZORDER_BITS - 6  # 64 contiguous z-ranges
+    zv = _zvalue_sql(
+        _zquant_sql("l_partkey", lo_p, hi_p),
+        _zquant_sql("l_suppkey", lo_s, hi_s),
+    )
+    b = li.select(
+        F.expr(f"({zv} >> {shift})").alias("zbucket"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return (
+        b.groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4194,4 +4270,5 @@ QUERIES = {
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "token_entropy": q_token_entropy,
     "containment_pairs": q_containment_pairs,
+    "zorder_layout": q_zorder_layout,
 }
