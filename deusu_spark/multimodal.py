@@ -2,14 +2,17 @@
 with typed metadata, processed through Arrow-batched mapInPandas.
 
 Decode status (this container has no media libraries — PIL/librosa/av):
-  - REAL decoders, dependency-free: P6 PPM images (numpy header parse +
-    raw RGB) and RIFF/WAV PCM audio (stdlib ``wave`` + numpy). Features,
-    resize and spectral analysis over these are genuine computation,
-    golden-tested (tests/test_multimodal.py).
-  - STUB for compressed formats (PNG/JPEG/MP4): `_stub_feature` produces
-    a deterministic sha256-derived vector so the Spark-side plumbing —
-    schema, batching, partitioning, UDF signatures — still exercises end
-    to end. Swap in PIL/av in production; nothing else changes.
+  - REAL decoders, dependency-free, one per modality: P6 PPM images
+    (numpy header parse + raw RGB), RIFF/WAV PCM audio (stdlib ``wave``
+    + numpy), and PVID raw video (length-prefixed P6 frames + frame
+    interval — the uncompressed-MJPEG shape). Features, resize, spectral
+    analysis, frame sampling and frame-fingerprint near-dup over these
+    are genuine computation, golden-tested (tests/test_multimodal.py).
+  - STUB only for compressed codecs (PNG/JPEG/MP4): `_stub_feature`
+    produces a deterministic sha256-derived vector so the Spark-side
+    plumbing — schema, batching, partitioning, UDF signatures — still
+    exercises end to end. Swap in PIL/av in production; nothing else
+    changes.
 """
 
 from __future__ import annotations
@@ -106,6 +109,53 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+PVID_MAGIC = b"PVID"
+
+
+def encode_pvid(frames: list[np.ndarray], frame_ms: int) -> bytes:
+    """Frames ((h, w, 3) uint8 each) → PVID raw-video container:
+    b'PVID' + <II>(n_frames, frame_ms) + per-frame <I>len + P6 PPM body.
+    The dependency-free video format (uncompressed-MJPEG shape): every
+    frame is independently decodable, so frame sampling seeks without
+    touching the frames in between."""
+    parts = [PVID_MAGIC, struct.pack("<II", len(frames), frame_ms)]
+    for fr in frames:
+        ppm = encode_ppm(fr)
+        parts.append(struct.pack("<I", len(ppm)))
+        parts.append(ppm)
+    return b"".join(parts)
+
+
+def decode_pvid(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """PVID container → (list of (h, w, 3) uint8 frames, frame_ms)."""
+    if payload[:4] != PVID_MAGIC:
+        raise ValueError("not a PVID payload")
+    n_frames, frame_ms = struct.unpack_from("<II", payload, 4)
+    off, frames = 12, []
+    for _ in range(n_frames):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(decode_ppm(payload[off : off + ln]))
+        off += ln
+    return frames, frame_ms
+
+
+def decode_pvid_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Seek-decode ONE frame of a PVID payload (skips other frame bodies
+    via their length prefixes — the random access frame sampling needs)."""
+    if payload[:4] != PVID_MAGIC:
+        raise ValueError("not a PVID payload")
+    n_frames, _ = struct.unpack_from("<II", payload, 4)
+    if not 0 <= idx < n_frames:
+        raise IndexError(f"frame {idx} of {n_frames}")
+    off = 12
+    for _ in range(idx):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4 + ln
+    (ln,) = struct.unpack_from("<I", payload, off)
+    return decode_ppm(payload[off + 4 : off + 4 + ln])
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via numpy index maps — the real resize op."""
     h, w, _ = img.shape
@@ -170,6 +220,49 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     return np.minimum(out, _EPS_TOP)
 
 
+def video_features(frames: list[np.ndarray], frame_ms: int) -> np.ndarray:
+    """[n_frames (/256), duration (min/60s), mean luma, motion energy
+    (mean abs luma diff between consecutive frames, /256)] + a 12-slice
+    temporal luma profile — a content- AND motion-sensitive descriptor
+    (static vs moving video separate on dim 3; scene order on the
+    profile)."""
+    if not frames:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    lumas = np.asarray(
+        [
+            (f.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114], np.float32)).mean()
+            for f in frames
+        ],
+        dtype=np.float32,
+    )
+    motion = 0.0
+    if len(frames) > 1:
+        diffs = [
+            np.abs(
+                frames[i].astype(np.float32) - frames[i - 1].astype(np.float32)
+            ).mean()
+            for i in range(1, len(frames))
+        ]
+        motion = float(np.mean(diffs))
+    dur = min(len(frames) * frame_ms / 1000.0 / 60.0, 0.999)
+    # 12 equal time slices of the per-frame luma curve
+    idx = np.minimum(
+        (np.arange(len(lumas)) * 12) // max(len(lumas), 1), 11
+    ).astype(np.int64)
+    prof = np.zeros(12, dtype=np.float32)
+    cnt = np.zeros(12, dtype=np.float32)
+    np.add.at(prof, idx, lumas)
+    np.add.at(cnt, idx, 1.0)
+    prof = np.where(cnt > 0, prof / np.maximum(cnt, 1.0), 0.0) / 256.0
+    out = np.concatenate(
+        [
+            [min(len(frames) / 256.0, 0.999), dur, lumas.mean() / 256.0, motion / 256.0],
+            prof,
+        ]
+    ).astype(np.float32)
+    return np.minimum(out, _EPS_TOP)
+
+
 DHASH_BITS = 64
 DHASH_BANDS = 4
 DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS
@@ -205,12 +298,15 @@ def _stub_feature(payload: bytes) -> np.ndarray:
 
 
 def _decode_payload(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: real decode for PPM/WAV, stub otherwise."""
+    """Dispatch on magic bytes: real decode for PPM/WAV/PVID, stub for
+    compressed codecs."""
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
     if payload[:4] == b"RIFF":
         samples, rate = decode_wav(payload)
         return audio_features(samples, rate)
+    if payload[:4] == PVID_MAGIC:
+        return video_features(*decode_pvid(payload))
     return _stub_feature(payload)
 
 
@@ -241,29 +337,44 @@ def _synth_audio(i: int, duration_ms: int) -> bytes:
     return encode_wav(0.6 * np.sin(2 * np.pi * freq * t))
 
 
+def _synth_video(i: int, duration_ms: int, w: int, h: int) -> bytes:
+    """Deterministic PVID: the i-th gradient image panning 2 px right per
+    frame (np.roll) at 4 fps — consecutive frames correlate (real motion
+    energy), distinct i → distinct content."""
+    frame_ms = 250
+    n_frames = max(duration_ms // frame_ms, 2)
+    base = decode_ppm(_synth_image(i, w, h))
+    frames = [np.roll(base, 2 * f, axis=1) for f in range(n_frames)]
+    return encode_pvid(frames, frame_ms)
+
+
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL P6 images and REAL PCM WAVs (the
-    dependency-free formats), fake mp4 bytes for video (stub path)."""
+    """Deterministic media table: REAL P6 images, REAL PCM WAVs and REAL
+    PVID videos (the dependency-free formats); every 4th video keeps fake
+    mp4 bytes so the compressed-codec stub path stays exercised."""
     rows = []
     kinds = ["image", "audio", "video"]
-    mimes = {
-        "image": "image/x-portable-pixmap",
-        "audio": "audio/wav",
-        "video": "video/mp4",
-    }
     for i in range(n):
         kind = kinds[i % 3]
         w = 32 + (i % 8) * 16 if kind != "audio" else 0
         h = 32 + (i % 5) * 16 if kind != "audio" else 0
         dur = 0 if kind == "image" else 1000 + i * 250
+        mime = {
+            "image": "image/x-portable-pixmap",
+            "audio": "audio/wav",
+            "video": "video/x-pvid",
+        }[kind]
         if kind == "image":
             payload = _synth_image(i, w, h)
         elif kind == "audio":
             payload = _synth_audio(i, dur)
-        else:
+        elif (i // 3) % 4 == 3:  # stub-path coverage: fake compressed video
             hh = hashlib.sha256(f"media{seed}:{i}".encode()).digest()
             payload = (hh * ((64 + i) // len(hh) + 1))[: 64 + i]
-        rows.append((i, kind, mimes[kind], w, h, dur, bytearray(payload)))
+            mime = "video/mp4"
+        else:
+            payload = _synth_video(i, dur, w, h)
+        rows.append((i, kind, mime, w, h, dur, bytearray(payload)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
@@ -457,4 +568,93 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
+    )
+
+
+def video_frame_dhashes(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """EXECUTED frame sampling: for each PVID video, seek-decode one frame
+    every `every_ms` and emit its 64-bit perceptual dHash —
+    (media_id, frame_ts_ms, dhash). Arrow-batched mapInPandas; the
+    length-prefixed container makes each sample a seek, not a full decode.
+    Non-PVID (compressed-codec) videos are skipped — their sampling plan
+    is frame_sample_plan and the decode lives behind the codec stub."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids, tss, hs = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if b[:4] != PVID_MAGIC:
+                    continue
+                n_frames, frame_ms = struct.unpack_from("<II", b, 4)
+                ts = 0
+                while True:
+                    idx = ts // frame_ms
+                    if idx >= n_frames:
+                        break
+                    ids.append(mid)
+                    tss.append(ts)
+                    hs.append(dhash(decode_pvid_frame(b, idx)))
+                    ts += every_ms
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "dhash": hs}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("frame_ts_ms", T.IntegerType()),
+                T.StructField("dhash", T.StringType()),
+            ]
+        ),
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    every_ms: int = 500,
+    min_overlap: float = 0.5,
+    max_frame_df: int = 16,
+) -> DataFrame:
+    """Video near-dup candidates by shared perceptual frame fingerprints:
+    sample frames, dHash each, equi-join videos on identical frame hashes
+    (dHash absorbs re-encode/uniform-brightness/resize-to-grid edits),
+    count distinct shared hashes per pair, keep pairs whose overlap
+    ≥ min_overlap of the SMALLER video's distinct-hash set — containment,
+    so a clipped excerpt still matches its source. Frame hashes seen in
+    more than max_frame_df videos are dropped before the join (black
+    frames / boilerplate intros — the hot-shingle prune of the text dedup
+    family, keeping the join skew-free at corpus scale). No all-pairs
+    work anywhere: one mapInPandas, one equi-join, two bounded aggs."""
+    s = video_frame_dhashes(media, every_ms=every_ms).select(
+        "media_id", "dhash"
+    ).distinct()
+    hot = s.groupBy("dhash").agg(F.count("*").alias("fdf"))
+    s = (
+        s.join(F.broadcast(hot.where(F.col("fdf") > max_frame_df)), "dhash", "left_anti")
+    )
+    nf = s.groupBy("media_id").agg(F.count("*").alias("n_hashes"))
+    pairs = (
+        s.alias("x")
+        .join(s.alias("y"), "dhash")
+        .where(F.col("x.media_id") < F.col("y.media_id"))
+        .groupBy(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    na = nf.select(F.col("media_id").alias("id_a"), F.col("n_hashes").alias("n_a"))
+    nb = nf.select(F.col("media_id").alias("id_b"), F.col("n_hashes").alias("n_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "overlap", F.col("shared") / F.least("n_a", "n_b")
+        )
+        .where(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "shared", "overlap")
+        .orderBy("id_a", "id_b")
     )

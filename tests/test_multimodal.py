@@ -205,3 +205,94 @@ def test_dhash_perceptual_near_dup(spark):
             ham = sum(x != y for x, y in zip(hashes[a], hashes[b]))
             if ham < multimodal.DHASH_BANDS:
                 assert got.get((a, b)) == ham, (a, b, ham)
+
+
+def test_pvid_roundtrip_and_seek():
+    frames = [
+        np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) + i
+        for i in range(5)
+    ]
+    payload = multimodal.encode_pvid(frames, frame_ms=250)
+    assert payload[:4] == multimodal.PVID_MAGIC
+    back, frame_ms = multimodal.decode_pvid(payload)
+    assert frame_ms == 250 and len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    # random-access seek decodes the same frames as the full decode
+    for i in range(5):
+        assert (multimodal.decode_pvid_frame(payload, i) == frames[i]).all()
+
+
+def test_video_features_motion_and_dispatch():
+    static = [np.full((16, 16, 3), 90, dtype=np.uint8)] * 8
+    moving, frame_ms = multimodal.decode_pvid(
+        multimodal._synth_video(2, 2000, 32, 32)
+    )
+    fs = multimodal.video_features(static, 250)
+    fm = multimodal.video_features(moving, frame_ms)
+    assert fs[3] == 0.0  # static: zero motion energy
+    assert fm[3] > 0.0  # panning: positive motion energy
+    for f in (fs, fm):
+        assert len(f) == multimodal.FEATURE_DIM
+        assert ((f >= 0) & (f < 1.0)).all()
+    # dispatch: PVID payloads take the real video path, content-derived
+    payload = multimodal.encode_pvid(moving, frame_ms)
+    assert (multimodal._decode_payload(payload) == fm).all()
+    edited = [f.copy() for f in moving]
+    edited[0][:8] = 255
+    f2 = multimodal.video_features(edited, frame_ms)
+    assert not np.allclose(fm, f2)
+
+
+def test_video_frame_dhashes_spark(spark):
+    media = multimodal.synth_media(spark, n=24)
+    rows = multimodal.video_frame_dhashes(media, every_ms=500).collect()
+    pvids = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'video'").collect()
+        if bytes(r["payload"])[:4] == multimodal.PVID_MAGIC
+    }
+    assert pvids  # real videos exist (and at least one stub mp4 is skipped)
+    assert {r["media_id"] for r in rows} == set(pvids)
+    import struct as _s
+
+    for mid, p in pvids.items():
+        n_frames, frame_ms = _s.unpack_from("<II", p, 4)
+        want = len(
+            [ts for ts in range(0, n_frames * frame_ms, 500) if ts // frame_ms < n_frames]
+        )
+        got = [r for r in rows if r["media_id"] == mid]
+        assert len(got) == want
+        # each sampled hash matches a direct seek-decode of that frame
+        for r in got[:2]:
+            idx = r["frame_ts_ms"] // frame_ms
+            assert r["dhash"] == multimodal.dhash(
+                multimodal.decode_pvid_frame(p, idx)
+            )
+
+
+def test_video_near_dup_pairs(spark):
+    # A = panning synth video; B = A trimmed by its first frame (the
+    # clipped-excerpt case); C, D = independent videos
+    a_frames, frame_ms = multimodal.decode_pvid(
+        multimodal._synth_video(0, 3000, 32, 32)
+    )
+    payloads = {
+        0: multimodal.encode_pvid(a_frames, frame_ms),
+        1: multimodal.encode_pvid(a_frames[1:], frame_ms),
+        2: multimodal._synth_video(9, 3000, 32, 32),
+        3: multimodal._synth_video(13, 2500, 48, 32),
+    }
+    rows = [
+        (mid, "video", "video/x-pvid", 32, 32, 3000, bytearray(p))
+        for mid, p in payloads.items()
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in multimodal.video_near_dup_pairs(
+            media, every_ms=250, min_overlap=0.5
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 0.9  # excerpt contained
+    assert not any({a, b} & {2, 3} for (a, b) in got)  # independents clean
