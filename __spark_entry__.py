@@ -1432,6 +1432,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "scd2_intervals": """
+            SELECT o_custkey, o_orderkey,
+                   o_orderdate AS effective_from,
+                   coalesce(
+                       lead(o_orderdate) OVER w,
+                       TIMESTAMP '9999-12-31 00:00:00'
+                   ) AS effective_to,
+                   lead(o_orderdate) OVER w IS NULL AS is_current,
+                   row_number() OVER w AS version
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, version
+        """,
+        "skyline_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders b
+                WHERE b.o_totalprice <= a.o_totalprice
+                  AND b.o_orderdate >= a.o_orderdate
+                  AND (b.o_totalprice < a.o_totalprice
+                       OR b.o_orderdate > a.o_orderdate)
+            )
+            ORDER BY o_orderkey
+        """,
+        "dq_expectations": """
+            SELECT check_name, violations,
+                   violations = 0 AS passed
+            FROM (
+                SELECT 'orders_pk_unique' AS check_name,
+                       (SELECT count(*) - count(DISTINCT o_orderkey)
+                        FROM orders) AS violations
+                UNION ALL
+                SELECT 'orders_custkey_fk',
+                       (SELECT count(*) FROM orders
+                        WHERE o_custkey NOT IN
+                              (SELECT c_custkey FROM customer))
+                UNION ALL
+                SELECT 'lineitem_orderkey_fk',
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey NOT IN
+                              (SELECT o_orderkey FROM orders))
+                UNION ALL
+                SELECT 'orders_custkey_not_null',
+                       (SELECT count(*) FROM orders
+                        WHERE o_custkey IS NULL)
+                UNION ALL
+                SELECT 'o_totalprice_positive',
+                       (SELECT count(*) FROM orders
+                        WHERE o_totalprice <= 0)
+                UNION ALL
+                SELECT 'l_discount_in_unit_range',
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_discount < 0 OR l_discount > 1)
+                UNION ALL
+                SELECT 'l_ships_after_order',
+                       (SELECT count(*) FROM lineitem
+                        JOIN orders ON l_orderkey = o_orderkey
+                        WHERE l_shipdate < o_orderdate)
+            )
+            ORDER BY check_name
+        """,
         "ccnet_buckets": _ccnet_buckets_sql(),
         "classifier_score": _classifier_score_sql(),
         "domain_divergence": _domain_divergence_sql(),

@@ -4177,6 +4177,168 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) interval build: turn the
+    orders changelog into validity intervals per customer — each change
+    record gets [effective_from, effective_to) where effective_to is the
+    NEXT change's timestamp (open current rows carry the 9999-12-31
+    sentinel), plus is_current and a per-key version number. This is the
+    dimension-table temporal-modeling op every warehouse ingest needs
+    (q_latest_order_per_customer is its SCD1 little sibling — keep-latest
+    only). ONE window shuffle on the key; lead() reads the next row in
+    the same sort, so no self-join against min(later ts)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sentinel = F.lit("9999-12-31 00:00:00").cast(
+        o.schema["o_orderdate"].dataType
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("effective_from"),
+            F.coalesce(nxt, sentinel).alias("effective_to"),
+            nxt.isNull().alias("is_current"),
+            F.row_number().over(w).alias("version"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+SKYLINE_SALTS = 16
+
+
+def q_skyline_orders(spark, sf_dir):
+    """Skyline / Pareto-frontier query (preference family): orders not
+    DOMINATED on (minimize o_totalprice, maximize o_orderdate) — no other
+    order is both ≤ price and ≥ date with one strict. The naive plan is
+    an O(n²) theta self-join (exactly what the oracle runs); the scale
+    shape used here exploits that the skyline operator is MERGEABLE —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)):
+
+      1. distinct (price, date) pairs (duplicates are mutually
+         non-dominating, so dominance is decided on the pair set);
+      2. LOCAL skyline per crc32 salt bucket — sort (price asc, date
+         desc) and keep rows whose running max(date) over preceding rows
+         is < own date (over distinct pairs that predicate is exactly
+         non-dominance), a per-bucket window;
+      3. GLOBAL skyline of the ≤salts×|frontier| survivors with the same
+         predicate (single-task window over a provably small set);
+      4. semi-join orders back on the winning pairs.
+
+    Every task sorts only its bucket; the one global sort touches local
+    frontiers, not the table."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select("o_totalprice", "o_orderdate").distinct().withColumn(
+        "salt", F.crc32(F.col("o_totalprice").cast("string")) % SKYLINE_SALTS
+    )
+
+    def _not_dominated(df, part_cols):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.asc("o_totalprice"), F.desc("o_orderdate"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ) if part_cols else (
+            Window.orderBy(F.asc("o_totalprice"), F.desc("o_orderdate"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max("o_orderdate").over(w)
+        return (
+            df.withColumn("_prev_max", prev)
+            .where(
+                F.col("_prev_max").isNull()
+                | (F.col("_prev_max") < F.col("o_orderdate"))
+            )
+            .drop("_prev_max")
+        )
+
+    local = _not_dominated(pairs, ["salt"]).drop("salt")
+    frontier = _not_dominated(local, [])
+    return (
+        o.join(frontier, ["o_totalprice", "o_orderdate"], "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite (the dbt-test / Great-Expectations
+    shape): one query emitting a (check_name, violations, passed) table —
+    the pre-ingest validation gate a 100 TB pipeline runs before
+    publishing a batch. Checks: primary-key uniqueness, two referential-
+    integrity walks (orders→customer, lineitem→orders), null guards,
+    domain ranges, and a cross-table temporal invariant (no lineitem
+    ships before its order). Every check is a map-side-combinable
+    aggregate or a broadcast-able anti-join count — nothing scans twice,
+    violations surface as COUNTS (bounded output at any scale) rather
+    than row dumps."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def scalar(name, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        scalar(
+            "orders_pk_unique",
+            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("violations")),
+        ),
+        scalar(
+            "orders_custkey_fk",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        scalar(
+            "lineitem_orderkey_fk",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        scalar(
+            "orders_custkey_not_null",
+            o.agg(
+                F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations")
+            ),
+        ),
+        scalar(
+            "o_totalprice_positive",
+            o.agg(
+                F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("violations")
+            ),
+        ),
+        scalar(
+            "l_discount_in_unit_range",
+            li.agg(
+                F.count(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    )
+                ).alias("violations")
+            ),
+        ),
+        scalar(
+            "l_ships_after_order",
+            li.join(o, li.l_orderkey == o.o_orderkey).agg(
+                F.count(
+                    F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+                ).alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.withColumn("passed", F.col("violations") == 0).orderBy(
+        "check_name"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4271,4 +4433,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "containment_pairs": q_containment_pairs,
     "zorder_layout": q_zorder_layout,
+    "scd2_intervals": q_scd2_intervals,
+    "skyline_orders": q_skyline_orders,
+    "dq_expectations": q_dq_expectations,
 }

@@ -464,3 +464,48 @@ def test_containment_join_is_equi(spark, sf_dir="/root/testdata/sf0.001"):
     plan = _plan(pipelines.q_containment_pairs(spark, sf_dir))
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zorder_expression_stays_jvm(spark, sf_dir="/root/testdata/sf0.001"):
+    """The Morton interleave + layout stats are pure codegen arithmetic
+    feeding one hash aggregate — no Python evaluator, no window, no join
+    (the min/max bounds arrive as literals from one scalar job)."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_zorder_layout(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_scd2_is_one_window_no_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The SCD2 interval build is ONE key-partitioned window pass — lead()
+    must not become a self-join, and no Python appears."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_scd2_intervals(spark, sf_dir))
+    assert plan.count("Window") >= 1 and "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_skyline_never_all_pairs(spark, sf_dir="/root/testdata/sf0.001"):
+    """The two-phase skyline must NOT contain the O(n²) dominance theta
+    join the oracle runs — only windows and the final semi-join back to
+    orders (hash or broadcast, never nested-loop)."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_skyline_orders(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dq_checks_anti_joins_not_nlj(spark, sf_dir="/root/testdata/sf0.001"):
+    """Every referential-integrity walk in the expectation suite is a
+    hash/broadcast anti-join; no nested loop, no Python, bounded output."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_dq_expectations(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
