@@ -542,6 +542,60 @@ def _zorder_layout_sql() -> str:
     """
 
 
+def _spatial_join_sql() -> str:
+    from deusu_spark.pipelines import GEO_CELL, _hex15_to_long_sql
+
+    def coords(tbl, key, a, b):
+        return f"""
+            SELECT {key},
+                   ({_hex15_to_long_sql("strpos", "h_lat")} % 180000) AS {a},
+                   ({_hex15_to_long_sql("strpos", "h_lon")} % 360000) AS {b}
+            FROM (SELECT {key},
+                         md5(concat(CAST({key} AS STRING), ':lat')) AS h_lat,
+                         md5(concat(CAST({key} AS STRING), ':lon')) AS h_lon
+                  FROM {tbl})
+        """
+
+    return f"""
+        WITH cust AS ({coords('customer', 'c_custkey', 'clat', 'clon')}),
+             sup AS ({coords('supplier', 's_suppkey', 'slat', 'slon')})
+        SELECT s_suppkey, c_custkey,
+               (clat - slat) * (clat - slat)
+             + (clon - slon) * (clon - slon) AS dist2
+        FROM cust, sup
+        WHERE (clat - slat) * (clat - slat)
+            + (clon - slon) * (clon - slon) <= {GEO_CELL * GEO_CELL}
+        ORDER BY s_suppkey, c_custkey
+    """
+
+
+def _market_basket_sql() -> str:
+    from deusu_spark.pipelines import BASKET_MIN_SUP as M
+
+    return f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             cnt AS (SELECT l_partkey, count(*) AS n_item
+                     FROM items GROUP BY 1),
+             pairs AS (
+                 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                        count(*) AS n_both
+                 FROM items a JOIN items b USING (l_orderkey)
+                 WHERE a.l_partkey < b.l_partkey
+                 GROUP BY 1, 2
+                 HAVING count(*) >= {M}
+             ),
+             n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+        SELECT part_a, part_b, n_both,
+               n_both / n_orders AS support,
+               n_both / ca.n_item AS confidence,
+               (n_both * n_orders) / (ca.n_item * cb.n_item) AS lift
+        FROM pairs, n
+        JOIN cnt ca ON ca.l_partkey = part_a
+        JOIN cnt cb ON cb.l_partkey = part_b
+        ORDER BY part_a, part_b
+    """
+
+
 def _classifier_score_sql() -> str:
     from deusu_spark.pipelines import FT_BUCKETS, _hex15_to_long_sql
 
@@ -1432,6 +1486,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "event_seq_match": """
+            SELECT user_id, n_matches FROM (
+                SELECT user_id,
+                       CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT)
+                           AS n_matches
+                FROM (
+                    SELECT user_id,
+                           string_agg(substr(event_type, 1, 1), ''
+                                      ORDER BY ts, event_id) AS s
+                    FROM events GROUP BY user_id
+                )
+            ) WHERE n_matches > 0 ORDER BY user_id
+        """,
+        "market_basket": _market_basket_sql(),
+        "spatial_join": _spatial_join_sql(),
         "scd2_intervals": """
             SELECT o_custkey, o_orderkey,
                    o_orderdate AS effective_from,

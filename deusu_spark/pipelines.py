@@ -4339,6 +4339,167 @@ def q_dq_expectations(spark, sf_dir):
     )
 
 
+def q_event_seq_match(spark, sf_dir):
+    """Complex-event-processing sequence match — the MATCH_RECOGNIZE gap
+    (SQL:2016 row-pattern recognition; Flink CEP's core op; Spark has no
+    native operator): count, per user, non-overlapping occurrences of the
+    pattern view → click+ → purchase over the time-ordered event stream.
+    Events compile to one symbol each (their initial is unique here), the
+    per-user ordered symbol string materializes in ONE groupBy
+    (array_sort(collect_list(struct)) — deterministic under ts ties via
+    the event_id tiebreak), and the pattern runs as a regex over that
+    string, exactly the NFA a CEP engine would run. Per-user state is
+    bounded by that user's event count — the scale lever for power users
+    is sessionizing first (user_sessions) so strings are per-session; the
+    streaming twin is an applyInPandasWithState NFA."""
+    ev = _t(spark, sf_dir, "events")
+    z = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("sym"),
+        ).alias("z"),
+    )
+    seq = z.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("z")), lambda x: x["sym"]),
+            "",
+        ).alias("s")
+    )
+    return (
+        seq.withColumn(
+            "n_matches",
+            F.size(F.expr("regexp_extract_all(s, 'vc+p', 0)")).cast("long"),
+        )
+        .where(F.col("n_matches") > 0)
+        .select("user_id", "n_matches")
+        .orderBy("user_id")
+    )
+
+
+BASKET_MIN_SUP = 3
+
+
+def q_market_basket(spark, sf_dir):
+    """Market-basket association rules (A-priori support counting):
+    part pairs co-purchased in ≥ BASKET_MIN_SUP orders, with support,
+    confidence(a→b) and lift. The A-priori prune is applied FOR REAL:
+    items below the support floor drop BEFORE the pair self-join (a pair
+    can never out-count its rarest member), which is what bounds the
+    equi-join fan-out at catalog scale; pair generation itself is the
+    per-basket self-join — quadratic only in basket SIZE, never in the
+    catalog. Single-division ratios keep the floats bit-identical to the
+    oracle's."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    hot = items.join(
+        F.broadcast(cnt.where(F.col("n_item") >= BASKET_MIN_SUP)), "l_partkey"
+    ).select("l_orderkey", "l_partkey")
+    pairs = (
+        hot.alias("a")
+        .join(hot.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_SUP)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (F.col("n_both") / F.lit(n_orders)).alias("support"),
+            (F.col("n_both") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_both") * F.lit(n_orders)) / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+GEO_CELL = 8000  # grid cell edge, milli-degrees (= the join radius)
+
+
+def _geo_coords(df, key: str):
+    """Deterministic synthetic integer milli-degree coordinates in
+    [0, 180000) × [0, 360000): md5 of key+tag through the shared portable
+    hex→long (the md5 lands in a named column FIRST so the 15-digit
+    expansion reads a value, not 15 recomputed hashes). Integer coords
+    make every distance comparison EXACT — no float boundary rows can
+    differ between engines."""
+    h = df.select(
+        key,
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":lat"))).alias("h_lat"),
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":lon"))).alias("h_lon"),
+    )
+    return h.select(
+        key,
+        (F.expr(_hex15_to_long_sql("instr", "h_lat")) % 180000).alias("lat"),
+        (F.expr(_hex15_to_long_sql("instr", "h_lon")) % 360000).alias("lon"),
+    )
+
+
+def q_spatial_join(spark, sf_dir):
+    """Grid-bucketed spatial radius join (geohash-join shape, the standard
+    missing-Spark spatial op): customers within GEO_CELL milli-degrees of
+    a supplier, on deterministic synthetic integer coordinates (planar
+    grid; no meridian wrap — the demo simplification). The small side
+    (suppliers) explodes into its 3×3 neighboring grid cells, the big
+    side maps to its ONE home cell, and a plain equi-join on the cell key
+    + an exact integer squared-distance verify replaces the quadratic
+    theta-join the oracle runs — with cell edge = radius, every matching
+    pair lands in exactly one of the 9 neighbor cells, so recall is
+    complete and no dedup pass is needed. All-integer arithmetic end to
+    end (portable md5 hex digits), so the boundary predicate is
+    bit-identical on both engines."""
+    cust = (
+        _geo_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+        .withColumnsRenamed({"lat": "clat", "lon": "clon"})
+        .withColumn(
+            "cell",
+            F.concat_ws(
+                ":",
+                F.expr(f"clat DIV {GEO_CELL}"),
+                F.expr(f"clon DIV {GEO_CELL}"),
+            ),
+        )
+    )
+    sup = _geo_coords(_t(spark, sf_dir, "supplier"), "s_suppkey").withColumnsRenamed(
+        {"lat": "slat", "lon": "slon"}
+    )
+    neighbors = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.expr(f"slat DIV {GEO_CELL}") + dy,
+                F.expr(f"slon DIV {GEO_CELL}") + dx,
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    sup9 = sup.withColumn("cell", F.explode(neighbors))
+    d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    return (
+        cust.join(F.broadcast(sup9), "cell")
+        .where(d2 <= GEO_CELL * GEO_CELL)
+        .select("s_suppkey", "c_custkey", d2.alias("dist2"))
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4436,4 +4597,7 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "skyline_orders": q_skyline_orders,
     "dq_expectations": q_dq_expectations,
+    "event_seq_match": q_event_seq_match,
+    "market_basket": q_market_basket,
+    "spatial_join": q_spatial_join,
 }

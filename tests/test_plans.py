@@ -509,3 +509,38 @@ def test_dq_checks_anti_joins_not_nlj(spark, sf_dir="/root/testdata/sf0.001"):
     assert "LeftAnti" in plan
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_event_seq_match_one_agg_no_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The CEP sequence match is ONE grouped aggregation; the pattern
+    regex runs JVM-side over the assembled symbol string — no join, no
+    window, no Python evaluator."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_event_seq_match(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_market_basket_equi_joins_only(spark, sf_dir="/root/testdata/sf0.001"):
+    """Pair generation is the per-basket equi self-join (key = orderkey);
+    the item-count joins broadcast. Never a nested loop / cartesian —
+    that is the oracle's job."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_market_basket(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_spatial_join_is_cell_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The radius join must ride the 3×3 grid-cell broadcast equi-join
+    with the integer distance verify as a filter — never the quadratic
+    theta join the oracle runs."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_spatial_join(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
