@@ -1486,6 +1486,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "snapshot_diff": """
+            WITH b AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 1.1
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 89 = 1
+            ),
+            j AS (
+                SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       a.o_totalprice AS old_totalprice,
+                       b.o_totalprice AS new_totalprice
+                FROM orders a FULL OUTER JOIN b
+                  ON a.o_orderkey = b.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN old_totalprice IS NULL THEN 'insert'
+                        WHEN new_totalprice IS NULL THEN 'delete'
+                        WHEN new_totalprice <> old_totalprice THEN 'update'
+                        ELSE 'unchanged' END AS change_type,
+                   old_totalprice, new_totalprice
+            FROM j
+            WHERE NOT (old_totalprice IS NOT NULL
+                       AND new_totalprice IS NOT NULL
+                       AND new_totalprice = old_totalprice)
+            ORDER BY o_orderkey
+        """,
+        "merge_upsert": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 89 = 1
+            ORDER BY o_orderkey
+        """,
         "event_seq_match": """
             SELECT user_id, n_matches FROM (
                 SELECT user_id,

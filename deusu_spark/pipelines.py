@@ -4500,6 +4500,119 @@ def q_spatial_join(spark, sf_dir):
     )
 
 
+def _orders_snapshot_b(o):
+    """Deterministic 'next snapshot' of orders for the CDC pair: rows with
+    o_orderkey % 97 == 0 deleted, customers with o_custkey % 10 == 0 get a
+    10% price bump (update), and rows with o_orderkey % 89 == 1 re-key to
+    +10_000_000 as inserts. Pure modular arithmetic — both engines derive
+    the identical snapshot."""
+    survivors = o.where(F.col("o_orderkey") % 97 != 0)
+    updated = survivors.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 10 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.where(F.col("o_orderkey") % 89 == 1).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    return updated.unionByName(inserts)
+
+
+_SNAPSHOT_B_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 89 = 1
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff — derive the change feed between two table
+    versions (the operation behind Delta CDF / Iceberg changelog scans,
+    and the input every SCD ingest consumes): ONE full-outer join on the
+    key classifies every row as insert (left miss), delete (right miss)
+    or update (both present, any tracked column differs); unchanged rows
+    — the overwhelming majority at 100 TB — are filtered OUT so the
+    output is bounded by the churn, not the table. Key-partitioned
+    sort-merge join, no windows; at petabyte scale both sides bucket on
+    the key so the join is co-located. DeuSu's analog is the full-rebuild
+    diff a GenDb swap implies (GenDb.dpr ready2.dat); this op is what
+    replaces rebuild-everything with process-the-delta."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = _orders_snapshot_b(o)
+    a = o.select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").alias("old_totalprice"),
+    )
+    bb = b.select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").alias("new_totalprice"),
+    )
+    j = a.join(bb, "o_orderkey", "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("old_totalprice").isNull(), F.lit("insert"))
+            .when(F.col("new_totalprice").isNull(), F.lit("delete"))
+            .when(
+                F.col("new_totalprice") != F.col("old_totalprice"),
+                F.lit("update"),
+            )
+            .otherwise(F.lit("unchanged")),
+        )
+        .where(F.col("change_type") != "unchanged")
+        .select("o_orderkey", "change_type", "old_totalprice", "new_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert apply — the other half of the CDC pair: apply
+    an (op, key, payload) change feed to a base table in one pass. The
+    feed here is the snapshot-diff's own churn (updates for custkey%10
+    orders, deletes for orderkey%97, inserts re-keyed +10M), applied as
+    the classic three-way plan: LEFT join base→updates (coalesce new
+    values), anti-join the deletes, union the inserts — insert/update/
+    delete semantics with each change touching the table exactly once.
+    This is what Delta/Iceberg MERGE compiles to; on a bucketed table all
+    three legs co-locate on the key and the small feed broadcasts.
+    Output is the full merged snapshot (bit-equal to _orders_snapshot_b
+    by construction — the oracle recomputes it independently)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    upd = (
+        o.where((F.col("o_custkey") % 10 == 0) & (F.col("o_orderkey") % 97 != 0))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("new_totalprice"),
+        )
+    )
+    dele = o.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    ins = o.where(F.col("o_orderkey") % 89 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    merged = (
+        o.join(F.broadcast(dele), "o_orderkey", "left_anti")
+        .join(F.broadcast(upd), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("new_totalprice", "o_totalprice").alias("o_totalprice"),
+        )
+        .unionByName(ins)
+    )
+    return merged.orderBy("o_orderkey")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4600,4 +4713,6 @@ QUERIES = {
     "event_seq_match": q_event_seq_match,
     "market_basket": q_market_basket,
     "spatial_join": q_spatial_join,
+    "snapshot_diff": q_snapshot_diff,
+    "merge_upsert": q_merge_upsert,
 }

@@ -544,3 +544,26 @@ def test_spatial_join_is_cell_equi_join(spark, sf_dir="/root/testdata/sf0.001"):
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_snapshot_diff_one_outer_join(spark, sf_dir="/root/testdata/sf0.001"):
+    """The CDC diff is ONE key join classifying rows — full outer, no
+    window, no Python; churn filter keeps the output bounded."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_merge_upsert_three_way_broadcast(spark, sf_dir="/root/testdata/sf0.001"):
+    """MERGE INTO compiles to anti-join(deletes) + left join(updates) +
+    union(inserts); the small change feed broadcasts, nothing loops."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_merge_upsert(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "Union" in plan
+    assert "EvalPython" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
