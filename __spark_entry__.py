@@ -596,6 +596,66 @@ def _market_basket_sql() -> str:
     """
 
 
+def _kmv_set_ops_sql() -> str:
+    from deusu_spark.pipelines import KMV_K, _KMV_ELEM_SQL, _kmv_hash_sql
+
+    h = _kmv_hash_sql("strpos", _KMV_ELEM_SQL)
+    denom = float(16**15)
+    return f"""
+        WITH sets AS (
+            SELECT DISTINCT event_type AS s, {h} AS h
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        base AS (
+            SELECT DISTINCT event_type AS s, {_KMV_ELEM_SQL} AS e
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        memb AS (SELECT h, count(DISTINCT s) AS n_sets FROM sets GROUP BY h),
+        kth AS (
+            SELECT s AS metric, h AS uk FROM (
+                SELECT s, h,
+                       row_number() OVER (PARTITION BY s ORDER BY h) AS rk
+                FROM sets
+            ) WHERE rk = {KMV_K}
+        ),
+        union_k AS (
+            SELECT h, n_sets, rk FROM (
+                SELECT h, n_sets, row_number() OVER (ORDER BY h) AS rk
+                FROM memb
+            ) WHERE rk <= {KMV_K}
+        ),
+        u_union AS (
+            SELECT 'union' AS metric, h AS uk FROM union_k WHERE rk = {KMV_K}
+        ),
+        ests AS (
+            SELECT metric,
+                   round(({KMV_K} - 1) / (uk / {denom}), 6) AS estimate
+            FROM (SELECT * FROM kth UNION ALL SELECT * FROM u_union)
+            UNION ALL
+            SELECT 'intersection',
+                   round(
+                       (SELECT sum(CASE WHEN n_sets = 2 THEN 1 ELSE 0 END)
+                               / {KMV_K}.0 FROM union_k)
+                       * ({KMV_K} - 1)
+                       / ((SELECT uk FROM u_union) / {denom}), 6)
+        ),
+        exacts AS (
+            SELECT s AS metric, CAST(count(*) AS BIGINT) AS exact
+            FROM base GROUP BY 1
+            UNION ALL
+            SELECT 'union', CAST(count(DISTINCT e) AS BIGINT) FROM base
+            UNION ALL
+            SELECT 'intersection', CAST(count(*) AS BIGINT) FROM (
+                SELECT e FROM base
+                GROUP BY e HAVING count(DISTINCT s) = 2
+            )
+        )
+        SELECT metric, estimate, exact
+        FROM ests JOIN exacts USING (metric)
+        ORDER BY metric
+    """
+
+
 def _classifier_score_sql() -> str:
     from deusu_spark.pipelines import FT_BUCKETS, _hex15_to_long_sql
 
@@ -1486,6 +1546,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "regression_trend": """
+            WITH b AS (
+                SELECT event_type,
+                       (floor(epoch(ts))
+                        - (SELECT min(floor(epoch(ts))) FROM events))
+                       / 3600.0 AS x,
+                       value AS y
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(y, x), 9) AS slope,
+                   round(regr_intercept(y, x), 9) AS intercept,
+                   round(regr_r2(y, x), 9) AS r2
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "kmv_set_ops": _kmv_set_ops_sql(),
         "snapshot_diff": """
             WITH b AS (
                 SELECT o_orderkey, o_custkey,

@@ -4613,6 +4613,163 @@ def q_merge_upsert(spark, sf_dir):
     return merged.orderBy("o_orderkey")
 
 
+def q_regression_trend(spark, sf_dir):
+    """Per-group linear-regression trend (the regr_slope/regr_intercept/
+    regr_r2 SQL-analytics family Spark lacks as built-ins): value-vs-hour
+    least squares per event_type, computed closed-form from SIX combinable
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) — one map-side-combinable aggregate,
+    no window, no per-group collect, so it runs at any cardinality. The
+    oracle is DuckDB's NATIVE regr_* aggregates — a fully independent
+    implementation of the same math, so agreement pins the formulas, not
+    the plumbing. x = hours since the corpus minimum (one tiny scalar job;
+    re-zeroing keeps x² within exact-double range at any time span and
+    cancels the session-timezone interpretation of NTZ timestamps).
+    Timestamps truncate to whole seconds on BOTH sides (unix_timestamp
+    here, floor(epoch()) in the oracle) — the shared grain under
+    microsecond inputs."""
+    ev = _t(spark, sf_dir, "events")
+    t0s = ev.agg(F.min(F.unix_timestamp("ts"))).first()[0]
+    x = (F.unix_timestamp("ts") - F.lit(int(t0s))) / 3600.0
+    base = ev.select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vxx
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "intercept"
+        ),
+        F.round((cov * cov) / (vxx * vyy), 9).alias("r2"),
+    ).orderBy("event_type")
+
+
+KMV_K = 64
+
+# the sketched element is the USER-DAY (same grain as q_set_ops_users and
+# for the same reason: every user eventually does every event type, so
+# user-level sets degenerate to identical); the expression is shared
+# Spark/DuckDB SQL text — both render dates as yyyy-MM-dd
+_KMV_ELEM_SQL = (
+    "concat(cast(user_id AS STRING), ':', cast(cast(ts AS DATE) AS STRING))"
+)
+
+
+def _kmv_hash_sql(instr_fn: str, expr: str) -> str:
+    """Portable uniform 60-bit hash of an element expression (md5
+    hex→long, shared digit-sum arithmetic)."""
+    return _hex15_to_long_sql(instr_fn, f"md5({expr})")
+
+
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV (K-minimum-values / bottom-k theta) sketch SET ALGEBRA — the
+    capability an HLL register sketch lacks: distinct-count estimates for
+    the UNION and the INTERSECTION of user sets (viewers vs purchasers),
+    not just each set alone. Per set keep the K smallest distinct hash
+    values; est = (K−1)/u_K with u_K the K-th minimum normalized to (0,1);
+    union-merge = K smallest of the concatenation (bottom-k sketches are
+    trivially mergeable — the cross-cluster property); intersection via
+    the Jaccard fraction of the union's bottom-K that land in both sets.
+    Everything is integer-hash arithmetic + bounded windows over ≤K rows
+    per set, so both engines compute bit-identical estimates; the exact
+    distinct counts ride along in the same result for the error story.
+    The one global sort per sketch touches DISTINCT HASHES ONLY and keeps
+    K rows — at 100 TB the per-partition bottom-K combines first (same
+    two-phase shape as topk_ngrams)."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.expr(_kmv_hash_sql("instr", _KMV_ELEM_SQL))
+    sets = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .select(F.col("event_type").alias("s"), h.alias("h"))
+        .distinct()
+    )
+    # membership of each distinct hash (hashes are per-user, so a hash in
+    # both sets marks a user in the intersection)
+    memb = sets.groupBy("h").agg(
+        F.countDistinct("s").alias("n_sets"), F.count("*").alias("_c")
+    ).drop("_c")
+
+    def bottom_k(df, part):
+        w = (
+            Window.partitionBy(*part).orderBy("h")
+            if part
+            else Window.orderBy("h")
+        )
+        return df.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= KMV_K
+        )
+
+    kth = (
+        bottom_k(sets, ["s"])
+        .where(F.col("rk") == KMV_K)
+        .select(F.col("s").alias("metric"), F.col("h").alias("uk"))
+    )
+    union_k = bottom_k(memb.select("h", "n_sets"), [])
+    u_union = union_k.where(F.col("rk") == KMV_K).select(
+        F.lit("union").alias("metric"), F.col("h").alias("uk")
+    )
+    est = F.round(
+        (KMV_K - 1) / (F.col("uk") / float(16**15)), 6
+    ).alias("estimate")
+    per_set = kth.select("metric", est)
+    union_est = u_union.select("metric", est)
+    # intersection: Jaccard share of the union's bottom-K present in BOTH
+    rho = (
+        union_k.agg(
+            (
+                F.sum(F.when(F.col("n_sets") == 2, 1).otherwise(0))
+                / F.lit(KMV_K)
+            ).alias("rho")
+        )
+        .crossJoin(u_union.select(F.col("uk")))
+        .select(
+            F.lit("intersection").alias("metric"),
+            F.round(
+                F.col("rho") * (KMV_K - 1) / (F.col("uk") / float(16**15)), 6
+            ).alias("estimate"),
+        )
+    )
+    base = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", F.expr(_KMV_ELEM_SQL).alias("e"))
+        .distinct()
+    )
+    exact = (
+        base.groupBy("e")
+        .agg(F.countDistinct("event_type").alias("n_sets"))
+        .agg(
+            F.sum(F.when(F.col("n_sets") >= 1, 1)).alias("union_"),
+            F.sum(F.when(F.col("n_sets") == 2, 1)).alias("inter_"),
+        )
+    )
+    exact_sets = base.groupBy(F.col("event_type").alias("metric")).agg(
+        F.count("*").cast("long").alias("exact")
+    )
+    exact_long = exact.select(
+        F.explode(
+            F.create_map(
+                F.lit("union"), F.col("union_").cast("long"),
+                F.lit("intersection"), F.col("inter_").cast("long"),
+            )
+        ).alias("metric", "exact")
+    )
+    ests = per_set.unionByName(union_est).unionByName(rho)
+    exacts = exact_sets.unionByName(exact_long)
+    return ests.join(exacts, "metric").orderBy("metric")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4715,4 +4872,6 @@ QUERIES = {
     "spatial_join": q_spatial_join,
     "snapshot_diff": q_snapshot_diff,
     "merge_upsert": q_merge_upsert,
+    "regression_trend": q_regression_trend,
+    "kmv_set_ops": q_kmv_set_ops,
 }

@@ -567,3 +567,24 @@ def test_merge_upsert_three_way_broadcast(spark, sf_dir="/root/testdata/sf0.001"
     assert "Union" in plan
     assert "EvalPython" not in plan
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_regression_trend_one_combinable_agg(spark, sf_dir="/root/testdata/sf0.001"):
+    """The per-group regression is SIX combinable sums in one hash
+    aggregate — no window, no join, no per-group collect, no Python."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_regression_trend(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kmv_windows_bounded_no_python(spark, sf_dir="/root/testdata/sf0.001"):
+    """KMV sketches sort DISTINCT HASHES only and keep K rows; the hash
+    arithmetic stays JVM-side (the 1×1 scalar cross join is the only
+    nested-loop shape allowed)."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_kmv_set_ops(spark, sf_dir))
+    assert "EvalPython" not in plan

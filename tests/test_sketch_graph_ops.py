@@ -235,3 +235,80 @@ def test_hll_sketches_merge_by_register_max(docs):
     if zeros > 0 and est <= 2.5 * 64:
         est = 64.0 * math.log(64.0 / zeros)
     assert round(est, 2) == full_est
+
+
+def test_kmv_estimates_accurate_and_pure_python(spark):
+    """Third implementation of the KMV sketch (pure Python md5 + sorted
+    sets) must reproduce the engines' estimates EXACTLY, and every
+    estimate must land within 25% of its exact cardinality (K=64 ⇒
+    ~1/√(K−2) ≈ 12.7% standard error; observed ≤6% on this corpus)."""
+    rows = {
+        r["metric"]: r
+        for r in pipelines.q_kmv_set_ops(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"view", "purchase", "union", "intersection"}
+    for m, r in rows.items():
+        assert r["exact"] > 0
+        assert abs(r["estimate"] - r["exact"]) / r["exact"] < 0.25, (m, r)
+    # set-algebra sanity on the exacts
+    assert rows["union"]["exact"] <= rows["view"]["exact"] + rows["purchase"]["exact"]
+    assert rows["intersection"]["exact"] <= min(
+        rows["view"]["exact"], rows["purchase"]["exact"]
+    )
+    # pure-Python recompute of every estimate
+    ev = duckdb.sql(
+        f"SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM "
+        f"'{SF_DIR}/events.parquet' "
+        f"WHERE event_type IN ('view','purchase')"
+    ).fetchall()
+    sets = {"view": set(), "purchase": set()}
+    for et, uid, d in ev:
+        h = int(
+            hashlib.md5(f"{uid}:{d.isoformat()}".encode()).hexdigest()[:15], 16
+        )
+        sets[et].add(h)
+    K = pipelines.KMV_K
+    denom = float(16**15)
+
+    def est(hs):
+        uk = sorted(hs)[K - 1]
+        return round((K - 1) / (uk / denom), 6)
+
+    union = sets["view"] | sets["purchase"]
+    both = sets["view"] & sets["purchase"]
+    assert rows["view"]["estimate"] == est(sets["view"])
+    assert rows["purchase"]["estimate"] == est(sets["purchase"])
+    assert rows["union"]["estimate"] == est(union)
+    bottom = sorted(union)[:K]
+    rho = sum(1 for h in bottom if h in both) / K
+    assert rows["intersection"]["estimate"] == round(
+        rho * (K - 1) / (bottom[K - 1] / denom), 6
+    )
+
+
+def test_regression_trend_matches_numpy_lstsq(spark):
+    """The closed-form six-sum regression must agree with numpy's
+    polyfit per group (independent third implementation) to 1e-6."""
+    import numpy as np
+
+    got = {
+        r["event_type"]: r
+        for r in pipelines.q_regression_trend(spark, SF_DIR).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT event_type, floor(epoch(ts)) AS es, value FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    t0 = min(r[1] for r in ev)
+    groups = {}
+    for et, es, v in ev:
+        groups.setdefault(et, []).append(((es - t0) / 3600.0, v))
+    for et, pts in groups.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[et]["n"] == len(pts)
+        assert abs(got[et]["slope"] - slope) < 1e-6, et
+        assert abs(got[et]["intercept"] - intercept) < 1e-6, et
+        assert abs(got[et]["r2"] - r * r) < 1e-6, et
