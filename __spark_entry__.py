@@ -596,6 +596,74 @@ def _market_basket_sql() -> str:
     """
 
 
+def _khop_sql() -> str:
+    from deusu_spark.pipelines import KHOP_HOPS, KHOP_SEED_MOD
+
+    return f"""
+        WITH RECURSIVE
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a JOIN items b USING (l_orderkey)
+            WHERE a.l_partkey <> b.l_partkey
+        ),
+        walk(v, hop) AS (
+            SELECT DISTINCT l_partkey, 0 FROM items
+            WHERE l_partkey % {KHOP_SEED_MOD} = 0
+            UNION
+            SELECT e.dst, w.hop + 1
+            FROM walk w JOIN edges e ON w.v = e.src
+            WHERE w.hop < {KHOP_HOPS}
+        )
+        SELECT v AS part, CAST(min(hop) AS INT) AS hop
+        FROM walk GROUP BY v ORDER BY v
+    """
+
+
+def _ab_test_sql() -> str:
+    from deusu_spark.pipelines import AB_SALT, _hex15_to_long_sql
+
+    h = _hex15_to_long_sql(
+        "strpos", f"md5(concat(cast(user_id AS STRING), '{AB_SALT}'))"
+    )
+    return f"""
+        WITH per_day AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS saw,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        armed AS (
+            SELECT CASE WHEN ({h}) % 2 = 0 THEN 'control'
+                        ELSE 'treatment' END AS arm,
+                   converted
+            FROM per_day WHERE saw = 1
+        ),
+        arms AS (
+            SELECT arm, count(*) AS n_exposures,
+                   CAST(sum(converted) AS BIGINT) AS n_conversions
+            FROM armed GROUP BY arm
+        ),
+        w AS (
+            SELECT
+                (SELECT n_exposures FROM arms WHERE arm = 'control') AS cn,
+                (SELECT n_conversions FROM arms WHERE arm = 'control') AS cc,
+                (SELECT n_exposures FROM arms WHERE arm = 'treatment') AS tn,
+                (SELECT n_conversions FROM arms WHERE arm = 'treatment') AS tc
+        )
+        SELECT arm, n_exposures, n_conversions,
+               round(CASE WHEN arm = 'control' THEN cc / cn
+                          ELSE tc / tn END, 9) AS conv_rate,
+               round((tc / tn - cc / cn)
+                     / sqrt(((cc + tc) / (cn + tn))
+                            * (1 - (cc + tc) / (cn + tn))
+                            * (1.0 / cn + 1.0 / tn)), 9) AS z_score
+        FROM arms, w ORDER BY arm
+    """
+
+
 def _kmv_set_ops_sql() -> str:
     from deusu_spark.pipelines import KMV_K, _KMV_ELEM_SQL, _kmv_hash_sql
 
@@ -1546,6 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "khop_reachability": _khop_sql(),
+        "ab_test": _ab_test_sql(),
         "regression_trend": """
             WITH b AS (
                 SELECT event_type,

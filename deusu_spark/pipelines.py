@@ -4770,6 +4770,147 @@ def q_kmv_set_ops(spark, sf_dir):
     return ests.join(exacts, "metric").orderBy("metric")
 
 
+KHOP_SEED_MOD = 101  # seed parts: p_partkey % 101 == 0
+KHOP_HOPS = 3
+
+
+def q_khop_reachability(spark, sf_dir):
+    """K-hop graph reachability (iterative BFS — the traversal family
+    member beyond PageRank / connected components / triangles): starting
+    from a seed part set, walk the co-purchase graph (parts sharing an
+    order, the market-basket edge set) for KHOP_HOPS rounds and report
+    each reached part's hop distance. Each round is ONE equi-join
+    frontier→edges + a min-hop aggregate — the Pregel superstep shape;
+    the frontier stays a set of keys (never paths), so state is bounded
+    by |V| and lineage by the CONSTANT hop count. The oracle walks the
+    same edges with a recursive CTE. Edge skew note: hot parts fan out,
+    but the per-round distinct(v, hop-min) aggregate re-collapses before
+    the next join — the frontier never multiplies."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    frontier = (
+        items.select("l_partkey")
+        .distinct()
+        .where(F.col("l_partkey") % KHOP_SEED_MOD == 0)
+        .select(F.col("l_partkey").alias("v"), F.lit(0).alias("hop"))
+    )
+    reached = frontier
+    for h in range(1, KHOP_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"), F.lit(h).alias("hop"))
+            .join(reached.select("v"), "v", "left_anti")
+            .distinct()
+        )
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt.localCheckpoint()
+    return (
+        reached.groupBy("v")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .orderBy("v")
+        .withColumnRenamed("v", "part")
+    )
+
+
+AB_SALT = "ab1"
+
+
+def q_ab_test(spark, sf_dir):
+    """A/B experiment analysis (the experimentation-analytics family):
+    users hash-assign to control/treatment on md5(user:salt) parity — the
+    deterministic bucketing every experiment platform uses (cluster
+    randomization at the user level); the exposure unit is the USER-DAY
+    with at least one view (a session), converted iff that day also saw a
+    purchase (a per-user "did they ever convert" flag is degenerate here —
+    every long-lived user eventually buys). Each arm reports exposures,
+    conversions, the conversion rate, and the pooled two-proportion
+    z-statistic testing the lift — near 0 for a hash split, the correct
+    null-experiment reading. Two combinable aggregates plus scalar
+    arithmetic; identical single-division/sqrt shapes in both engines so
+    the floats hash-compare. At 100 TB the (user, day) agg is the only
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.expr(
+            _hex15_to_long_sql(
+                "instr", f"md5(concat(cast(user_id AS STRING), '{AB_SALT}'))"
+            )
+        )
+        % 2
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_day = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "saw"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .where(F.col("saw") == 1)
+        .select(arm.alias("arm"), "converted")
+    )
+    arms = per_day.groupBy("arm").agg(
+        F.count("*").alias("n_exposures"),
+        F.sum("converted").cast("long").alias("n_conversions"),
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("arm", ["control", "treatment"])
+        .agg(
+            F.first("n_exposures").alias("n"),
+            F.first("n_conversions").alias("c"),
+        )
+    )
+    p1 = F.col("control_c") / F.col("control_n")
+    p2 = F.col("treatment_c") / F.col("treatment_n")
+    pp = (F.col("control_c") + F.col("treatment_c")) / (
+        F.col("control_n") + F.col("treatment_n")
+    )
+    se = F.sqrt(
+        pp * (1 - pp) * (1 / F.col("control_n") + 1 / F.col("treatment_n"))
+    )
+    long = wide.select(
+        F.explode(
+            F.create_map(
+                F.lit("control"),
+                F.struct(
+                    F.col("control_n").alias("n_exposures"),
+                    F.col("control_c").alias("n_conversions"),
+                    F.round(p1, 9).alias("conv_rate"),
+                    F.round((p2 - p1) / se, 9).alias("z_score"),
+                ),
+                F.lit("treatment"),
+                F.struct(
+                    F.col("treatment_n").alias("n_exposures"),
+                    F.col("treatment_c").alias("n_conversions"),
+                    F.round(p2, 9).alias("conv_rate"),
+                    F.round((p2 - p1) / se, 9).alias("z_score"),
+                ),
+            )
+        ).alias("arm", "x")
+    )
+    return long.select(
+        "arm",
+        F.col("x.n_exposures").cast("long").alias("n_exposures"),
+        F.col("x.n_conversions").alias("n_conversions"),
+        F.col("x.conv_rate").alias("conv_rate"),
+        F.col("x.z_score").alias("z_score"),
+    ).orderBy("arm")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -4874,4 +5015,6 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "regression_trend": q_regression_trend,
     "kmv_set_ops": q_kmv_set_ops,
+    "khop_reachability": q_khop_reachability,
+    "ab_test": q_ab_test,
 }

@@ -588,3 +588,25 @@ def test_kmv_windows_bounded_no_python(spark, sf_dir="/root/testdata/sf0.001"):
 
     plan = _plan(pipelines.q_kmv_set_ops(spark, sf_dir))
     assert "EvalPython" not in plan
+
+
+def test_khop_joins_are_equi_and_checkpointed(spark, sf_dir="/root/testdata/sf0.001"):
+    """Every BFS superstep is an equi-join frontier→edges; the final round
+    reads checkpointed RDDs (constant-depth lineage), no Python, no NLJ."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_khop_reachability(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # localCheckpoint'ed frontier
+
+
+def test_ab_test_two_aggs_no_window(spark, sf_dir="/root/testdata/sf0.001"):
+    """Arm assignment + conversion stats are two hash aggregates of
+    JVM arithmetic — no window, no per-user collect, no Python."""
+    from deusu_spark import pipelines
+
+    plan = _plan(pipelines.q_ab_test(spark, sf_dir))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
