@@ -210,6 +210,18 @@ class SearchEngine:
         self._fetch_term_meta(sorted(cands))  # ONE job; term_df is then warm
         return compile_query(query, self.meta["n_docs"], self.term_df)
 
+    def explain(self, query: str) -> dict:
+        """Query EXPLAIN: the compiled plan + physical decisions as plain
+        data (shared shape across engines — queryplan.explain_plan)."""
+        from .queryplan import explain_plan
+
+        return explain_plan(
+            query,
+            self.compile(query),
+            self.meta["n_docs"],
+            self.meta["fancy_threshold"],
+        )
+
     # -- public API ----------------------------------------------------------
     def search(
         self,

@@ -261,6 +261,15 @@ class LocalSearcher:
     def compile(self, query: str) -> list[PlanTerm]:
         return compile_query(query, self.n_docs, self.term_df)
 
+    def explain(self, query: str) -> dict:
+        """Query EXPLAIN — identical shape (and content, same index) to
+        SearchEngine.explain: compile() is shared machinery."""
+        from .queryplan import explain_plan
+
+        return explain_plan(
+            query, self.compile(query), self.n_docs, self.meta["fancy_threshold"]
+        )
+
     def search(
         self,
         query: str,

@@ -156,3 +156,54 @@ def compile_query(
         )
         terms.append(t)
     return terms
+
+
+def explain_plan(
+    query: str,
+    terms: list[PlanTerm],
+    n_docs: int,
+    fancy_threshold: int,
+) -> dict:
+    """Engine-agnostic query EXPLAIN: the compiled plan as plain data —
+    per-term df/idf/bucket/flags in EVALUATION ORDER (the df-bubble
+    optimizer's output), plus the physical decisions a pass will take:
+    whether the fancy accelerator pass runs first (any non-host term over
+    the df threshold, searchservernew.dpr:1848-1855) and each term's
+    postings kind. Both engines expose this through .explain(); the dict
+    is identical across them because compile() is shared — tested in
+    test_serving_compose."""
+    from .synth import crc32
+
+    fancy_terms = [
+        t for t in terms if t.host is None and t.df > fancy_threshold
+    ]
+    return {
+        "query": query,
+        "n_docs": n_docs,
+        "n_terms": len(terms),
+        "two_pass": bool(fancy_terms),
+        "evaluation_order": [t.key for t in terms],
+        "terms": [
+            {
+                "key": t.key,
+                "action": t.action,
+                "df": t.df,
+                "idf": round(t.idf, 6),
+                "bucket": crc32(t.key) % 64,
+                "host": t.host,
+                "title_only": t.title_only,
+                "url_only": t.url_only,
+                "include_backlink": t.include_backlink,
+                "fancy_eligible": t.host is None and t.df > fancy_threshold,
+                "fancy_hole": t.fancy_hole,
+                "postings_kind": (
+                    "fancy"
+                    if t.host is None
+                    and t.df > fancy_threshold
+                    and not t.fancy_hole
+                    else "full"
+                ),
+            }
+            for t in terms
+        ],
+    }

@@ -133,3 +133,33 @@ def test_lev_le1_exact():
     for a in words:
         for b in words:
             assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_explain_plan_both_engines(engine, local_searcher):
+    """explain() exposes the compiled plan as data: identical across the
+    distributed and serving engines (shared compile), df values from the
+    lexicon, NOT terms flagged, hot terms fancy-eligible + two-pass, and
+    the evaluation order is the df-bubbled optimizer order."""
+    for q in ("linux", "linux -google", "intitle:assistant linux",
+              "host:conv00000017", "w0042 linux"):
+        a = engine.explain(q)
+        b = local_searcher.explain(q)
+        assert a == b, q
+    ex = local_searcher.explain("linux -google")
+    assert ex["n_terms"] == 2 and ex["two_pass"] in (True, False)
+    by_key = {t["key"]: t for t in ex["terms"]}
+    assert by_key["google"]["action"] == "NOT"
+    assert by_key["linux"]["df"] == local_searcher.term_df("linux") > 0
+    for t in ex["terms"]:
+        assert t["bucket"] == __import__("deusu_spark.synth", fromlist=["crc32"]).crc32(t["key"]) % 64
+    # a hot term on the tiny index: fancy decision mirrors search()'s
+    hot = local_searcher.explain("linux")["terms"][0]
+    assert hot["fancy_eligible"] == (
+        local_searcher.term_df("linux")
+        > local_searcher.meta["fancy_threshold"]
+    )
+    assert hot["postings_kind"] in ("fancy", "full")
+    # multi-term AND: evaluation order is ascending df after the SET term
+    ex2 = local_searcher.explain("w0042 linux")
+    dfs = [t["df"] for t in ex2["terms"] if t["action"] == "AND"]
+    assert dfs == sorted(dfs)
