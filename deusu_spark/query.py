@@ -1261,6 +1261,35 @@ class FederatedSearchEngine:
         self._map_parts(lambda p: p._fetch_term_meta(sc))
         return compile_query(query, self.n_docs, self.term_df)
 
+    def explain(self, query: str) -> dict:
+        """Federated EXPLAIN: the GLOBAL plan plus per-part fancy holes
+        (same shape as the serving FederatedSearcher.explain; the hole
+        rule is _part_terms')."""
+        from .queryplan import explain_plan
+
+        terms = self.compile(query)
+        out = explain_plan(
+            query, terms, self.n_docs, self.meta["fancy_threshold"]
+        )
+        thr = self.meta["fancy_threshold"]
+        bounds = self.offsets + [self.n_docs]
+        out["parts"] = [
+            {
+                "part": i,
+                "n_docs": bounds[i + 1] - bounds[i],
+                "doc_offset": self.offsets[i],
+                "fancy_holes": [
+                    t.key
+                    for t in terms
+                    if t.host is None
+                    and t.df > thr
+                    and p.term_df(t.key) <= thr
+                ],
+            }
+            for i, p in enumerate(self.parts)
+        ]
+        return out
+
     def _part_terms(
         self, p: SearchEngine, terms: list[PlanTerm], use_fancy: bool
     ) -> list[PlanTerm]:

@@ -620,6 +620,36 @@ class FederatedSearcher:
     def compile(self, query: str) -> list[PlanTerm]:
         return compile_query(query, self.n_docs, self.term_df)
 
+    def explain(self, query: str) -> dict:
+        """Federated EXPLAIN: the GLOBAL plan (summed-df compile), plus a
+        per-part list of fancy HOLES — terms whose global df crosses the
+        accelerator threshold while that part was built with a local df
+        below it, so the part reconstructs the fancy list from full
+        postings + its rank sidecar at query time."""
+        from .queryplan import explain_plan
+
+        terms = self.compile(query)
+        out = explain_plan(
+            query, terms, self.n_docs, self.meta["fancy_threshold"]
+        )
+        thr = self.meta["fancy_threshold"]
+        out["parts"] = [
+            {
+                "part": i,
+                "n_docs": int(p.meta["n_docs"]),
+                "doc_offset": self.offsets[i],
+                "fancy_holes": [
+                    t.key
+                    for t in terms
+                    if t.host is None
+                    and t.df > thr
+                    and p.term_df(t.key) <= thr
+                ],
+            }
+            for i, p in enumerate(self.parts)
+        ]
+        return out
+
     def search(
         self,
         query: str,

@@ -312,6 +312,50 @@ def test_federated_engine_fancy_hole_pass(spark, merge_env):
         (d, int(s)) for d, s in rows_m
     ]
 
+def test_federated_explain_exposes_holes(spark, merge_env):
+    """Both federated tiers' explain() return the same GLOBAL plan (summed
+    df) and the same per-part fancy-hole lists; a term hot globally but
+    cold in some shard must appear in that shard's fancy_holes."""
+    import pyarrow.dataset as pads
+
+    from deusu_spark.build import current_index_dir
+    from deusu_spark.query import FederatedSearchEngine
+    from deusu_spark.query_local import FederatedSearcher
+
+    _root, dirs, _out, _m = merge_env
+    fed_e = FederatedSearchEngine(spark, dirs, parallel=False)
+    fed_s = FederatedSearcher(dirs, parallel=False)
+    thr = TINY_FANCY_THRESHOLD
+    local = []
+    for d in dirs:
+        t = pads.dataset(
+            os.path.join(current_index_dir(d), "lexicon")
+        ).to_table(columns=["term", "df"])
+        local.append(dict(zip(t["term"].to_pylist(), t["df"].to_pylist())))
+    gdf: dict[str, int] = {}
+    for m in local:
+        for term, df in m.items():
+            gdf[term] = gdf.get(term, 0) + df
+    hole_term = sorted(
+        t
+        for t, df in gdf.items()
+        if df > thr and any(m.get(t, 0) <= thr for m in local)
+    )[0]
+    ea = fed_e.explain(hole_term)
+    eb = fed_s.explain(hole_term)
+    assert ea == eb
+    assert ea["terms"][0]["df"] == gdf[hole_term]
+    assert ea["terms"][0]["fancy_eligible"]
+    holes = {
+        p["part"]: p["fancy_holes"] for p in ea["parts"]
+    }
+    expect = {
+        i for i, m in enumerate(local) if m.get(hole_term, 0) <= thr
+    }
+    assert {i for i, h in holes.items() if hole_term in h} == expect
+    assert [p["doc_offset"] for p in ea["parts"]] == fed_e.offsets
+
+
 def test_merge_carries_tombstones_shifted(spark, merge_env):
     """Takedowns on a shard survive the merge with their doc_ids shifted
     onto the merged id space: deleted docs are absent, survivors keep
