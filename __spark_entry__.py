@@ -596,6 +596,29 @@ def _market_basket_sql() -> str:
     """
 
 
+def _bootstrap_ci_sql() -> str:
+    from deusu_spark.pipelines import (
+        BOOT_B,
+        _hex15_to_long_sql,
+        _poisson_weight_sql,
+    )
+
+    u = (
+        f"({_hex15_to_long_sql('strpos', 'md5(concat(cast(o_orderkey AS STRING), chr(58), cast(b AS STRING)))')}"
+        f" / {float(16**15)})"
+    )
+    return f"""
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+               round(sum(w * o_totalprice) / sum(w), 6) AS resample_mean
+        FROM (
+            SELECT o_orderkey, o_totalprice, CAST(t.b AS INT) AS b,
+                   {_poisson_weight_sql(u)} AS w
+            FROM orders, range({BOOT_B}) t(b)
+        )
+        GROUP BY b ORDER BY b
+    """
+
+
 def _khop_sql() -> str:
     from deusu_spark.pipelines import KHOP_HOPS, KHOP_SEED_MOD
 
@@ -1614,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "bootstrap_ci": _bootstrap_ci_sql(),
         "khop_reachability": _khop_sql(),
         "ab_test": _ab_test_sql(),
         "regression_trend": """

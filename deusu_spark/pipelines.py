@@ -4911,6 +4911,57 @@ def q_ab_test(spark, sf_dir):
     ).orderBy("arm")
 
 
+BOOT_B = 32
+# Poisson(1) CDF at k=0..8 (e^-1 · Σ 1/k!), literal so both engines CASE on
+# the same 10-digit constants; the tail (u beyond k=8) draws weight 9
+POISSON1_CDF = [
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508, 0.9999988846,
+]
+
+
+def _poisson_weight_sql(u: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a uniform expression — shared
+    Spark/DuckDB CASE text."""
+    branches = "".join(
+        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"(CASE{branches} ELSE 9 END)"
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap resampling (the distributed bootstrap of
+    Chamandy et al. / Google's "Estimating Uncertainty for Massive Data
+    Streams": true with-replacement resampling needs global coordination,
+    but Poisson(1) per-row weights approximate it and keep every resample
+    a WEIGHTED AGGREGATE): BOOT_B deterministic resamples of
+    mean(o_totalprice), each row's weight drawn by inverse-CDF from a
+    hashed uniform on (orderkey, b) — one pass over orders × B in a
+    single combinable aggregate, no shuffle of raw rows, no RNG state
+    (reproducible across engines AND retries, which a real rand() is
+    not). Consumers take percentiles of the B means for the CI; the
+    spread around the plain mean IS the standard-error estimate."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.explode(F.array(*[F.lit(i) for i in range(BOOT_B)])).alias("b")
+    rows = o.select("o_orderkey", "o_totalprice", b)
+    u = (
+        f"({_hex15_to_long_sql('instr', 'md5(concat(cast(o_orderkey AS STRING), chr(58), cast(b AS STRING)))')}"
+        f" / {float(16**15)})"
+    )
+    w = F.expr(_poisson_weight_sql(u))
+    return (
+        rows.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 6
+            ).alias("resample_mean"),
+        )
+        .orderBy("b")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -5017,4 +5068,5 @@ QUERIES = {
     "kmv_set_ops": q_kmv_set_ops,
     "khop_reachability": q_khop_reachability,
     "ab_test": q_ab_test,
+    "bootstrap_ci": q_bootstrap_ci,
 }
