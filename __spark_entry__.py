@@ -619,6 +619,87 @@ def _bootstrap_ci_sql() -> str:
     """
 
 
+def _countmin_sql() -> str:
+    from deusu_spark.pipelines import CMS_D, CMS_PROBE_K, _cms_cell_sql
+
+    cell = _cms_cell_sql("strpos", "t", "d")
+    return f"""
+        WITH tf AS (SELECT t, count(*) AS cnt FROM ({_TOKS}) GROUP BY t),
+             ds AS (SELECT CAST(unnest(range(0, {CMS_D})) AS INT) AS d),
+             cells AS (
+                 SELECT d, {cell} AS cell, CAST(sum(cnt) AS BIGINT) AS cellcnt
+                 FROM tf, ds GROUP BY 1, 2),
+             probe AS (SELECT t, cnt FROM tf
+                       ORDER BY cnt DESC, t LIMIT {CMS_PROBE_K}),
+             pd AS (SELECT t, cnt, d, {cell} AS cell FROM probe, ds)
+        SELECT t AS token, max(cnt) AS true_cnt, min(cellcnt) AS est_cnt,
+               min(cellcnt) - max(cnt) AS overcount
+        FROM pd JOIN cells USING (d, cell)
+        GROUP BY t ORDER BY true_cnt DESC, token
+    """
+
+
+def _ewma_sql() -> str:
+    from deusu_spark.pipelines import EWMA_K
+
+    lags = ", ".join(
+        f"lag(cnt, {i}) OVER w AS l{i}" for i in range(1, EWMA_K)
+    )
+    num = [f"cnt * {1 << (EWMA_K - 1)}"]
+    den = [str(1 << (EWMA_K - 1))]
+    for i in range(1, EWMA_K):
+        wt = 1 << (EWMA_K - 1 - i)
+        num.append(f"CASE WHEN l{i} IS NULL THEN 0 ELSE l{i} * {wt} END")
+        den.append(f"CASE WHEN l{i} IS NULL THEN 0 ELSE {wt} END")
+    return f"""
+        WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+             lagged AS (SELECT event_type, h, cnt, {lags} FROM hourly
+                        WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        SELECT event_type, h, cnt,
+               round(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS ewma
+        FROM lagged ORDER BY event_type, h
+    """
+
+
+_SKEW_HASH = "md5(concat('sk:', CAST(l_orderkey AS STRING)))"
+
+
+def _skew_profile_sql() -> str:
+    from deusu_spark.pipelines import SKEW_P, _hex15_to_long_sql
+
+    pid = f"({_hex15_to_long_sql('strpos', _SKEW_HASH)} % {SKEW_P})"
+    return f"""
+        WITH kc AS (SELECT CAST({pid} AS INT) AS pid, l_orderkey,
+                           count(*) AS kn
+                    FROM lineitem GROUP BY 1, 2),
+             prof AS (SELECT pid, CAST(sum(kn) AS BIGINT) AS n_rows,
+                             count(*) AS n_keys, max(kn) AS max_key_rows
+                      FROM kc GROUP BY pid)
+        SELECT pid, n_rows, n_keys, max_key_rows,
+               round(n_rows / (sum(n_rows) OVER () / {float(SKEW_P)}), 6)
+                   AS rel_load
+        FROM prof ORDER BY pid
+    """
+
+
+def _bigram_condprob_sql() -> str:
+    return f"""
+        WITH base AS (SELECT doc_id, a FROM ({_ARR}) WHERE len(a) >= 2),
+             bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+                    FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+                          FROM base)),
+             cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+             cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu
+                    FROM cb GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(sum(ln(cu) - ln(cb)) / count(*), 6) AS avg_nll
+        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _khop_sql() -> str:
     from deusu_spark.pipelines import KHOP_HOPS, KHOP_SEED_MOD
 
@@ -1638,6 +1719,20 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_pairs_sql(),
         "zorder_layout": _zorder_layout_sql(),
         "bootstrap_ci": _bootstrap_ci_sql(),
+        "countmin_freq": _countmin_sql(),
+        "ewma_hourly": _ewma_sql(),
+        "percentile_bands": """
+            SELECT o_orderpriority, n,
+                   round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+                   round(q[3], 6) AS p90, round(q[4], 6) AS p99
+            FROM (SELECT o_orderpriority, count(*) AS n,
+                         quantile_cont(o_totalprice,
+                                       [0.25, 0.5, 0.9, 0.99]) AS q
+                  FROM orders GROUP BY 1)
+            ORDER BY o_orderpriority
+        """,
+        "skew_profile": _skew_profile_sql(),
+        "bigram_condprob": _bigram_condprob_sql(),
         "khop_reachability": _khop_sql(),
         "ab_test": _ab_test_sql(),
         "regression_trend": """

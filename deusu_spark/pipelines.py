@@ -4962,6 +4962,220 @@ def q_bootstrap_ci(spark, sf_dir):
     )
 
 
+CMS_D = 4  # count-min depth (independent hash rows)
+CMS_W = 256  # count-min width (cells per row)
+CMS_PROBE_K = 20  # report the K most frequent tokens
+
+
+def _cms_cell_sql(instr_fn: str, term: str, d: str) -> str:
+    """Count-min cell index for hash row `d` — shared Spark/DuckDB text
+    (md5 of 'cm<d>:<term>' folded to int, mod width)."""
+    h = f"md5(concat('cm', CAST({d} AS STRING), ':', {term}))"
+    return f"({_hex15_to_long_sql(instr_fn, h)} % {CMS_W})"
+
+
+def q_countmin_freq(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation over the corpus unigram stream: CMS_D independent hash
+    rows × CMS_W cells, each cell the sum of counts of tokens hashing
+    into it; est(t) = min over rows of its cell — always >= the true
+    count (one-sided error), so `overcount` is a provable invariant the
+    oracle checks per probe token. Built from the map-side-combined
+    (token, count) vector rather than the raw stream — sketching the
+    frequency vector is identical arithmetic and never shuffles the
+    token long tail. The sketch is a fixed D×W integer grid: merging two
+    corpora's sketches is cell-wise addition, which is what makes CMS
+    the 100 TB point-frequency operator (HLL answers distinct-count,
+    KMV set algebra, Bloom membership — this answers "how often").
+    Probes: the CMS_PROBE_K most frequent tokens (deterministic
+    tie-break by token), i.e. exactly the heavy hitters a frequency
+    sketch exists to answer for."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    tf = (
+        d.select(F.explode(arr).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rows_d = tf.select(
+        "t",
+        "cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d"),
+    ).withColumn("cell", F.expr(_cms_cell_sql("instr", "t", "d")))
+    cells = rows_d.groupBy("d", "cell").agg(F.sum("cnt").alias("cellcnt"))
+    probe = tf.orderBy(F.desc("cnt"), "t").limit(CMS_PROBE_K)
+    probe_d = probe.select(
+        "t",
+        "cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d"),
+    ).withColumn("cell", F.expr(_cms_cell_sql("instr", "t", "d")))
+    return (
+        probe_d.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("t")
+        .agg(
+            F.max("cnt").alias("true_cnt"),
+            F.min("cellcnt").alias("est_cnt"),
+            (F.min("cellcnt") - F.max("cnt")).alias("overcount"),
+        )
+        .select(
+            F.col("t").alias("token"), "true_cnt", "est_cnt", "overcount"
+        )
+        .orderBy(F.desc("true_cnt"), "token")
+    )
+
+
+EWMA_K = 8  # lags in the bounded EWMA window (weights 2^(K-1-i))
+
+
+def q_ewma_hourly(spark, sf_dir):
+    """Bounded exponentially-weighted moving average of the hourly event
+    rate per event_type: weight 2^(EWMA_K-1-i) on the i-th lag, missing
+    leading lags EXCLUDED from both numerator and denominator (so the
+    series start is an average over what exists, not zero-padded).
+    Integer weights keep num/den exact int64 in both engines — the only
+    float is the final division. The true recursive EWMA is inherently
+    sequential (state_n = f(state_n-1)); truncating at K lags makes it a
+    fixed-depth window expression that runs distributed with ONE
+    partitioned sort, no iteration — the standard production tradeoff
+    (2^-K tail weight = 1/256 here). Computed over the pre-aggregated
+    hourly table, so the window input is span-bounded (hours × types),
+    never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for i in range(EWMA_K):
+        x = F.col("cnt") if i == 0 else F.lag("cnt", i).over(w)
+        wt = 1 << (EWMA_K - 1 - i)
+        num = num + F.when(x.isNull(), 0).otherwise(x * wt)
+        den = den + F.when(x.isNull(), 0).otherwise(F.lit(wt))
+    return hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.round(num / den, 6).alias("ewma"),
+    ).orderBy("event_type", "h")
+
+
+def q_percentile_bands(spark, sf_dir):
+    """Exact multi-quantile bands (p25/p50/p90/p99, linear interpolation)
+    of order value per priority via the engine's NATIVE percentile
+    aggregate — Spark's `percentile` and DuckDB's `quantile_cont`
+    implement the same type-7 interpolation, verified value-identical.
+    Scale note: exact percentile is a sort-based ObjectHashAggregate
+    (per-group value buffers); it is the verification twin — at 100 TB
+    the production call is approx_percentile (t-digest/KLL-style
+    mergeable sketch, same call shape), with this exact form run on
+    samples to bound the sketch error. q_quantile_bisect covers the
+    third strategy (no buffers at all: binary search over counts)."""
+    o = _t(spark, sf_dir, "orders")
+    p = F.expr(
+        "percentile(o_totalprice, array(0.25D, 0.5D, 0.9D, 0.99D))"
+    ).alias("p")
+    g = o.groupBy("o_orderpriority").agg(F.count("*").alias("n"), p)
+    return g.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("p")[0], 6).alias("p25"),
+        F.round(F.col("p")[1], 6).alias("p50"),
+        F.round(F.col("p")[2], 6).alias("p90"),
+        F.round(F.col("p")[3], 6).alias("p99"),
+    ).orderBy("o_orderpriority")
+
+
+SKEW_P = 32  # partitions in the shuffle-skew histogram
+
+
+def q_skew_profile(spark, sf_dir):
+    """Shuffle-skew diagnostic: the per-partition load histogram a
+    hash-shuffle of lineitem on l_orderkey into SKEW_P reducers would
+    produce (portable md5-fold partitioner so both engines agree), with
+    per-partition row count, distinct-key count, the largest single
+    key's row count (separates one-hot-key skew — fix by salting THAT
+    key — from many-key imbalance — fix by raising parallelism), and
+    relative load vs the uniform share. This is the pre-join planning
+    probe for the salted-join operator (q_salted_join_revenue): at
+    100 TB you run it on a 1% sample to choose the salt factor before
+    committing to the expensive shuffle; two aggregates over (pid, key)
+    partials, both map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    pid = (
+        F.expr(
+            _hex15_to_long_sql(
+                "instr", "md5(concat('sk:', CAST(l_orderkey AS STRING)))"
+            )
+        )
+        % SKEW_P
+    ).cast("int")
+    kc = (
+        li.select(pid.alias("pid"), "l_orderkey")
+        .groupBy("pid", "l_orderkey")
+        .agg(F.count("*").alias("kn"))
+    )
+    prof = kc.groupBy("pid").agg(
+        F.sum("kn").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("kn").alias("max_key_rows"),
+    )
+    wall = Window.partitionBy()
+    rel = F.round(
+        F.col("n_rows")
+        / (F.sum("n_rows").over(wall) / F.lit(float(SKEW_P))),
+        6,
+    )
+    return prof.select(
+        "pid", "n_rows", "n_keys", "max_key_rows", rel.alias("rel_load")
+    ).orderBy("pid")
+
+
+def q_bigram_condprob(spark, sf_dir):
+    """Conditional bigram language-model score per document: avg over
+    the doc's bigrams of -ln P(w2 | w1), with P estimated from the
+    corpus itself (count(w1 w2) / count(w1 as prefix)) — the standard
+    fluency/perplexity quality signal one step up from
+    q_unigram_logprob (which ignores word order; this catches shuffled
+    or templated text that unigram stats score as fluent). Self-corpus
+    estimation keeps it smoothing-free (every observed bigram has
+    cb >= 1, cu >= cb, so every log is finite). Plan shape: one bigram
+    count aggregate, a prefix-sum rollup of it (vocabulary-sized, NOT
+    corpus-sized), then two hash joins back onto the bigram stream and
+    a per-doc mean — all map-side combinable; nothing materializes the
+    quadratic vocab×vocab space, only observed bigrams."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    base = d.select("doc_id", arr.alias("a")).where(F.size("a") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 2),"
+                " i -> struct(a[i] AS w1, a[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    scored = bg.join(cb, ["w1", "w2"]).join(cu, "w1")
+    nll = F.log(F.col("cu").cast("double")) - F.log(
+        F.col("cb").cast("double")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(nll) / F.count("*"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -5069,4 +5283,9 @@ QUERIES = {
     "khop_reachability": q_khop_reachability,
     "ab_test": q_ab_test,
     "bootstrap_ci": q_bootstrap_ci,
+    "countmin_freq": q_countmin_freq,
+    "ewma_hourly": q_ewma_hourly,
+    "percentile_bands": q_percentile_bands,
+    "skew_profile": q_skew_profile,
+    "bigram_condprob": q_bigram_condprob,
 }
