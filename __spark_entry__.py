@@ -700,6 +700,180 @@ def _bigram_condprob_sql() -> str:
     """
 
 
+def _sliding_distinct_sql() -> str:
+    from deusu_spark.pipelines import (
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_SCALE,
+        SLW_SECONDS,
+    )
+
+    return f"""
+        WITH base AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                             user_id
+                      FROM events),
+             hh AS (SELECT event_type, h,
+                           md5('sd:' || CAST(user_id AS STRING)) AS hs
+                    FROM base),
+             rr AS (SELECT event_type, h,
+                           CAST('0x' || substr(hs, 1, 2) AS BIGINT)
+                               % {HLL_M} AS reg,
+                           CAST('0x' || substr(hs, 3, 15) AS BIGINT) AS v
+                    FROM hh),
+             regs AS (SELECT event_type, h, reg,
+                             max(LEAST(CASE WHEN v = 0 THEN 61
+                                            ELSE 61 - length(bin(v)) END,
+                                       {HLL_RHO_CAP})) AS mr
+                      FROM rr GROUP BY 1, 2, 3),
+             hours AS (SELECT DISTINCT event_type, h FROM base),
+             grid AS (SELECT event_type, h, r.reg
+                      FROM hours,
+                           (SELECT unnest(range(0, {HLL_M})) AS reg) r),
+             g AS (SELECT grid.event_type, grid.h, grid.reg, regs.mr
+                   FROM grid LEFT JOIN regs USING (event_type, h, reg)),
+             win AS (SELECT event_type, h,
+                            max(mr) OVER (
+                                PARTITION BY event_type, reg
+                                ORDER BY epoch(h)
+                                RANGE BETWEEN {SLW_SECONDS - 1} PRECEDING
+                                          AND CURRENT ROW) AS wmr
+                     FROM g),
+             s AS (SELECT event_type, h,
+                          CAST(sum(CASE WHEN wmr IS NULL THEN 0
+                                        ELSE CAST(1 AS BIGINT)
+                                             << ({HLL_RHO_CAP} - wmr)
+                                   END) AS BIGINT) AS s_present,
+                          CAST(sum(CASE WHEN wmr IS NULL THEN 1 ELSE 0
+                                   END) AS BIGINT) AS zeros
+                   FROM win GROUP BY 1, 2),
+             du AS (SELECT DISTINCT event_type, h, user_id FROM base),
+             exact AS (SELECT hr.event_type, hr.h,
+                              count(DISTINCT du.user_id) AS exact_24h
+                       FROM hours hr JOIN du
+                         ON du.event_type = hr.event_type
+                        AND epoch(hr.h) - epoch(du.h) >= 0
+                        AND epoch(hr.h) - epoch(du.h) < {SLW_SECONDS}
+                       GROUP BY 1, 2),
+             raws AS (SELECT event_type, h, zeros,
+                             (0.709e0 * {float(HLL_M * HLL_M)})
+                                 * {float(HLL_SCALE)}
+                                 / CAST(s_present + zeros * {HLL_SCALE}
+                                        AS DOUBLE) AS raw_est
+                      FROM s)
+        SELECT raws.event_type, raws.h,
+               round(CASE WHEN zeros > 0 AND raw_est <= {2.5 * HLL_M}
+                          THEN {float(HLL_M)}
+                               * ln({float(HLL_M)} / CAST(zeros AS DOUBLE))
+                          ELSE raw_est END, 2) AS est_24h,
+               exact_24h,
+               CAST(zeros AS INT) AS zero_regs
+        FROM raws JOIN exact USING (event_type, h)
+        ORDER BY event_type, h
+    """
+
+
+def _histogram_quantile_sql() -> str:
+    from deusu_spark.pipelines import HQ_B
+
+    def est(q: str, name: str) -> str:
+        return (
+            f"round(max(CASE WHEN cum >= {q} * n"
+            f" AND (cum - cnt) < {q} * n"
+            f" THEN lo + (bin + ({q} * n - (cum - cnt)) / cnt)"
+            f" * ((hi - lo) / {float(HQ_B)}) END), 6) AS {name}"
+        )
+
+    return f"""
+        WITH st AS (SELECT min(o_totalprice) AS lo,
+                           max(o_totalprice) AS hi
+                    FROM orders),
+             b AS (SELECT o_orderpriority,
+                          CAST(LEAST({HQ_B - 1},
+                               floor((o_totalprice - lo) / (hi - lo)
+                                     * {HQ_B})) AS INT) AS bin,
+                          lo, hi
+                   FROM orders, st),
+             hist AS (SELECT o_orderpriority, bin, lo, hi,
+                             count(*) AS cnt
+                      FROM b GROUP BY 1, 2, 3, 4),
+             h2 AS (SELECT *,
+                           CAST(sum(cnt) OVER (
+                               PARTITION BY o_orderpriority ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                           CAST(sum(cnt) OVER (
+                               PARTITION BY o_orderpriority) AS BIGINT) AS n
+                    FROM hist),
+             g AS (SELECT o_orderpriority, max(n) AS n,
+                          {est('0.5', 'est_p50')},
+                          {est('0.9', 'est_p90')}
+                   FROM h2 GROUP BY 1),
+             ex AS (SELECT o_orderpriority,
+                           quantile_cont(o_totalprice, [0.5, 0.9]) AS p
+                    FROM orders GROUP BY 1)
+        SELECT g.o_orderpriority, n, est_p50, est_p90,
+               round(p[1], 6) AS exact_p50, round(p[2], 6) AS exact_p90,
+               round(abs(est_p50 - p[1]), 6) AS err_p50,
+               round(abs(est_p90 - p[2]), 6) AS err_p90
+        FROM g JOIN ex USING (o_orderpriority)
+        ORDER BY o_orderpriority
+    """
+
+
+def _hybrid_rrf_sql() -> str:
+    from deusu_spark.pipelines import RRF_DEPTH, RRF_K, RRF_TOPK
+
+    return f"""
+        WITH tok AS ({_TOKS}),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             ad AS (SELECT avg(dl) AS avgdl FROM dl),
+             qt AS (SELECT DISTINCT doc_id, t FROM tok
+                    WHERE t IN ('spark', 'join')),
+             dfs AS (SELECT t, count(*) AS df FROM qt GROUP BY t),
+             nn AS (SELECT count(*) AS n FROM documents),
+             lex AS (
+                 SELECT doc_id,
+                        round(sum(ln(1.0 + (nn.n - dfs.df + 0.5)
+                                     / (dfs.df + 0.5))
+                              * (1.2 + 1.0) * 1.0
+                              / (1.0 + 1.2 * (1 - 0.75
+                                              + 0.75 * dl.dl / ad.avgdl))),
+                              5) AS score
+                 FROM qt JOIN dfs USING (t) JOIN dl USING (doc_id), nn, ad
+                 GROUP BY doc_id),
+             lexr AS (SELECT doc_id,
+                             row_number() OVER (
+                                 ORDER BY score DESC, doc_id) AS rl
+                      FROM lex QUALIFY rl <= {RRF_DEPTH}),
+             q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             sims AS (
+                 SELECT vec_id AS doc_id,
+                        round((SELECT sum(CAST(x AS DOUBLE)
+                                          * CAST(y AS DOUBLE))
+                               FROM (SELECT unnest(e.embedding) AS x,
+                                            unnest(q.qe) AS y)) /
+                              (sqrt((SELECT sum(CAST(x AS DOUBLE)
+                                                * CAST(x AS DOUBLE))
+                                     FROM (SELECT unnest(e.embedding)
+                                               AS x))) *
+                               sqrt((SELECT sum(CAST(y AS DOUBLE)
+                                                * CAST(y AS DOUBLE))
+                                     FROM (SELECT unnest(q.qe) AS y)))),
+                              4) AS sim
+                 FROM embeddings e, q WHERE e.vec_id <> 0),
+             vecr AS (SELECT doc_id,
+                             row_number() OVER (
+                                 ORDER BY sim DESC, doc_id) AS rv
+                      FROM sims QUALIFY rv <= {RRF_DEPTH})
+        SELECT doc_id,
+               CAST(COALESCE(rl, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(rv, 0) AS BIGINT) AS vec_rank,
+               round(COALESCE(1.0 / ({RRF_K} + rl), 0)
+                     + COALESCE(1.0 / ({RRF_K} + rv), 0), 6) AS rrf
+        FROM lexr l FULL OUTER JOIN vecr v USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """
+
+
 def _khop_sql() -> str:
     from deusu_spark.pipelines import KHOP_HOPS, KHOP_SEED_MOD
 
@@ -1733,6 +1907,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skew_profile": _skew_profile_sql(),
         "bigram_condprob": _bigram_condprob_sql(),
+        "sliding_distinct": _sliding_distinct_sql(),
+        "histogram_quantile": _histogram_quantile_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "khop_reachability": _khop_sql(),
         "ab_test": _ab_test_sql(),
         "regression_trend": """

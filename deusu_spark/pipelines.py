@@ -5176,6 +5176,296 @@ def q_bigram_condprob(spark, sf_dir):
     )
 
 
+SLW_SECONDS = 24 * 3600  # trailing sliding-window span
+
+
+def q_sliding_distinct(spark, sf_dir):
+    """Sliding-window distinct counting: distinct users per event_type
+    over a 24-hour TRAILING window, answered by composing the HLL sketch
+    with a time-range window — register-wise max is HLL's merge, and max
+    is exactly what a window frame can compute, so the trailing-window
+    sketch costs one windowed max over a (type × hour × 64-register)
+    grid instead of re-scanning 24 hours of raw users per output hour.
+    This is THE pattern for "distinct per trailing day" at 100 TB:
+    per-hour registers are built once (map-side combinable max), every
+    downstream window/merge touches only the fixed-size register grid.
+    Same fixed-point integer estimator as q_hll_distinct (m=64, rho
+    capped at 41, int64 harmonic sum, linear-counting branch), so the
+    estimate is bit-deterministic cross-engine. The exact trailing
+    count_distinct runs alongside as the verification twin (affordable
+    at test scale only — it is the quadratic rescan the sketch
+    eliminates)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        "user_id",
+    )
+    hsh = F.md5(F.concat(F.lit("sd:"), F.col("user_id").cast("string")))
+    v = F.conv(F.substring(hsh, 3, 15), 16, 10).cast("bigint")
+    rho = F.least(
+        F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(v))),
+        F.lit(HLL_RHO_CAP),
+    ).cast("int")
+    reg = F.conv(F.substring(hsh, 1, 2), 16, 10).cast("bigint") % HLL_M
+    regs = (
+        base.select("event_type", "h", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "h", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    hours = base.select("event_type", "h").distinct()
+    grid = hours.crossJoin(
+        spark.range(HLL_M).select(F.col("id").alias("reg"))
+    )
+    g = grid.join(regs, ["event_type", "h", "reg"], "left")
+    wspec = (
+        Window.partitionBy("event_type", "reg")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-(SLW_SECONDS - 1), 0)
+    )
+    win = g.select("event_type", "h", F.max("mr").over(wspec).alias("wmr"))
+    s = win.groupBy("event_type", "h").agg(
+        F.sum(
+            F.when(F.col("wmr").isNull(), F.lit(0)).otherwise(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - wmr)")
+            )
+        ).alias("s_present"),
+        F.sum(F.when(F.col("wmr").isNull(), 1).otherwise(0)).alias("zeros"),
+    )
+    raw = (
+        (F.lit(0.709) * F.lit(float(HLL_M * HLL_M)))
+        * F.lit(float(HLL_SCALE))
+        / (F.col("s_present") + F.col("zeros") * F.lit(HLL_SCALE)).cast(
+            "double"
+        )
+    )
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("zeros").cast("double")
+    )
+    est = F.round(
+        F.when((F.col("zeros") > 0) & (raw <= F.lit(2.5 * HLL_M)), lc)
+        .otherwise(raw),
+        2,
+    )
+    du = base.distinct()
+    exact = (
+        hours.alias("hr")
+        .join(
+            du.alias("du"),
+            (F.col("du.event_type") == F.col("hr.event_type"))
+            & (
+                F.unix_timestamp("hr.h") - F.unix_timestamp("du.h")
+                >= F.lit(0)
+            )
+            & (
+                F.unix_timestamp("hr.h") - F.unix_timestamp("du.h")
+                < F.lit(SLW_SECONDS)
+            ),
+        )
+        .groupBy(F.col("hr.event_type").alias("event_type"), F.col("hr.h").alias("h"))
+        .agg(F.countDistinct("du.user_id").alias("exact_24h"))
+    )
+    return (
+        s.join(exact, ["event_type", "h"])
+        .select(
+            "event_type",
+            "h",
+            est.alias("est_24h"),
+            "exact_24h",
+            F.col("zeros").cast("int").alias("zero_regs"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+HQ_B = 128  # histogram-sketch bins
+
+
+def q_histogram_quantile(spark, sf_dir):
+    """Mergeable histogram-sketch quantiles: a fixed HQ_B-bin equi-width
+    histogram of order value (bounds from one global min/max pass,
+    broadcast — no driver collect), per-priority bin counts, then p50/p90
+    estimated by CDF walk with within-bin linear interpolation. The
+    sketch is a fixed integer vector per group — merging partitions or
+    corpora is element-wise addition, the property approx quantiles need
+    at 100 TB (this is the equi-width precursor of t-digest/KLL; Spark's
+    approx_percentile is the production form). The exact percentile runs
+    alongside and the oracle checks BOTH plus the |error|, so the sketch's
+    accuracy claim (error bounded by one bin width) is itself a tested
+    output, not a comment."""
+    o = _t(spark, sf_dir, "orders")
+    st = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = o.crossJoin(F.broadcast(st)).select(
+        "o_orderpriority",
+        F.least(
+            F.lit(HQ_B - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * HQ_B
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    hist = b.groupBy("o_orderpriority", "bin", "lo", "hi").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    h2 = hist.select(
+        "o_orderpriority",
+        "bin",
+        "cnt",
+        "lo",
+        "hi",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HQ_B))
+
+    def est(qf: float):
+        t = F.lit(qf) * F.col("n")
+        in_bin = (F.col("cum") >= t) & ((F.col("cum") - F.col("cnt")) < t)
+        e = (
+            F.col("lo")
+            + (
+                F.col("bin")
+                + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+            )
+            * width
+        )
+        return F.round(F.max(F.when(in_bin, e)), 6)
+
+    g = h2.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        est(0.5).alias("est_p50"),
+        est(0.9).alias("est_p90"),
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("p")
+    )
+    return (
+        g.join(ex, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            "est_p50",
+            "est_p90",
+            F.round(F.col("p")[0], 6).alias("exact_p50"),
+            F.round(F.col("p")[1], 6).alias("exact_p90"),
+            F.round(F.abs(F.col("est_p50") - F.col("p")[0]), 6).alias(
+                "err_p50"
+            ),
+            F.round(F.abs(F.col("est_p90") - F.col("p")[1]), 6).alias(
+                "err_p90"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RRF_K = 60  # reciprocal-rank-fusion smoothing constant (Cormack et al.)
+RRF_DEPTH = 50  # per-ranker candidate depth
+RRF_TOPK = 20
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (Cormack, Clarke & Büttcher 2009): the BM25 ranking (query
+    {spark, join}) and the embedding-cosine ranking (query vec_id=0)
+    are each cut at RRF_DEPTH, then fused by
+    rrf(d) = Σ_r 1/(RRF_K + rank_r(d)) over the rankers that retrieved
+    d — rank-based fusion needs no score calibration between BM25's
+    unbounded scores and cosine's [-1, 1], which is why it is the
+    standard hybrid-search combiner. Ranks are over ROUNDED scores with
+    id tie-breaks, so both rankings (and hence the fusion) are
+    deterministic cross-engine. Scale shape: each ranker's global
+    top-DEPTH is a top-k (in the real engine, WAND / ANN-pruned — these
+    are q_bm25_topk's and q_embedding_cosine_topk's plans), and the
+    fusion itself joins two DEPTH-row tables — driver-trivial at any
+    corpus size; absent ranks contribute 0 (rank column reported 0 =
+    "not retrieved by this ranker")."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
+    lex = (
+        qt.join(dfs, "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (1.2 + 1.0)
+            * 1.0
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 5).alias("score"))
+    )
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("rl")
+    ).where(F.col("rl") <= RRF_DEPTH)
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "q", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sims = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("q"))), 4
+            ).alias("sim"),
+        )
+    )
+    wv = Window.orderBy(F.desc("sim"), "doc_id")
+    vecr = sims.select(
+        "doc_id", F.row_number().over(wv).alias("rv")
+    ).where(F.col("rv") <= RRF_DEPTH)
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rl")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rv")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("rl", F.lit(0)).alias("lex_rank"),
+            F.coalesce("rv", F.lit(0)).alias("vec_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -5288,4 +5578,7 @@ QUERIES = {
     "percentile_bands": q_percentile_bands,
     "skew_profile": q_skew_profile,
     "bigram_condprob": q_bigram_condprob,
+    "sliding_distinct": q_sliding_distinct,
+    "histogram_quantile": q_histogram_quantile,
+    "hybrid_rrf": q_hybrid_rrf,
 }
