@@ -874,6 +874,80 @@ def _hybrid_rrf_sql() -> str:
     """
 
 
+_SEASONAL_SQL = """
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         wt AS (SELECT event_type, h, cnt,
+                       avg(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY epoch(h)
+                                      RANGE BETWEEN 86399 PRECEDING
+                                                AND CURRENT ROW) AS trend
+                FROM hourly),
+         hm AS (SELECT event_type, hour(h) AS hod, avg(cnt) AS hod_mean
+                FROM hourly GROUP BY 1, 2),
+         om AS (SELECT event_type, avg(cnt) AS type_mean
+                FROM hourly GROUP BY 1)
+    SELECT wt.event_type, wt.h, cnt,
+           round(trend, 4) AS trend,
+           round(hod_mean - type_mean, 4) AS seasonal,
+           round(cnt - trend - (hod_mean - type_mean), 4) AS residual
+    FROM wt
+    JOIN hm ON hm.event_type = wt.event_type AND hm.hod = hour(wt.h)
+    JOIN om ON om.event_type = wt.event_type
+    ORDER BY wt.event_type, wt.h
+"""
+
+
+def _ann_pq_sql() -> str:
+    from deusu_spark.pipelines import PQ_KC, PQ_M, PQ_TOPK
+
+    sqd = (
+        "(SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+        " FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+    )
+    return f"""
+        WITH ms AS (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m),
+             vs AS (SELECT vec_id, m,
+                           list_slice(embedding, m * 8 + 1, m * 8 + 8)
+                               AS vsub
+                    FROM embeddings, ms),
+             cents AS (SELECT vec_id AS j, m,
+                              list_slice(embedding, m * 8 + 1, m * 8 + 8)
+                                  AS csub
+                       FROM embeddings, ms
+                       WHERE vec_id BETWEEN 1 AND {PQ_KC}),
+             asg AS (SELECT vec_id, vs.m AS m, j,
+                            {sqd.format(a='vsub', b='csub')} AS d
+                     FROM vs JOIN cents ON cents.m = vs.m),
+             codes AS (SELECT vec_id, m, j AS code FROM asg
+                       QUALIFY row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY d, j) = 1),
+             qs AS (SELECT m,
+                           list_slice(embedding, m * 8 + 1, m * 8 + 8)
+                               AS qsub
+                    FROM embeddings, ms WHERE vec_id = 0),
+             qtable AS (SELECT qs.m AS m, j,
+                               {sqd.format(a='qsub', b='csub')} AS qd
+                        FROM qs JOIN cents ON cents.m = qs.m),
+             approx AS (SELECT vec_id, round(sum(qd), 4) AS approx_dist
+                        FROM codes JOIN qtable
+                          ON qtable.m = codes.m AND qtable.j = codes.code
+                        WHERE vec_id <> 0 GROUP BY vec_id),
+             q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+             exact AS (SELECT vec_id,
+                              round({sqd.format(a='e.embedding',
+                                                b='q.qe')}, 4)
+                                  AS exact_dist
+                       FROM embeddings e, q WHERE vec_id <> 0)
+        SELECT vec_id, approx_dist, exact_dist
+        FROM approx JOIN exact USING (vec_id)
+        ORDER BY approx_dist, vec_id LIMIT {PQ_TOPK}
+    """
+
+
 def _khop_sql() -> str:
     from deusu_spark.pipelines import KHOP_HOPS, KHOP_SEED_MOD
 
@@ -1910,6 +1984,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct": _sliding_distinct_sql(),
         "histogram_quantile": _histogram_quantile_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "seasonal_decompose": _SEASONAL_SQL,
+        "ann_pq_topk": _ann_pq_sql(),
         "khop_reachability": _khop_sql(),
         "ab_test": _ab_test_sql(),
         "regression_trend": """

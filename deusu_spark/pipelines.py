@@ -5466,6 +5466,139 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the hourly event rate per
+    event_type: trend = 24 h trailing mean (time-range window frame),
+    seasonal = hour-of-day mean deviation from the type's overall mean
+    (the classic seasonal-naive component), residual = observed − trend
+    − seasonal. The residual is the anomaly signal production monitors
+    alert on — this op is the decomposition feeding q_mad_outliers-style
+    detection. Everything is computed from ONE pre-aggregated hourly
+    table (map-side combinable): a range window, a (type, hod) group
+    mean broadcast back by join, and column arithmetic — no iteration,
+    no per-row Python; integer sums until each final division."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-86399, 0)
+    )
+    with_trend = hourly.withColumn("trend", F.avg("cnt").over(wtr))
+    hod_mean = (
+        hourly.groupBy("event_type", F.hour("h").alias("hod"))
+        .agg(F.avg("cnt").alias("hod_mean"))
+    )
+    overall = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("type_mean")
+    )
+    j = (
+        with_trend.withColumn("hod", F.hour("h"))
+        .join(hod_mean, ["event_type", "hod"])
+        .join(overall, "event_type")
+    )
+    seasonal = F.col("hod_mean") - F.col("type_mean")
+    resid = F.col("cnt") - F.col("trend") - seasonal
+    return j.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.round("trend", 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(resid, 4).alias("residual"),
+    ).orderBy("event_type", "h")
+
+
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims each)
+PQ_KC = 16  # centroids per subspace (codes 1..16 = donor vec_ids)
+PQ_TOPK = 15
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011) — the
+    fourth ANN family member next to brute-force cosine (exact
+    baseline), hyperplane LSH, and IVF: each vector is compressed to
+    PQ_M 4-bit codes (nearest of PQ_KC centroids per 8-dim subspace;
+    centroids are the vec_id 1..PQ_KC subvectors, deterministic), and
+    query distance is the ASYMMETRIC lookup — sum over subspaces of the
+    exact squared distance from the query's subvector to the vector's
+    assigned centroid, i.e. a table lookup per subspace instead of a
+    64-dim scan. Everything is distributed joins on a broadcast-sized
+    centroid table (M×K rows) — no plan literals, no driver math; the
+    codebook at 100 TB is exactly this shape (train on a sample, assign
+    with one broadcast join, store codes as bytes = 16× compression
+    here). Exact full-dimension distance is reported alongside, so the
+    oracle checks the quantization error itself; ranking is by ROUNDED
+    approx distance with vec_id tie-break (engine-independent)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    sub = lambda c: F.slice(c, F.col("m") * 8 + 1, 8)  # noqa: E731
+    vs = e.select("vec_id", "embedding", ms).select(
+        "vec_id", "m", sub(F.col("embedding")).alias("vsub")
+    )
+    cents = (
+        e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_KC))
+        .select(F.col("vec_id").alias("j"), "embedding", ms)
+        .select("j", "m", sub(F.col("embedding")).alias("csub"))
+    )
+    sqd = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = vs.join(F.broadcast(cents), "m").select(
+        "vec_id", "m", "j", sqd(F.col("vsub"), F.col("csub")).alias("d")
+    )
+    wmin = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    codes = (
+        assigned.withColumn("rn", F.row_number().over(wmin))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qsub = (
+        e.where(F.col("vec_id") == 0)
+        .select("embedding", ms)
+        .select("m", sub(F.col("embedding")).alias("qsub"))
+    )
+    qtable = qsub.join(cents, "m").select(
+        F.col("m").alias("qm"),
+        F.col("j").alias("qj"),
+        sqd(F.col("qsub"), F.col("csub")).alias("qd"),
+    )
+    approx = (
+        codes.where(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(qtable),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qj")),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 4).alias("approx_dist"))
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(sqd(F.col("embedding"), F.col("q")), 4).alias(
+                "exact_dist"
+            ),
+        )
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .orderBy("approx_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -5581,4 +5714,6 @@ QUERIES = {
     "sliding_distinct": q_sliding_distinct,
     "histogram_quantile": q_histogram_quantile,
     "hybrid_rrf": q_hybrid_rrf,
+    "seasonal_decompose": q_seasonal_decompose,
+    "ann_pq_topk": q_ann_pq_topk,
 }
