@@ -948,6 +948,65 @@ def _ann_pq_sql() -> str:
     """
 
 
+def _event_dedup_sql() -> str:
+    from deusu_spark.pipelines import DEDUP_TOL_S
+
+    tol_us = DEDUP_TOL_S * 1_000_000
+    return f"""
+        WITH lagged AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+            FROM events)
+        SELECT event_type,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND us - prev < {tol_us}
+                             THEN 0 ELSE 1 END) AS BIGINT) AS kept,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND us - prev < {tol_us}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+               count(*) AS total
+        FROM lagged GROUP BY event_type ORDER BY event_type
+    """
+
+
+def _event_trigrams_sql() -> str:
+    from deusu_spark.pipelines import SEQ3_TOPK
+
+    return f"""
+        WITH tri AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT e1, e2, e3, count(*) AS n
+        FROM tri WHERE e3 IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT {SEQ3_TOPK}
+    """
+
+
+_ABC_SQL = """
+    WITH rev AS (
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand),
+    cums AS (
+        SELECT p_brand, revenue,
+               round(sum(revenue) OVER (
+                   ORDER BY revenue DESC, p_brand
+                   ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue,
+               round(sum(revenue) OVER (), 2) AS total_revenue
+        FROM rev)
+    SELECT p_brand, revenue, cum_revenue,
+           round(cum_revenue / total_revenue, 6) AS cum_share,
+           CASE WHEN cum_revenue / total_revenue <= 0.80 THEN 'A'
+                WHEN cum_revenue / total_revenue <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cums ORDER BY revenue DESC, p_brand
+"""
+
+
 def _khop_sql() -> str:
     from deusu_spark.pipelines import KHOP_HOPS, KHOP_SEED_MOD
 
@@ -1986,6 +2045,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_sql(),
         "seasonal_decompose": _SEASONAL_SQL,
         "ann_pq_topk": _ann_pq_sql(),
+        "event_dedup_window": _event_dedup_sql(),
+        "event_trigrams": _event_trigrams_sql(),
+        "abc_classification": _ABC_SQL,
         "khop_reachability": _khop_sql(),
         "ab_test": _ab_test_sql(),
         "regression_trend": """

@@ -5599,6 +5599,125 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+DEDUP_TOL_S = 300  # suppress same-key events within this many seconds
+
+
+def q_event_dedup_window(spark, sf_dir):
+    """At-least-once delivery deduplication: within each (user_id,
+    event_type) stream, an event is a DUPLICATE if the previous event of
+    the same key is less than DEDUP_TOL_S seconds earlier — the standard
+    retry/redelivery suppressor in front of any event pipeline (the
+    batch twin of dropDuplicatesWithinWatermark). One partitioned sort +
+    lag, no self-join; at 100 TB this is a single shuffle on the key,
+    and the streaming form holds only the per-key last-seen timestamp as
+    state. Ordering inside a key is (ts, event_id) so simultaneous
+    events are deterministic. Reported as kept/dropped counts per
+    event_type — the monitoring shape — plus the exact count check that
+    kept + dropped covers every event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    flagged = ev.select(
+        "event_type",
+        (
+            prev.isNotNull() & (us - prev < DEDUP_TOL_S * 1_000_000)
+        ).alias("dup"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("dup"), 0).otherwise(1)).alias("kept"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dropped"),
+            F.count("*").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEQ3_TOPK = 20
+
+
+def q_event_trigrams(spark, sf_dir):
+    """Frequent behavioral sequences: the SEQ3_TOPK most common
+     3-grams of consecutive event types within a user's time-ordered
+    stream — sequence mining one step up from q_market_basket (which
+    ignores order) and q_event_seq_match (which matches ONE given
+    pattern; this discovers the patterns worth matching). Two lead()
+    calls over the per-user sort the dedup operator already needs, then
+    a map-side-combinable count — no self-joins, no explosion beyond
+    n rows. Tie-break on the trigram text keeps the top-k cut
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(SEQ3_TOPK)
+    )
+
+
+def q_abc_classification(spark, sf_dir):
+    """Pareto / ABC contribution analysis: revenue per part brand,
+    ranked descending, with cumulative share of total and the classic
+    A (first 80 %), B (to 95 %), C (tail) classes — the
+    inventory/priority segmentation every BI layer ships. Per-brand
+    revenue is rounded BEFORE the cumulative sum so the running total
+    is a sum of identical doubles in a deterministic order (rank order)
+    in both engines. Scale shape: one aggregate over lineitem⨝part
+    (broadcast part-side brand projection), then a window over the
+    ~25-row brand table — the window input is group-sized, never
+    fact-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    wcum = Window.orderBy(F.desc("revenue"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    share = F.col("cum_revenue") / F.col("total_revenue")
+    cls = (
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        rev.select(
+            "p_brand",
+            "revenue",
+            F.round(F.sum("revenue").over(wcum), 2).alias("cum_revenue"),
+            F.round(F.sum("revenue").over(wall), 2).alias("total_revenue"),
+        )
+        .select(
+            "p_brand",
+            "revenue",
+            "cum_revenue",
+            F.round(share, 6).alias("cum_share"),
+            cls.alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -5716,4 +5835,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "seasonal_decompose": q_seasonal_decompose,
     "ann_pq_topk": q_ann_pq_topk,
+    "event_dedup_window": q_event_dedup_window,
+    "event_trigrams": q_event_trigrams,
+    "abc_classification": q_abc_classification,
 }
