@@ -1794,6 +1794,91 @@ _MOVAVG_SQL = """
 """
 
 
+def _fuzzy_match_sql() -> str:
+    from deusu_spark.pipelines import FUZZY_MAX_DIST, FUZZY_MAX_KEY
+
+    return f"""
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_partkey < b.p_partkey
+        WHERE a.p_partkey < {FUZZY_MAX_KEY} AND b.p_partkey < {FUZZY_MAX_KEY}
+          AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+        ORDER BY a_key, b_key
+    """
+
+
+def _dp_noisy_sql() -> str:
+    """Recompute the identical deterministic Laplace draw in SQL: the same
+    md5-derived uniform (first 6 hex digits + 0.5, over 16^6) through the
+    same inverse-CDF."""
+    from deusu_spark.pipelines import DP_EPSILON
+
+    hexv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    b = 1.0 / DP_EPSILON
+    return f"""
+        WITH g AS (SELECT lang, source, count(*) AS n
+                   FROM documents GROUP BY 1, 2),
+             hh AS (SELECT lang, source, n,
+                          md5('dp:' || lang || ':' || source) AS h FROM g),
+             u AS (SELECT lang, source, n,
+                          (({hexv}) + 0.5) / 16777216.0 AS u FROM hh)
+        SELECT lang, source, n,
+               round(n + (-{b} * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))),
+                     4) AS noisy_n
+        FROM u ORDER BY lang, source
+    """
+
+
+def _gopher_rules_sql() -> str:
+    from deusu_spark.pipelines import (
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_STOPWORDS,
+    )
+
+    stoplist = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH a AS (SELECT doc_id, a FROM ({_ARR})
+                   WHERE doc_id < 300 AND len(a) >= 2),
+             bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg
+                    FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+                          FROM a)),
+             bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+             bga AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+                     FROM bgc GROUP BY 1),
+             r AS (SELECT doc_id,
+                          len(a) AS n_tok,
+                          list_aggregate(list_transform(a, x -> length(x)),
+                                         'sum') * 1.0 / len(a) AS mean_len,
+                          1.0 - len(list_distinct(a)) * 1.0 / len(a)
+                              AS dup_frac,
+                          len(list_filter(a, x -> list_contains(
+                              [{stoplist}], x))) AS stop_hits
+                   FROM a)
+        SELECT r.doc_id,
+               (n_tok >= {GOPHER_MIN_TOKENS}
+                AND n_tok <= {GOPHER_MAX_TOKENS}) AS r_token_count,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+               (dup_frac < 0.5) AS r_dup_word_frac,
+               (top_bg * 1.0 / n_bg < 0.2) AS r_top_bigram,
+               (stop_hits >= 2) AS r_stopwords,
+               ((n_tok >= {GOPHER_MIN_TOKENS}
+                 AND n_tok <= {GOPHER_MAX_TOKENS})
+                AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                AND (dup_frac < 0.5)
+                AND (top_bg * 1.0 / n_bg < 0.2)
+                AND (stop_hits >= 2)) AS keep
+        FROM r JOIN bga ON r.doc_id = bga.doc_id
+        ORDER BY r.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -2586,4 +2671,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sim, 4) AS cos_sim
             FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15
         """,
+        "peak_concurrency": """
+            WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
+                               epoch_us(ts)
+                               + CAST(floor(value) AS BIGINT) * 1000000 AS e
+                        FROM events),
+                 b AS (SELECT event_type, s AS t, 1 AS d FROM iv
+                       UNION ALL
+                       SELECT event_type, e AS t, -1 AS d FROM iv),
+                 c AS (SELECT event_type,
+                              sum(d) OVER (PARTITION BY event_type
+                                           ORDER BY t, d
+                                           ROWS UNBOUNDED PRECEDING) AS conc
+                       FROM b)
+            SELECT event_type,
+                   CAST(count(*) / 2 AS BIGINT) AS n_events,
+                   CAST(max(conc) AS BIGINT) AS peak_concurrency
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_match_parts": _fuzzy_match_sql(),
+        "dp_noisy_counts": _dp_noisy_sql(),
+        "gopher_rules": _gopher_rules_sql(),
     }

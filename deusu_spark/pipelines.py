@@ -5718,6 +5718,175 @@ def q_abc_classification(spark, sf_dir):
     )
 
 
+def q_peak_concurrency(spark, sf_dir):
+    """Peak interval concurrency (the classic sweep-line / +1-−1 boundary
+    trick): each event occupies [ts, ts + floor(value) seconds); the peak
+    number of simultaneously-open intervals per event_type is the max of a
+    running sum over time-ordered boundary deltas. End boundaries sort
+    BEFORE starts at the same instant (d = −1 < +1), making the interval
+    end-exclusive and the tie-break deterministic. Scale shape: 2n boundary
+    rows, ONE shuffle on event_type, a per-type sorted running sum — never
+    an interval self-join (which is O(n²) and the usual mistake). Uses
+    floor() before the int cast because Spark truncates double→int while
+    DuckDB rounds."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = F.floor(F.col("value")).cast("long") * 1_000_000
+    b = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(us.alias("t"), F.lit(1).alias("d")),
+                F.struct((us + dur).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("bd"),
+    ).select("event_type", "bd.t", "bd.d")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.withColumn("conc", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_events"),
+            F.max("conc").alias("peak_concurrency"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FUZZY_MAX_KEY = 400  # bound the pair set at driver-compare scale
+FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_match_parts(spark, sf_dir):
+    """Record linkage / entity resolution by blocked edit distance: part
+    names are compared ONLY within a blocking key (the first name token),
+    and pairs within levenshtein distance FUZZY_MAX_DIST (excluding exact
+    duplicates — q_dedup_exact's job) are linked. The standard
+    dedupe/merge-purge shape: the blocking join keeps the candidate set
+    ~n·B instead of all-pairs n², and the distance verify runs JVM-side
+    (both Spark and DuckDB ship classic Levenshtein). At 100 TB the
+    blocking key is the shuffle key; skewed blocks get salted exactly like
+    any hot join key."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < FUZZY_MAX_KEY)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ")[0].alias("blk"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+            lev.alias("dist"),
+        )
+        .where((F.col("dist") >= 1) & (F.col("dist") <= FUZZY_MAX_DIST))
+        .orderBy("a_key", "b_key")
+    )
+
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/ε = 1/ε for counts
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release: per-(lang, source) document
+    counts plus Laplace(1/ε) noise drawn DETERMINISTICALLY from the md5
+    hash of the group key via inverse-CDF (u uniform in (0,1) from the
+    first 6 hex digits; noise = −b·sign(u−½)·ln(1−2|u−½|)). Determinism is
+    the point at pipeline scale: reruns, retries, and both engines release
+    the identical noisy value, so the privacy ledger can attribute ONE
+    draw per group per release. The true count rides along here only for
+    the oracle check; a real release would drop it."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    h = F.md5(F.concat(F.lit("dp:"), F.col("lang"), F.lit(":"), F.col("source")))
+    u = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") + 0.5) / (16.0**6)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        -b
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    ).orderBy("lang", "source")
+
+
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 80
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher (Rae et al. 2021) repetition/quality rule suite as
+    explicit per-rule booleans plus the conjunctive keep flag — the form a
+    curation pipeline audits (rule-level pass rates), versus
+    q_quality_score's single composite. Word-level adaptation (the
+    synthetic docs have no line structure): token-count bounds, mean-word-
+    length bounds, duplicate-word fraction < 0.5, top-bigram fraction
+    < 0.2, and ≥ 2 stopword hits. One tokenize, one per-doc bigram
+    aggregate — every rule is a column expression over the same pass, so
+    at 100 TB this is a single scan with map-side-combinable aggs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", arr.alias("a")).where(F.size("a") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(0, size(a) - 2), i -> concat_ws(' ', a[i], a[i+1]))"
+    )
+    bgc = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    n_tok = F.size("a")
+    mean_len = (
+        F.aggregate(F.col("a"), F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / n_tok
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("a")) / n_tok
+    stop_hits = F.size(F.filter(F.col("a"), lambda x: x.isin(*GOPHER_STOPWORDS)))
+    rules = base.select(
+        "doc_id",
+        ((n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)).alias(
+            "r_token_count"
+        ),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_mean_word_len"),
+        (dup_frac < 0.5).alias("r_dup_word_frac"),
+        (stop_hits >= 2).alias("r_stopwords"),
+    )
+    joined = rules.join(bgc, "doc_id").select(
+        "doc_id",
+        "r_token_count",
+        "r_mean_word_len",
+        "r_dup_word_frac",
+        (F.col("top_bg") / F.col("n_bg") < 0.2).alias("r_top_bigram"),
+        "r_stopwords",
+    )
+    keep = (
+        F.col("r_token_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_dup_word_frac")
+        & F.col("r_top_bigram")
+        & F.col("r_stopwords")
+    )
+    return joined.withColumn("keep", keep).orderBy("doc_id")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -5838,4 +6007,8 @@ QUERIES = {
     "event_dedup_window": q_event_dedup_window,
     "event_trigrams": q_event_trigrams,
     "abc_classification": q_abc_classification,
+    "peak_concurrency": q_peak_concurrency,
+    "fuzzy_match_parts": q_fuzzy_match_parts,
+    "dp_noisy_counts": q_dp_noisy_counts,
+    "gopher_rules": q_gopher_rules,
 }
