@@ -2692,4 +2692,46 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_parts": _fuzzy_match_sql(),
         "dp_noisy_counts": _dp_noisy_sql(),
         "gopher_rules": _gopher_rules_sql(),
+        "rfm_segments": """
+            WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+                 pc AS (SELECT o_custkey AS custkey,
+                               date_diff('day', max(o_orderdate),
+                                         (SELECT ref_date FROM ref))
+                                   AS recency_days,
+                               count(*) AS frequency,
+                               round(sum(o_totalprice), 2) AS monetary
+                        FROM orders GROUP BY 1),
+                 s AS (SELECT *,
+                              ntile(5) OVER (ORDER BY recency_days DESC,
+                                             custkey) AS r_q,
+                              ntile(5) OVER (ORDER BY frequency, custkey)
+                                  AS f_q,
+                              ntile(5) OVER (ORDER BY monetary, custkey)
+                                  AS m_q
+                       FROM pc)
+            SELECT custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+                   CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4
+                            THEN 'champion'
+                        WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk'
+                        WHEN r_q >= 4 AND f_q <= 2 THEN 'recent'
+                        ELSE 'regular' END AS segment
+            FROM s ORDER BY custkey
+        """,
+        "gini_by_nation": """
+            WITH spend AS (SELECT n.n_name, o.o_custkey AS custkey,
+                                  round(sum(o_totalprice), 2) AS x
+                           FROM orders o
+                           JOIN customer c ON o.o_custkey = c.c_custkey
+                           JOIN nation n ON c.c_nationkey = n.n_nationkey
+                           GROUP BY 1, 2),
+                 r AS (SELECT *,
+                              row_number() OVER (PARTITION BY n_name
+                                                 ORDER BY x, custkey) AS i
+                       FROM spend)
+            SELECT n_name, count(*) AS n_customers,
+                   round(sum(x), 2) AS total_spend,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
     }

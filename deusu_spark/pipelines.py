@@ -5887,6 +5887,95 @@ def q_gopher_rules(spark, sf_dir):
     return joined.withColumn("keep", keep).orderBy("doc_id")
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, against the corpus max date), Frequency (order count), Monetary
+    (total spend), each cut into quintiles by a deterministic
+    tie-broken ntile, then the classic named segments. The ntile windows
+    run over the CUSTOMER aggregate (orders-of-magnitude smaller than the
+    fact table); at 100 TB the exact ntile is replaced by
+    percentile_approx cut-points broadcast back — the aggregation shape
+    is unchanged. Reference date rides a broadcast 1-row cross join, not
+    a driver collect."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    rq = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_days"), "custkey")
+    )
+    fq = F.ntile(5).over(Window.orderBy(F.col("frequency"), F.col("custkey")))
+    mq = F.ntile(5).over(Window.orderBy(F.col("monetary"), F.col("custkey")))
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        rq.alias("r_q"),
+        fq.alias("f_q"),
+        mq.alias("m_q"),
+    )
+    seg = (
+        F.when((F.col("r_q") >= 4) & (F.col("f_q") >= 4) & (F.col("m_q") >= 4),
+               "champion")
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 3), "at_risk")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), "recent")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("custkey")
+
+
+def q_gini_by_nation(spark, sf_dir):
+    """Per-nation Gini coefficient of customer spend — the inequality /
+    concentration measure behind skew planning and fairness audits,
+    computed by the exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over ascending spend. The rank window partitions by nation, so every
+    nation's sort runs in parallel and no global sort exists; input is
+    the customer aggregate, not the fact table. Deterministic: rank ties
+    break on custkey, per-customer spend is rounded before ranking."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("o_custkey").alias("custkey"), "x")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("x"), 2).alias("total_spend"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1.0) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -6011,4 +6100,6 @@ QUERIES = {
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "dp_noisy_counts": q_dp_noisy_counts,
     "gopher_rules": q_gopher_rules,
+    "rfm_segments": q_rfm_segments,
+    "gini_by_nation": q_gini_by_nation,
 }
