@@ -1879,6 +1879,75 @@ def _gopher_rules_sql() -> str:
     """
 
 
+def _cdc_chunks_sql() -> str:
+    from deusu_spark.pipelines import CDC_DIVISOR, _hex15_to_long_sql
+
+    th = _hex15_to_long_sql("strpos", "md5(t)")
+    return f"""
+        WITH arr AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text),
+                                        '[^a-z0-9]+'), x -> x <> '') AS a
+                     FROM documents WHERE doc_id < 400),
+             tok AS (SELECT doc_id, i AS pos, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM arr)),
+             th AS (SELECT doc_id, pos, t,
+                           CASE WHEN ({th}) % {CDC_DIVISOR} = 0
+                                THEN 1 ELSE 0 END AS b
+                    FROM tok),
+             ch AS (SELECT doc_id, pos, t,
+                           sum(b) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS cid
+                    FROM th),
+             chunks AS (SELECT doc_id, cid,
+                               string_agg(t, ' ' ORDER BY pos) AS chunk,
+                               count(*) AS n_tokens
+                        FROM ch GROUP BY 1, 2)
+        SELECT md5(chunk) AS fp, min(n_tokens) AS n_tokens,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1
+        HAVING count(DISTINCT doc_id) > 1 ORDER BY fp
+    """
+
+
+def _prf_expansion_sql() -> str:
+    from deusu_spark.pipelines import PRF_K_DOCS, PRF_K_TERMS
+
+    return f"""
+        WITH tok AS ({_TOKS}),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             ad AS (SELECT avg(dl) AS avgdl FROM dl),
+             nn AS (SELECT count(*) AS n FROM documents),
+             qt AS (SELECT DISTINCT doc_id, t FROM tok
+                    WHERE t IN ('spark', 'join')),
+             dfs AS (SELECT t, count(*) AS df FROM qt GROUP BY t),
+             top AS (SELECT doc_id FROM (
+                 SELECT doc_id,
+                        round(sum(ln(1.0 + (nn.n - dfs.df + 0.5)
+                                           / (dfs.df + 0.5))
+                              * (1.2 + 1.0) * 1.0
+                              / (1.0 + 1.2 * (1 - 0.75
+                                              + 0.75 * dl.dl / ad.avgdl))),
+                              5) AS score
+                 FROM qt JOIN dfs USING (t) JOIN dl USING (doc_id), nn, ad
+                 GROUP BY doc_id
+                 ORDER BY score DESC, doc_id LIMIT {PRF_K_DOCS})),
+             dt AS (SELECT DISTINCT doc_id, t FROM tok),
+             fb AS (SELECT t, count(*) AS df_fb
+                    FROM dt JOIN top USING (doc_id)
+                    WHERE t NOT IN ('spark', 'join') AND length(t) >= 3
+                    GROUP BY t),
+             cdf AS (SELECT t, count(*) AS df FROM dt GROUP BY t)
+        SELECT t, df_fb, df,
+               round(df_fb * ln(1.0 + ((SELECT n FROM nn) - df + 0.5)
+                                      / (df + 0.5)), 6) AS rsv
+        FROM fb JOIN cdf USING (t)
+        ORDER BY rsv DESC, t LIMIT {PRF_K_TERMS}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -2733,5 +2802,35 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * sum(i * x) / (count(*) * sum(x))
                          - (count(*) + 1.0) / count(*), 6) AS gini
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "burst_zscore": f"""
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+                 s AS (SELECT *,
+                              avg(cnt) OVER (PARTITION BY event_type) AS mu,
+                              stddev_pop(cnt)
+                                  OVER (PARTITION BY event_type) AS sigma
+                       FROM h)
+            SELECT event_type, hour, cnt, round(mu, 6) AS mu,
+                   round((cnt - mu) / sigma, 6) AS z
+            FROM s
+            WHERE sigma > 0
+              AND abs(round((cnt - mu) / sigma, 6)) >= {pipelines.BURST_Z}
+            ORDER BY event_type, hour
+        """,
+        "cdc_chunks": _cdc_chunks_sql(),
+        "prf_expansion": _prf_expansion_sql(),
+        "novelty_curve": f"""
+            WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
+                 first AS (SELECT sh, min(doc_id) AS first_doc
+                           FROM sh GROUP BY sh)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN first_doc = doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                         / count(*), 6) AS novelty
+            FROM sh JOIN first USING (sh)
+            GROUP BY doc_id ORDER BY doc_id
         """,
     }

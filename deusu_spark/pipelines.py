@@ -5976,6 +5976,185 @@ def q_gini_by_nation(spark, sf_dir):
     )
 
 
+BURST_Z = 2.0  # flag hours whose count is >= 2 population-sigmas from mean
+
+
+def q_burst_zscore(spark, sf_dir):
+    """Temporal burst / anomaly detection: per (event_type, hour) counts
+    z-scored against that type's own per-hour mean and POPULATION stddev,
+    flagging hours at |z| >= BURST_Z. This is the spike detector a crawl /
+    ingest pipeline runs over its own telemetry (and a trending-terms
+    detector runs over term counts — same plan, different key). One
+    map-side-combinable groupBy builds the hourly series; the mean/sigma
+    window partitions by event_type, so every type normalizes in parallel
+    and no global sort exists. At 100 TB the hourly series is ~|types| ×
+    |hours| rows — orders of magnitude below the fact table — so the
+    window stage is trivially cheap; stddev_pop keeps the statistic exact
+    and deterministic (no sampling, no Bessel ambiguity)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    s = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_pop("cnt").over(w).alias("sigma"),
+    ).where(F.col("sigma") > 0)
+    z = F.round((F.col("cnt") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        s.withColumn("z", z)
+        .where(F.abs(F.col("z")) >= BURST_Z)
+        .select("event_type", "hour", "cnt", F.round("mu", 6).alias("mu"), "z")
+        .orderBy("event_type", "hour")
+    )
+
+
+CDC_DIVISOR = 8  # boundary when token-hash % 8 == 0 -> ~8-token chunks
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + chunk-level dedup: split each doc at
+    content-determined boundaries (a token whose portable 60-bit hash is
+    ≡ 0 mod CDC_DIVISOR starts a new chunk — the token-granular analog of
+    Rabin/Gear CDC), fingerprint each chunk, and report fingerprints that
+    recur across documents. Unlike fixed windows (q_dup_spans), CDC
+    boundaries survive insertions/deletions — an edit reshuffles only the
+    chunks it touches, which is why storage dedup and incremental corpus
+    diffing use it. Plan: one posexplode, a per-doc running-sum window
+    (bounded by doc length), one groupBy (doc, chunk) with an ordered
+    string_agg, one groupBy on the fingerprint. No all-pairs; the final
+    shuffle keys on chunk content hash, uniformly distributed by md5, the
+    identical plan at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", arr.alias("a"))
+    tok = base.select("doc_id", F.posexplode("a").alias("pos", "t"))
+    th = F.expr(_hex15_to_long_sql("instr", "md5(t)"))
+    flagged = tok.withColumn(
+        "b", F.when(th % CDC_DIVISOR == 0, 1).otherwise(0)
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    cid = flagged.withColumn("cid", F.sum("b").over(wrun))
+    chunks = (
+        cid.groupBy("doc_id", "cid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s["t"],
+                ),
+            ).alias("chunk"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("fp"))
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+PRF_K_DOCS = 10  # feedback set size
+PRF_K_TERMS = 15  # expansion terms returned
+
+
+def q_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio / RSJ term
+    selection): run BM25 for {spark, join}, take the top PRF_K_DOCS docs
+    as the feedback set, and rank every non-query term that appears in it
+    by df_fb · ln(1 + (N − df + 0.5)/(df + 0.5)) — feedback support times
+    corpus rarity. This is the retrieval-side op a training-data curator
+    uses to widen a seed query into a topic harvest. The feedback doc set
+    is PRF_K_DOCS rows → broadcast join against the postings; the term
+    scoring is two map-side-combinable groupBys. The BM25 stage is the
+    exact q_bm25_topk arithmetic (same rounding, same tie-break), so the
+    feedback set is deterministic and engine-identical."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
+    top = (
+        qt.join(dfs, "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (1.2 + 1.0)
+            * 1.0
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 5).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(PRF_K_DOCS)
+        .select("doc_id")
+    )
+    dt = toks.distinct()
+    fb = (
+        dt.join(F.broadcast(top), "doc_id")
+        .where(~F.col("t").isin("spark", "join") & (F.length("t") >= 3))
+        .groupBy("t")
+        .agg(F.count("*").alias("df_fb"))
+    )
+    cdf = dt.groupBy("t").agg(F.count("*").alias("df"))
+    rsv = F.round(
+        F.col("df_fb")
+        * F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        6,
+    )
+    return (
+        fb.join(cdf, "t")
+        .select("t", "df_fb", "df", rsv.alias("rsv"))
+        .orderBy(F.desc("rsv"), "t")
+        .limit(PRF_K_TERMS)
+    )
+
+
+def q_novelty_curve(spark, sf_dir):
+    """Corpus novelty curve: per document (in ingest order), the fraction
+    of its distinct word 3-grams never seen in ANY earlier document — the
+    marginal-information measure behind dedup planning and crawl-frontier
+    prioritization (a feed whose novelty decays to ~0 is re-crawling known
+    content). 'First seen' is min(doc_id) per gram — one
+    map-side-combinable groupBy on the gram — then a hash join back and a
+    per-doc count. No window over the corpus, no ordering dependence
+    beyond the stable doc_id itself; at 10^12 docs the gram table shuffles
+    on content hash exactly like every dedup op in this family."""
+    sh = _shingles(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -6102,4 +6281,8 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "rfm_segments": q_rfm_segments,
     "gini_by_nation": q_gini_by_nation,
+    "burst_zscore": q_burst_zscore,
+    "cdc_chunks": q_cdc_chunks,
+    "prf_expansion": q_prf_expansion,
+    "novelty_curve": q_novelty_curve,
 }
