@@ -1948,6 +1948,80 @@ def _prf_expansion_sql() -> str:
     """
 
 
+def _bigram_perplexity_sql() -> str:
+    from deusu_spark.pipelines import BIGRAM_K
+
+    return f"""
+        WITH arr AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text),
+                                        '[^a-z0-9]+'), x -> x <> '') AS a
+                     FROM documents WHERE doc_id < 300),
+             bg AS (SELECT doc_id, a[i] AS t1, a[i+1] AS t2
+                    FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+                          FROM arr WHERE len(a) >= 2)),
+             c12 AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT t1, count(*) AS c1 FROM bg GROUP BY 1),
+             v AS (SELECT count(DISTINCT t) AS v
+                   FROM (SELECT unnest(a) AS t FROM arr WHERE len(a) >= 2))
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(ln((c12 + {BIGRAM_K})
+                            / (c1 + {BIGRAM_K} * (SELECT v FROM v)))),
+                     5) AS avg_lnp,
+               round(exp(-avg(ln((c12 + {BIGRAM_K})
+                                 / (c1 + {BIGRAM_K} * (SELECT v FROM v))))),
+                     4) AS perplexity
+        FROM bg JOIN c12 USING (t1, t2) JOIN c1 USING (t1)
+        WHERE doc_id < 150
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _ndcg_eval_sql() -> str:
+    from deusu_spark.pipelines import NDCG_K
+
+    return f"""
+        WITH tok AS ({_TOKS}),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             ad AS (SELECT avg(dl) AS avgdl FROM dl),
+             nn AS (SELECT count(*) AS n FROM documents),
+             qt AS (SELECT DISTINCT doc_id, t FROM tok
+                    WHERE t IN ('spark', 'join')),
+             dfs AS (SELECT t, count(*) AS df FROM qt GROUP BY t),
+             scored AS (
+                 SELECT doc_id,
+                        round(sum(ln(1.0 + (nn.n - dfs.df + 0.5)
+                                           / (dfs.df + 0.5))
+                              * (1.2 + 1.0) * 1.0
+                              / (1.0 + 1.2 * (1 - 0.75
+                                              + 0.75 * dl.dl / ad.avgdl))),
+                              5) AS score
+                 FROM qt JOIN dfs USING (t) JOIN dl USING (doc_id), nn, ad
+                 GROUP BY doc_id
+                 ORDER BY score DESC, doc_id LIMIT 20),
+             ranked AS (SELECT doc_id,
+                               row_number() OVER (ORDER BY score DESC,
+                                                  doc_id) AS i
+                        FROM scored),
+             rel AS (SELECT doc_id, count(*) AS rel FROM qt GROUP BY doc_id),
+             dcg AS (SELECT sum((pow(2.0, coalesce(rel, 0)) - 1.0)
+                                / log2(i + 1.0)) AS dcg,
+                            max(CASE WHEN coalesce(rel, 0) > 0
+                                     THEN 1.0 / i ELSE 0.0 END) AS mrr
+                     FROM ranked LEFT JOIN rel USING (doc_id)
+                     WHERE i <= {NDCG_K}),
+             ideal AS (SELECT rel,
+                              row_number() OVER (ORDER BY rel DESC,
+                                                 doc_id) AS i
+                       FROM rel),
+             idcg AS (SELECT sum((pow(2.0, rel) - 1.0)
+                                 / log2(i + 1.0)) AS idcg
+                      FROM ideal WHERE i <= {NDCG_K})
+        SELECT {NDCG_K} AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+               round(dcg / idcg, 6) AS ndcg, round(mrr, 6) AS mrr
+        FROM dcg, idcg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -2821,6 +2895,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_chunks": _cdc_chunks_sql(),
         "prf_expansion": _prf_expansion_sql(),
+        "bigram_perplexity": _bigram_perplexity_sql(),
+        "ndcg_eval": _ndcg_eval_sql(),
+        "heaps_law": f"""
+            WITH tok AS ({_TOKS.replace("FROM documents",
+                          "FROM documents WHERE doc_id < 300")}),
+                 per_tok AS (SELECT doc_id, count(*) AS n_tok
+                             FROM tok GROUP BY doc_id),
+                 first AS (SELECT first_doc AS doc_id, count(*) AS n_new
+                           FROM (SELECT t, min(doc_id) AS first_doc
+                                 FROM tok GROUP BY t)
+                           GROUP BY 1),
+                 pts AS (SELECT ln(sum(n_tok) OVER (ORDER BY doc_id)) AS x,
+                                ln(sum(coalesce(n_new, 0))
+                                   OVER (ORDER BY doc_id)) AS y
+                         FROM per_tok LEFT JOIN first USING (doc_id)),
+                 agg AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                                sum(x * y) AS sxy, sum(x * x) AS sxx
+                         FROM pts)
+            SELECT m AS n_points,
+                   round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                       AS beta,
+                   round(exp((sy - (m * sxy - sx * sy)
+                                   / (m * sxx - sx * sx) * sx) / m), 6)
+                       AS k
+            FROM agg
+        """,
         "novelty_curve": f"""
             WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
                  first AS (SELECT sh, min(doc_id) AS first_doc

@@ -6155,6 +6155,167 @@ def q_novelty_curve(spark, sf_dir):
     )
 
 
+BIGRAM_K = 0.5  # add-k smoothing mass per bigram
+
+
+def q_bigram_perplexity(spark, sf_dir):
+    """Bigram language-model perplexity per document — the CCNet-style
+    quality filter one rung above q_unigram_logprob: train add-k-smoothed
+    p(t2|t1) = (c(t1,t2)+k)/(c(t1)+k·V) on the corpus (doc_id < 300),
+    score each doc (doc_id < 150) by mean bigram ln-probability, and
+    report perplexity exp(−mean). Low-perplexity docs are fluent; extreme
+    ones are boilerplate or garbage — the classic keep-band filter. The
+    model is built by one groupBy on the bigram and one on the history
+    token; scoring joins the doc bigrams against both (broadcastable at
+    vocabulary scale, hash join beyond), and the per-doc aggregation is
+    map-side combinable. No per-row Python anywhere — bigrams come from a
+    JVM transform over the token array."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", arr.alias("a")).where(F.size("a") >= 2)
+    bg = F.expr(
+        "transform(sequence(0, size(a) - 2), "
+        "i -> struct(a[i] AS t1, a[i+1] AS t2))"
+    )
+    bigrams = base.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2")
+    )
+    c12 = bigrams.groupBy("t1", "t2").agg(F.count("*").alias("c12"))
+    c1 = bigrams.groupBy("t1").agg(F.count("*").alias("c1"))
+    vocab = (
+        base.select(F.explode("a").alias("t")).distinct().count()
+    )
+    lnp = F.log(
+        (F.col("c12") + BIGRAM_K) / (F.col("c1") + BIGRAM_K * F.lit(vocab))
+    )
+    return (
+        bigrams.where(F.col("doc_id") < 150)
+        .join(c12, ["t1", "t2"])
+        .join(c1, "t1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lnp), 5).alias("avg_lnp"),
+            F.round(F.exp(-F.avg(lnp)), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NDCG_K = 10  # evaluation cutoff
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """Ranking-quality evaluation: nDCG@K and MRR of the BM25 ranking
+    (query {spark, join}) against graded relevance labels (rel = number
+    of query terms the doc contains, 0–2). This is the offline eval op a
+    retrieval pipeline runs after every index or scorer change; the judge
+    set is label-derived so it is exactly reproducible. DCG uses the
+    standard (2^rel − 1)/log2(i+1) gain; IDCG ranks the WHOLE corpus by
+    rel (desc, doc_id tiebreak) — a global top-K, which at 10^12 docs is
+    the same bounded top-k every ranker stage already uses. The ranking
+    itself is the exact q_bm25_topk arithmetic, so ranks are
+    engine-identical."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = (
+        qt.join(dfs, "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (1.2 + 1.0)
+            * 1.0
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 5).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+        )
+    )
+    rel = qt.groupBy("doc_id").agg(F.count("*").alias("rel"))
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("i") + 1.0)
+    dcg = (
+        ranked.join(rel, "doc_id", "left")
+        .na.fill({"rel": 0})
+        .where(F.col("i") <= NDCG_K)
+        .agg(
+            F.sum(gain).alias("dcg"),
+            F.max(
+                F.when(F.col("rel") > 0, 1.0 / F.col("i")).otherwise(0.0)
+            ).alias("mrr"),
+        )
+    )
+    ideal = rel.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id"))
+    ).where(F.col("i") <= NDCG_K)
+    idcg = ideal.agg(F.sum(gain).alias("idcg"))
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            F.lit(NDCG_K).alias("k"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round("mrr", 6).alias("mrr"),
+        )
+    )
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law fit: vocabulary growth V(N) ≈ k·N^β estimated by least
+    squares on (ln N_d, ln V_d) checkpoints after each document in ingest
+    order — the capacity-planning constant behind every lexicon, term
+    dictionary, and shuffle-size estimate in the index build (SCALE.md's
+    vocabulary projections are exactly this fit). Per-doc new-vocab counts
+    come from the min(doc_id)-per-token trick (one groupBy, no corpus-wide
+    state); the cumulative window runs over ONE ROW PER DOCUMENT, not per
+    token, so the ordered pass is |docs|-sized; the regression is a single
+    closed-form aggregation (same shape as q_regression_trend)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = _tokens(d)
+    per_tok = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    first = (
+        toks.groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_new"))
+    )
+    per_doc = per_tok.join(first, "doc_id", "left").na.fill({"n_new": 0})
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = per_doc.select(
+        F.log(F.sum("n_tok").over(w)).alias("x"),
+        F.log(F.sum("n_new").over(w)).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("m").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("m")), 6)
+        .alias("k"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -6285,4 +6446,7 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "prf_expansion": q_prf_expansion,
     "novelty_curve": q_novelty_curve,
+    "bigram_perplexity": q_bigram_perplexity,
+    "ndcg_eval": q_ndcg_eval,
+    "heaps_law": q_heaps_law,
 }
