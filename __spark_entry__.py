@@ -2897,6 +2897,84 @@ def oracle_sql() -> dict[str, str]:
         "prf_expansion": _prf_expansion_sql(),
         "bigram_perplexity": _bigram_perplexity_sql(),
         "ndcg_eval": _ndcg_eval_sql(),
+        "cooccur_similarity": """
+            WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+                 sz AS (SELECT event_type, count(*) AS n_users
+                        FROM du GROUP BY 1),
+                 inter AS (SELECT a.event_type AS type_a,
+                                  b.event_type AS type_b,
+                                  count(*) AS inter
+                           FROM du a JOIN du b
+                             ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+                           GROUP BY 1, 2)
+            SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+                   inter, round(inter / sqrt(sa.n_users * sb.n_users), 6)
+                              AS cosine
+            FROM inter
+            JOIN sz sa ON sa.event_type = type_a
+            JOIN sz sb ON sb.event_type = type_b
+            ORDER BY type_a, type_b
+        """,
+        "cusum_changepoint": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                           FROM events GROUP BY 1),
+                 mu AS (SELECT avg(cnt) AS mu FROM daily),
+                 cus AS (SELECT day,
+                                sum(cnt - (SELECT mu FROM mu))
+                                    OVER (ORDER BY day) AS cusum
+                         FROM daily),
+                 cp AS (SELECT day AS cp_day, round(cusum, 6) AS cusum
+                        FROM cus
+                        ORDER BY abs(round(cusum, 6)) DESC, day LIMIT 1)
+            SELECT cp_day, cusum,
+                   round(avg(cnt) FILTER (day <= cp_day), 6) AS mean_before,
+                   round(avg(cnt) FILTER (day > cp_day), 6) AS mean_after
+            FROM daily, cp GROUP BY 1, 2
+        """,
+        "centroid_assign": """
+            WITH longv AS (SELECT vec_id, label, i - 1 AS idx,
+                                  CAST(embedding[i] AS DOUBLE) AS val
+                           FROM (SELECT vec_id, label, embedding,
+                                        unnest(range(1, len(embedding) + 1))
+                                            AS i
+                                 FROM embeddings)),
+                 cents AS (SELECT label AS clabel, idx, avg(val) AS cval
+                           FROM longv GROUP BY 1, 2),
+                 d2 AS (SELECT vec_id, label, clabel,
+                               sum((val - cval) * (val - cval)) AS d2
+                        FROM longv JOIN cents USING (idx)
+                        GROUP BY 1, 2, 3),
+                 asg AS (SELECT vec_id, label, clabel AS assigned,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY round(d2, 9),
+                                                            clabel) AS rn
+                         FROM d2)
+            SELECT label, count(*) AS n,
+                   CAST(sum(CASE WHEN assigned = label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   round(avg(CASE WHEN assigned = label
+                             THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+            FROM asg WHERE rn = 1 GROUP BY label ORDER BY label
+        """,
+        "keywords_tfidf": f"""
+            WITH tok AS ({_TOKS}),
+                 tf AS (SELECT doc_id, t, count(*) AS tf
+                        FROM tok GROUP BY 1, 2),
+                 dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+                 nn AS (SELECT count(*) AS n FROM documents),
+                 scored AS (SELECT doc_id, t,
+                                   round(tf * ln((SELECT n FROM nn) * 1.0
+                                                 / df), 6) AS score
+                            FROM tf JOIN dft USING (t) WHERE doc_id < 100),
+                 r AS (SELECT doc_id, t, score,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY score DESC, t)
+                                  AS rank
+                       FROM scored)
+            SELECT doc_id, rank, t, score FROM r
+            WHERE rank <= {pipelines.KEYWORDS_TOPN} ORDER BY doc_id, rank
+        """,
         "heaps_law": f"""
             WITH tok AS ({_TOKS.replace("FROM documents",
                           "FROM documents WHERE doc_id < 300")}),

@@ -6316,6 +6316,198 @@ def q_heaps_law(spark, sf_dir):
     )
 
 
+def q_cooccur_similarity(spark, sf_dir):
+    """Item-item co-occurrence similarity (the collaborative-filtering /
+    'related items' primitive): event types as items, users as baskets,
+    cosine over the shared-user sets sim(a,b) = |U_a∩U_b|/√(|U_a|·|U_b|).
+    The self-join runs over the DISTINCT (user, item) table keyed on the
+    user, so candidate generation is per-basket (bounded by a user's item
+    count — here ≤|event types|), never an all-pairs over items; the
+    intersection counts are one map-side-combinable groupBy on the (a, b)
+    pair. The item-pair matrix itself is |items|² — a dimension-table-
+    sized output at any corpus scale."""
+    du = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sz = du.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = du.alias("a"), du.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sz.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.round(
+                F.col("inter") / F.sqrt(F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection over the daily event count series: the
+    cumulative sum of deviations from the global mean peaks (in absolute
+    value) at the most likely single changepoint — the classic offline
+    CUSUM estimator monitoring pipelines use to localize a regime shift.
+    The series is one groupBy (days, not events); the ordered cumulative
+    window runs over ONE ROW PER DAY, so the sequential stage is
+    calendar-sized regardless of event volume; the argmax is a top-1 on
+    rounded |cusum| with a date tie-break (deterministic cross-engine).
+    Output: the changepoint day, its cusum, and the mean level on each
+    side."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    mu = daily.agg(F.avg("cnt").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = daily.crossJoin(F.broadcast(mu)).withColumn(
+        "cusum", F.sum(F.col("cnt") - F.col("mu")).over(w)
+    )
+    cp = (
+        cus.orderBy(F.desc(F.abs(F.round("cusum", 6))), "day")
+        .limit(1)
+        .select(F.col("day").alias("cp_day"), F.round("cusum", 6).alias("cusum"))
+    )
+    sides = (
+        daily.crossJoin(F.broadcast(cp))
+        .agg(
+            F.first("cp_day").alias("cp_day"),
+            F.first("cusum").alias("cusum"),
+            F.round(
+                F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("cnt"))),
+                6,
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("cnt"))),
+                6,
+            ).alias("mean_after"),
+        )
+    )
+    return sides.select("cp_day", "cusum", "mean_before", "mean_after")
+
+
+def q_centroid_assign(spark, sf_dir):
+    """Nearest-mean-centroid classification audit over the embedding
+    table: per-label MEAN centroids (element-wise, long-form groupBy on
+    (label, dim) — map-side combinable, never a driver collect), assign
+    every vector to its nearest centroid by squared L2, and report
+    per-label assignment accuracy — the standard 'are these clusters
+    separable' health check run after every embedding-model change. The
+    distance join is vectors × labels (labels is dimension-table-sized,
+    broadcast); argmin ties break on the smaller label id, so assignment
+    is deterministic. Complements q_semdedup (which assigns to sampled
+    IVF cells for dedup); this one evaluates the labels themselves."""
+    e = _t(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "idx", "val"
+        ),
+    )
+    cents = long.groupBy("label", "idx").agg(F.avg("val").alias("cval"))
+    c = cents.select(
+        F.col("label").alias("clabel"), "idx", "cval"
+    )
+    d2 = (
+        long.join(F.broadcast(c), "idx")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    wmin = Window.partitionBy("vec_id").orderBy(
+        F.round("d2", 9).asc(), F.col("clabel").asc()
+    )
+    assigned = (
+        d2.withColumn("rn", F.row_number().over(wmin))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("assigned"))
+    )
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("assigned") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.avg(
+                    F.when(F.col("assigned") == F.col("label"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+KEYWORDS_TOPN = 3  # keywords kept per document
+
+
+def q_keywords_tfidf(spark, sf_dir):
+    """Per-document keyword extraction: top-N terms by tf·idf (tf = raw
+    in-doc count over ALL tokens, idf = ln(N/df) with df over the whole
+    corpus), ranked per doc with rounded-score + term tie-breaks — the op
+    that labels every training document with its topical head-words. Two
+    map-side-combinable groupBys build tf and df; the per-doc top-N window
+    partitions BY DOCUMENT, so its sort is doc-vocabulary-sized and
+    corpus-parallel — no global ordering anywhere (the final orderBy is
+    presentation-only)."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    tf = (
+        _tokens(d)
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf.where(F.col("doc_id") < 100)
+        .join(df, "t")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "t")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_TOPN)
+        .select("doc_id", "rank", "t", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -6449,4 +6641,8 @@ QUERIES = {
     "bigram_perplexity": q_bigram_perplexity,
     "ndcg_eval": q_ndcg_eval,
     "heaps_law": q_heaps_law,
+    "cooccur_similarity": q_cooccur_similarity,
+    "cusum_changepoint": q_cusum_changepoint,
+    "centroid_assign": q_centroid_assign,
+    "keywords_tfidf": q_keywords_tfidf,
 }
