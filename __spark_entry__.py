@@ -1948,6 +1948,84 @@ def _prf_expansion_sql() -> str:
     """
 
 
+def _kaplan_meier_sql() -> str:
+    from deusu_spark.pipelines import KM_HORIZON_DAYS as H
+
+    return f"""
+        WITH firsts AS (SELECT user_id, min(ts) AS first_ts
+                        FROM events GROUP BY 1),
+             purch AS (SELECT user_id, min(ts) AS p_ts FROM events
+                       WHERE event_type = 'purchase' GROUP BY 1),
+             per AS (SELECT user_id,
+                            CASE WHEN days_to_p IS NOT NULL
+                                  AND days_to_p <= {H}
+                                 THEN 1 ELSE 0 END AS event,
+                            CASE WHEN days_to_p IS NOT NULL
+                                  AND days_to_p <= {H}
+                                 THEN days_to_p ELSE {H} END AS duration
+                     FROM (SELECT f.user_id,
+                                  date_diff('day', first_ts, p_ts)
+                                      AS days_to_p
+                           FROM firsts f LEFT JOIN purch USING (user_id))),
+             tot AS (SELECT count(*) AS total FROM per),
+             tbl AS (SELECT duration,
+                            CAST(sum(event) AS BIGINT) AS n_events,
+                            CAST(sum(1 - event) AS BIGINT) AS n_censored
+                     FROM per GROUP BY 1),
+             risk AS (SELECT duration, n_events, n_censored,
+                             CAST((SELECT total FROM tot)
+                                  - coalesce(sum(n_events + n_censored)
+                                      OVER (ORDER BY duration
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+                                  AS BIGINT) AS at_risk
+                      FROM tbl),
+             km AS (SELECT *,
+                           round(exp(sum(ln(1.0 - n_events * 1.0 / at_risk))
+                                     OVER (ORDER BY duration)), 6)
+                               AS survival
+                    FROM risk)
+        SELECT duration, at_risk, n_events, n_censored, survival
+        FROM km WHERE n_events > 0 ORDER BY duration
+    """
+
+
+def _brier_calibration_sql() -> str:
+    from deusu_spark.pipelines import (
+        CALIB_BINS,
+        FT_BUCKETS,
+        _hex15_to_long_sql,
+    )
+
+    h_expr = _hex15_to_long_sql("strpos", "h16")
+    return f"""
+        WITH hb AS (SELECT doc_id, ({h_expr} % {FT_BUCKETS}) AS b FROM (
+                        SELECT doc_id, substr(md5('f:' || t), 1, 15) AS h16
+                        FROM ({_TOKS}))),
+             wt AS (SELECT doc_id,
+                           substr(md5('w:' || CAST(b AS VARCHAR)), 1, 2) AS wh
+                    FROM hb),
+             w AS (SELECT doc_id,
+                          ((strpos('0123456789abcdef', substr(wh, 1, 1)) - 1)
+                               * 16
+                           + (strpos('0123456789abcdef', substr(wh, 2, 1)) - 1)
+                           - 127.5) / 127.5 AS w
+                   FROM wt),
+             s AS (SELECT doc_id, (round(avg(w), 5) + 1.0) / 2.0 AS p
+                   FROM w GROUP BY doc_id),
+             l AS (SELECT s.doc_id, p,
+                          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             b AS (SELECT least(CAST(floor(p * {CALIB_BINS}) AS INTEGER),
+                                {CALIB_BINS - 1}) AS bin, p, y
+                   FROM l)
+        SELECT bin, count(*) AS n, round(avg(p), 6) AS mean_p,
+               round(avg(y), 6) AS obs_rate,
+               round(avg(pow(p - y, 2)), 6) AS brier
+        FROM b GROUP BY bin ORDER BY bin
+    """
+
+
 def _bigram_perplexity_sql() -> str:
     from deusu_spark.pipelines import BIGRAM_K
 
@@ -2956,6 +3034,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN assigned = label
                              THEN 1.0 ELSE 0.0 END), 6) AS accuracy
             FROM asg WHERE rn = 1 GROUP BY label ORDER BY label
+        """,
+        "kaplan_meier": _kaplan_meier_sql(),
+        "brier_calibration": _brier_calibration_sql(),
+        "benford_test": """
+            WITH per AS (SELECT substr(CAST(CAST(floor(o_totalprice)
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                                count(*) AS n
+                         FROM orders GROUP BY 1),
+                 tot AS (SELECT sum(n) AS total FROM per)
+            SELECT digit, n, round(n / total, 6) AS obs_frac,
+                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                       AS exp_frac,
+                   round(pow(n / total
+                             - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+                         / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * total,
+                         4) AS chi2_contrib
+            FROM per, tot ORDER BY digit
         """,
         "keywords_tfidf": f"""
             WITH tok AS ({_TOKS}),

@@ -6508,6 +6508,173 @@ def q_keywords_tfidf(spark, sf_dir):
     )
 
 
+KM_HORIZON_DAYS = 3  # per-user observation window after first event
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival estimate of time-to-first-purchase with
+    right-censoring: each user is observed for KM_HORIZON_DAYS after
+    their first event; users who purchase inside the window are events at
+    duration = days-to-purchase, the rest are censored at the horizon —
+    the standard conversion/churn curve with the standard
+    deaths-before-censors tie convention (censored users at duration d
+    remain at risk for d's events). The per-user reduction is one groupBy
+    over events; the KM table then has at most HORIZON+1 rows, so the
+    ordered cumulative-product window (exp∘cumsum∘ln — a running product
+    has no native window fn) is calendar-sized regardless of event
+    volume. All counts are exact integers; only the final survival ratio
+    is floating."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        firsts.join(purch, "user_id", "left")
+        .withColumn("days_to_p", F.datediff("p_ts", "first_ts"))
+        .withColumn(
+            "event",
+            F.when(
+                F.col("days_to_p").isNotNull()
+                & (F.col("days_to_p") <= KM_HORIZON_DAYS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "duration",
+            F.when(F.col("event") == 1, F.col("days_to_p")).otherwise(
+                F.lit(KM_HORIZON_DAYS)
+            ),
+        )
+    )
+    total = per_user.count()
+    tbl = per_user.groupBy("duration").agg(
+        F.sum("event").alias("n_events"),
+        F.sum(1 - F.col("event")).alias("n_censored"),
+    )
+    w = Window.orderBy("duration")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = F.lit(total) - F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev), F.lit(0)
+    )
+    km = (
+        tbl.withColumn("at_risk", at_risk)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("n_events") / F.col("at_risk"))
+                    ).over(w)
+                ),
+                6,
+            ),
+        )
+        .where(F.col("n_events") > 0)
+    )
+    return km.select(
+        "duration", "at_risk", "n_events", "n_censored", "survival"
+    ).orderBy("duration")
+
+
+def q_benford_test(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    data-quality / fraud screen: observed leading-digit frequencies vs
+    the Benford expectation log10(1 + 1/d), with each digit's chi-square
+    contribution (n·(obs−exp)²/exp). One groupBy on a column expression
+    (substring of the floored total) — map-side combinable, no shuffle
+    beyond 9 groups; the expected distribution is a plan literal. A
+    synthetic price book won't BE Benford — the point is the exact,
+    oracle-checkable statistic the screen computes."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    )
+    per = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("total"))
+    exp_frac = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("obs_frac"),
+            F.round(exp_frac, 6).alias("exp_frac"),
+            F.round(
+                F.pow(F.col("n") / F.col("total") - exp_frac, 2)
+                / exp_frac
+                * F.col("total"),
+                4,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+CALIB_BINS = 10  # decile reliability bins
+
+
+def q_brier_calibration(spark, sf_dir):
+    """Classifier calibration audit: map q_classifier_score's hashed-
+    unigram doc score (avg weight in [-1,1], rounded to 5 BEFORE binning
+    so bin edges are engine-exact) to p = (score+1)/2, take y = (lang =
+    'en'), and report the reliability table — per decile bin: count, mean
+    predicted p, observed rate, and the bin's Brier contribution
+    mean((p−y)²). The eval every score-based corpus filter needs before
+    its threshold is trusted. Plan shape: the scoring is the classifier's
+    own (one explode + per-doc agg, JVM md5 arithmetic only); the
+    calibration is one further groupBy over CALIB_BINS groups."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        _tokens(d)
+        .withColumn("h16", F.expr("substr(md5(concat('f:', t)), 1, 15)"))
+        .withColumn(
+            "b",
+            (F.expr(_hex15_to_long_sql("instr", "h16")) % FT_BUCKETS).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "wh", F.expr("substr(md5(concat('w:', CAST(b AS STRING))), 1, 2)")
+        )
+        .withColumn(
+            "w",
+            (
+                F.expr(
+                    "(instr('0123456789abcdef', substr(wh, 1, 1)) - 1) * 16"
+                    " + (instr('0123456789abcdef', substr(wh, 2, 1)) - 1)"
+                )
+                - F.lit(127.5)
+            )
+            / F.lit(127.5),
+        )
+    )
+    scored = toks.groupBy("doc_id").agg(
+        ((F.round(F.avg("w"), 5) + 1.0) / 2.0).alias("p")
+    )
+    labeled = scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binc = F.least(
+        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    return (
+        labeled.groupBy(binc.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_p"),
+            F.round(F.avg("y"), 6).alias("obs_rate"),
+            F.round(
+                F.avg(F.pow(F.col("p") - F.col("y"), 2)), 6
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -6645,4 +6812,7 @@ QUERIES = {
     "cusum_changepoint": q_cusum_changepoint,
     "centroid_assign": q_centroid_assign,
     "keywords_tfidf": q_keywords_tfidf,
+    "kaplan_meier": q_kaplan_meier,
+    "benford_test": q_benford_test,
+    "brier_calibration": q_brier_calibration,
 }
