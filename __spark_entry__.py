@@ -1990,16 +1990,13 @@ def _kaplan_meier_sql() -> str:
     """
 
 
-def _brier_calibration_sql() -> str:
-    from deusu_spark.pipelines import (
-        CALIB_BINS,
-        FT_BUCKETS,
-        _hex15_to_long_sql,
-    )
+def _ft_p_ctes() -> str:
+    """Shared CTE chain: hashed-unigram classifier p per doc (the SQL
+    twin of pipelines._ft_doc_p) — ends with s(doc_id, p)."""
+    from deusu_spark.pipelines import FT_BUCKETS, _hex15_to_long_sql
 
     h_expr = _hex15_to_long_sql("strpos", "h16")
-    return f"""
-        WITH hb AS (SELECT doc_id, ({h_expr} % {FT_BUCKETS}) AS b FROM (
+    return f"""hb AS (SELECT doc_id, ({h_expr} % {FT_BUCKETS}) AS b FROM (
                         SELECT doc_id, substr(md5('f:' || t), 1, 15) AS h16
                         FROM ({_TOKS}))),
              wt AS (SELECT doc_id,
@@ -2012,7 +2009,14 @@ def _brier_calibration_sql() -> str:
                            - 127.5) / 127.5 AS w
                    FROM wt),
              s AS (SELECT doc_id, (round(avg(w), 5) + 1.0) / 2.0 AS p
-                   FROM w GROUP BY doc_id),
+                   FROM w GROUP BY doc_id)"""
+
+
+def _brier_calibration_sql() -> str:
+    from deusu_spark.pipelines import CALIB_BINS
+
+    return f"""
+        WITH {_ft_p_ctes()},
              l AS (SELECT s.doc_id, p,
                           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
                    FROM s JOIN documents d ON s.doc_id = d.doc_id),
@@ -2023,6 +2027,110 @@ def _brier_calibration_sql() -> str:
                round(avg(y), 6) AS obs_rate,
                round(avg(pow(p - y, 2)), 6) AS brier
         FROM b GROUP BY bin ORDER BY bin
+    """
+
+
+def _roc_auc_sql() -> str:
+    return f"""
+        WITH {_ft_p_ctes()},
+             l AS (SELECT s.doc_id, p,
+                          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             r AS (SELECT y,
+                          rank() OVER (ORDER BY p)
+                          + (count(*) OVER (PARTITION BY p) - 1) / 2.0 AS r
+                   FROM l),
+             agg AS (SELECT CAST(sum(y) AS BIGINT) AS np,
+                            CAST(sum(1 - y) AS BIGINT) AS nn,
+                            sum(CASE WHEN y = 1 THEN r END) AS rp
+                     FROM r)
+        SELECT np AS n_pos, nn AS n_neg,
+               round((rp - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc
+        FROM agg
+    """
+
+
+def _psi_drift_sql() -> str:
+    from deusu_spark.pipelines import PSI_BIN_WIDTH, PSI_BINS
+
+    sm_a = f"(n_a + 0.5) / (ta + 0.5 * {PSI_BINS})"
+    sm_b = f"(n_b + 0.5) / (tb + 0.5 * {PSI_BINS})"
+    return f"""
+        WITH half AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS h
+                      FROM documents),
+             sides AS (SELECT least(CAST(floor(n_chars / {PSI_BIN_WIDTH})
+                                         AS INTEGER),
+                                    {PSI_BINS - 1}) AS bin,
+                              CAST(sum(CASE WHEN doc_id <=
+                                           (SELECT h FROM half)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                              CAST(sum(CASE WHEN doc_id >
+                                           (SELECT h FROM half)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                       FROM documents GROUP BY 1),
+             spine AS (SELECT CAST(range AS INTEGER) AS bin
+                       FROM range({PSI_BINS})),
+             filled AS (SELECT bin, coalesce(n_a, 0) AS n_a,
+                               coalesce(n_b, 0) AS n_b
+                        FROM spine LEFT JOIN sides USING (bin)),
+             tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM filled)
+        SELECT bin, n_a, n_b,
+               round({sm_a}, 6) AS p_a,
+               round({sm_b}, 6) AS p_b,
+               round(({sm_b} - {sm_a}) * ln(({sm_b}) / ({sm_a})), 6)
+                   AS psi_contrib
+        FROM filled, tot ORDER BY bin
+    """
+
+
+def _cohens_kappa_sql() -> str:
+    from deusu_spark.pipelines import KAPPA_CHARS
+
+    return f"""
+        WITH {_ft_p_ctes()},
+             ab AS (SELECT CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS a,
+                           CASE WHEN d.n_chars >= {KAPPA_CHARS}
+                                THEN 1 ELSE 0 END AS b
+                    FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             agg AS (SELECT count(*) AS n,
+                            CAST(sum(a * b) AS BIGINT) AS n11,
+                            CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                            CAST(sum((1 - a) * b) AS BIGINT) AS n01
+                     FROM ab),
+             m AS (SELECT n, n11, n10, n01,
+                          n - n11 - n10 - n01 AS n00 FROM agg),
+             p AS (SELECT n, n11, n10, n01,
+                          (n11 + n00) * 1.0 / n AS po,
+                          ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                          + ((n01 + n00) * 1.0 / n)
+                            * ((n10 + n00) * 1.0 / n) AS pe
+                   FROM m)
+        SELECT n, n11, n10, n01, round(po, 6) AS p_o, round(pe, 6) AS p_e,
+               round((po - pe) / (1.0 - pe), 6) AS kappa
+        FROM p
+    """
+
+
+def _elbow_curve_sql() -> str:
+    from deusu_spark.pipelines import ELBOW_KMAX
+
+    return f"""
+        WITH longv AS (SELECT vec_id, i - 1 AS idx,
+                              CAST(embedding[i] AS DOUBLE) AS val
+                       FROM (SELECT vec_id, embedding,
+                                    unnest(range(1, len(embedding) + 1)) AS i
+                             FROM embeddings)),
+             cents AS (SELECT vec_id AS cid, idx, val AS cval
+                       FROM longv WHERE vec_id < {ELBOW_KMAX}),
+             d2 AS (SELECT vec_id, cid,
+                           sum((val - cval) * (val - cval)) AS d2
+                    FROM longv JOIN cents USING (idx) GROUP BY 1, 2),
+             ks AS (SELECT CAST(range AS INTEGER) + 1 AS k
+                    FROM range({ELBOW_KMAX})),
+             mins AS (SELECT k, vec_id, min(d2) AS m
+                      FROM d2 JOIN ks ON cid < k GROUP BY 1, 2)
+        SELECT k, count(*) AS n_vectors, round(sum(m), 4) AS wcss
+        FROM mins GROUP BY k ORDER BY k
     """
 
 
@@ -3037,6 +3145,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kaplan_meier": _kaplan_meier_sql(),
         "brier_calibration": _brier_calibration_sql(),
+        "roc_auc": _roc_auc_sql(),
+        "psi_drift": _psi_drift_sql(),
+        "cohens_kappa": _cohens_kappa_sql(),
+        "elbow_curve": _elbow_curve_sql(),
         "benford_test": """
             WITH per AS (SELECT substr(CAST(CAST(floor(o_totalprice)
                                     AS BIGINT) AS VARCHAR), 1, 1) AS digit,

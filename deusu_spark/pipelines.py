@@ -6627,6 +6627,31 @@ def q_brier_calibration(spark, sf_dir):
     own (one explode + per-doc agg, JVM md5 arithmetic only); the
     calibration is one further groupBy over CALIB_BINS groups."""
     d = _t(spark, sf_dir, "documents")
+    labeled = _ft_doc_p(d).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binc = F.least(
+        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    return (
+        labeled.groupBy(binc.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_p"),
+            F.round(F.avg("y"), 6).alias("obs_rate"),
+            F.round(
+                F.avg(F.pow(F.col("p") - F.col("y"), 2)), 6
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _ft_doc_p(d: DataFrame) -> DataFrame:
+    """(doc_id, p): q_classifier_score's hashed-unigram doc score mapped
+    to p = (round(avg_w,5)+1)/2 — rounded BEFORE the shift so downstream
+    bin edges and rank ties are engine-exact (shared by brier/auc)."""
     toks = (
         _tokens(d)
         .withColumn("h16", F.expr("substr(md5(concat('f:', t)), 1, 15)"))
@@ -6651,27 +6676,199 @@ def q_brier_calibration(spark, sf_dir):
             / F.lit(127.5),
         )
     )
-    scored = toks.groupBy("doc_id").agg(
+    return toks.groupBy("doc_id").agg(
         ((F.round(F.avg("w"), 5) + 1.0) / 2.0).alias("p")
     )
-    labeled = scored.join(
+
+
+def q_roc_auc(spark, sf_dir):
+    """ROC AUC of the hashed-unigram classifier score against the
+    y = (lang = 'en') label, by the rank-sum (Mann-Whitney) identity
+    AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks
+    for ties — the threshold-free companion to q_brier_calibration's
+    reliability table. Ties are over the ROUNDED score, so average ranks
+    (min-rank + (tie_count−1)/2) are engine-exact. The global rank is ONE
+    ordered pass over |docs| scored rows (the scores themselves reduce
+    from tokens map-side); at 10^12 docs the same statistic is computed
+    from a per-partition rank + offset (zip-with-index shape used
+    throughout the build) — the plan keeps a single |docs|-sized sort
+    either way."""
+    d = _t(spark, sf_dir, "documents")
+    scored = _ft_doc_p(d).join(
         d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
         "doc_id",
     )
-    binc = F.least(
-        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    wall = Window.orderBy("p")
+    wtie = Window.partitionBy("p")
+    ranked = scored.select(
+        "y",
+        (
+            F.rank().over(wall)
+            + (F.count("*").over(wtie) - 1) / 2.0
+        ).alias("r"),
     )
-    return (
-        labeled.groupBy(binc.alias("bin"))
+    agg = ranked.agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rp"),
+    )
+    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1.0) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+PSI_BIN_WIDTH = 64  # fixed n_chars bin width (engine-exact edges)
+PSI_BINS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift check between the first and
+    second half of the corpus (doc_id split) over the n_chars
+    distribution — the monitoring op that gates every refreshed training
+    snapshot ('did the length profile move?'). Bins are FIXED width (no
+    data-dependent quantile edges → engine-exact), probabilities are
+    Laplace-smoothed over the full bin spine so empty bins stay finite,
+    and PSI = Σ (p_b − p_a)·ln(p_b/p_a). Two groupBys over ≤PSI_BINS
+    groups + a generated spine join; nothing here grows with corpus size
+    except the one map-side-combinable histogram pass."""
+    d = _t(spark, sf_dir, "documents")
+    # floor() explicitly: DuckDB CAST(double AS BIGINT) rounds, Spark
+    # truncates — floor is the one portable integerization
+    half = d.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("h"))
+    binc = F.least(
+        F.floor(F.col("n_chars") / PSI_BIN_WIDTH).cast("int"),
+        F.lit(PSI_BINS - 1),
+    )
+    sides = (
+        d.crossJoin(F.broadcast(half))
+        .select(
+            binc.alias("bin"),
+            F.when(F.col("doc_id") <= F.col("h"), 1).otherwise(0).alias("a"),
+        )
+        .groupBy("bin")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("p"), 6).alias("mean_p"),
-            F.round(F.avg("y"), 6).alias("obs_rate"),
-            F.round(
-                F.avg(F.pow(F.col("p") - F.col("y"), 2)), 6
-            ).alias("brier"),
+            F.sum("a").alias("n_a"),
+            F.sum(1 - F.col("a")).alias("n_b"),
+        )
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    filled = (
+        spine.join(sides, "bin", "left")
+        .na.fill({"n_a": 0, "n_b": 0})
+    )
+    tot = filled.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * PSI_BINS)
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * PSI_BINS)
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_contrib"),
         )
         .orderBy("bin")
+    )
+
+
+KAPPA_CHARS = 300  # rater B: length-based keep threshold
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two independent document filters —
+    rater A = the hashed-unigram classifier (p > 0.5), rater B = the
+    length heuristic (n_chars >= KAPPA_CHARS): the statistic that tells a
+    curation pipeline whether two keep-signals are redundant or
+    complementary before they're conjoined. κ = (p_o − p_e)/(1 − p_e)
+    with p_e from the marginals; everything reduces to one 2×2 table —
+    four integers — so the op is a single map-side-combinable pass at any
+    corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    ab = _ft_doc_p(d).join(
+        d.select(
+            "doc_id",
+            (F.col("n_chars") >= KAPPA_CHARS).cast("int").alias("b"),
+        ),
+        "doc_id",
+    ).select((F.col("p") > 0.5).cast("int").alias("a"), "b")
+    agg = ab.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+    )
+    n = F.col("n").cast("double")
+    n11, n10, n01 = F.col("n11"), F.col("n10"), F.col("n01")
+    n00 = n - n11 - n10 - n01
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) / n) * ((n11 + n01) / n) + (
+        (n01 + n00) / n
+    ) * ((n10 + n00) / n)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        n11.cast("long").alias("n11"),
+        n10.cast("long").alias("n10"),
+        n01.cast("long").alias("n01"),
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+ELBOW_KMAX = 4  # WCSS curve for k = 1..ELBOW_KMAX
+
+
+def q_elbow_curve(spark, sf_dir):
+    """K-selection elbow curve: within-cluster sum of squares for
+    k = 1..ELBOW_KMAX over the embedding table, with the deterministic
+    lowest-id centroid convention shared by the whole IVF family
+    (ivf_centroids) — centroid set for k is the first k of one ordered
+    list, so ONE distance pass (vectors × KMAX centroids, long-form
+    element join, map-side-combinable) serves every k: WCSS_k folds the
+    same (vec, cid, d2) table with min over cid < k. No iteration, no
+    driver-side vectors; the curve the operator emits is what an elbow /
+    knee heuristic consumes to pick k before a full Lloyd's run."""
+    e = _t(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "idx", "val"
+        ),
+    )
+    cents = long.where(F.col("vec_id") < ELBOW_KMAX).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
+    )
+    d2 = (
+        long.join(F.broadcast(cents), "idx")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    ks = spark.range(1, ELBOW_KMAX + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    return (
+        d2.join(F.broadcast(ks), F.col("cid") < F.col("k"))
+        .groupBy("k", "vec_id")
+        .agg(F.min("d2").alias("m"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("m"), 4).alias("wcss"),
+        )
+        .orderBy("k")
     )
 
 
@@ -6815,4 +7012,8 @@ QUERIES = {
     "kaplan_meier": q_kaplan_meier,
     "benford_test": q_benford_test,
     "brier_calibration": q_brier_calibration,
+    "roc_auc": q_roc_auc,
+    "psi_drift": q_psi_drift,
+    "cohens_kappa": q_cohens_kappa,
+    "elbow_curve": q_elbow_curve,
 }
