@@ -2134,6 +2134,96 @@ def _elbow_curve_sql() -> str:
     """
 
 
+def _ks_test_sql() -> str:
+    return """
+        WITH half AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS h
+                      FROM documents),
+             per_v AS (SELECT n_chars,
+                              CAST(sum(CASE WHEN doc_id <=
+                                           (SELECT h FROM half)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                              CAST(sum(CASE WHEN doc_id >
+                                           (SELECT h FROM half)
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                       FROM documents GROUP BY 1),
+             cum AS (SELECT sum(ca) OVER (ORDER BY n_chars) AS cum_a,
+                            sum(cb) OVER (ORDER BY n_chars) AS cum_b
+                     FROM per_v),
+             tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                            CAST(sum(cb) AS BIGINT) AS tb FROM per_v)
+        SELECT ta AS n_a, tb AS n_b,
+               round(max(abs(cum_a * 1.0 / ta - cum_b * 1.0 / tb)), 6)
+                   AS ks_d,
+               round(max(abs(cum_a * 1.0 / ta - cum_b * 1.0 / tb))
+                     * sqrt(ta * tb * 1.0 / (ta + tb)), 6) AS ks_stat
+        FROM cum, tot GROUP BY ta, tb
+    """
+
+
+def _chi2_independence_sql() -> str:
+    return """
+        WITH cells AS (SELECT lang, source, count(*) AS o
+                       FROM documents GROUP BY 1, 2),
+             rowt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+             colt AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+             tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        SELECT (SELECT n FROM tot) AS n,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                   AS dof,
+               round(sum(pow(o - rt * ct * 1.0 / (SELECT n FROM tot), 2)
+                         / (rt * ct * 1.0 / (SELECT n FROM tot))), 4)
+                   AS chi2
+        FROM cells JOIN rowt USING (lang) JOIN colt USING (source)
+    """
+
+
+def _spearman_corr_sql() -> str:
+    return f"""
+        WITH {_ft_p_ctes()},
+             sc AS (SELECT s.doc_id, p, d.n_chars
+                    FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             r AS (SELECT rank() OVER (ORDER BY n_chars)
+                          + (count(*) OVER (PARTITION BY n_chars) - 1) / 2.0
+                              AS x,
+                          rank() OVER (ORDER BY p)
+                          + (count(*) OVER (PARTITION BY p) - 1) / 2.0 AS y
+                   FROM sc),
+             agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                            sum(x * y) AS sxy, sum(x * x) AS sxx,
+                            sum(y * y) AS syy
+                     FROM r)
+        SELECT n, round((n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                        6) AS rho
+        FROM agg
+    """
+
+
+def _acf_daily_sql() -> str:
+    from deusu_spark.pipelines import ACF_MAX_LAG
+
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                       FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                            cnt * 1.0 AS x
+                     FROM daily),
+             mu AS (SELECT avg(x) AS mu FROM idx),
+             centered AS (SELECT i, x - (SELECT mu FROM mu) AS dx FROM idx),
+             denom AS (SELECT sum(dx * dx) AS ss FROM centered),
+             lags AS (SELECT CAST(range AS INTEGER) + 1 AS lag
+                      FROM range({ACF_MAX_LAG})),
+             pairs AS (SELECT lag, a.dx AS dx, b.dx AS dy
+                       FROM centered a CROSS JOIN lags
+                       JOIN centered b ON b.i = a.i + lag)
+        SELECT lag, count(*) AS n_pairs,
+               round(sum(dx * dy) / (SELECT ss FROM denom), 6) AS acf
+        FROM pairs GROUP BY lag ORDER BY lag
+    """
+
+
 def _bigram_perplexity_sql() -> str:
     from deusu_spark.pipelines import BIGRAM_K
 
@@ -3149,6 +3239,10 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _psi_drift_sql(),
         "cohens_kappa": _cohens_kappa_sql(),
         "elbow_curve": _elbow_curve_sql(),
+        "ks_test": _ks_test_sql(),
+        "chi2_independence": _chi2_independence_sql(),
+        "spearman_corr": _spearman_corr_sql(),
+        "acf_daily": _acf_daily_sql(),
         "benford_test": """
             WITH per AS (SELECT substr(CAST(CAST(floor(o_totalprice)
                                     AS BIGINT) AS VARCHAR), 1, 1) AS digit,

@@ -6872,6 +6872,172 @@ def q_elbow_curve(spark, sf_dir):
     )
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half of the corpus (doc_id split) over n_chars: D = max |ECDF
+    difference| plus the √(n_a·n_b/(n_a+n_b))·D scaled statistic — the
+    distribution-free complement to q_psi_drift's binned PSI (KS sees
+    shape shifts PSI's fixed bins smear out). ECDFs reduce to one groupBy
+    per distinct value and one ordered cumulative window over the
+    |distinct values| rows (bounded by the value domain, not the corpus);
+    counts are exact integers so D is engine-exact before the final
+    division."""
+    d = _t(spark, sf_dir, "documents")
+    half = d.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("h"))
+    per_v = (
+        d.crossJoin(F.broadcast(half))
+        .select(
+            "n_chars",
+            F.when(F.col("doc_id") <= F.col("h"), 1).otherwise(0).alias("a"),
+        )
+        .groupBy("n_chars")
+        .agg(F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb"))
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    tot = per_v.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    diff = F.abs(
+        F.col("cum_a") / F.col("ta") - F.col("cum_b") / F.col("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("ta").alias("n_a"),
+            F.first("tb").alias("n_b"),
+            F.round(F.max(diff), 6).alias("ks_d"),
+            F.round(
+                F.max(diff)
+                * F.sqrt(
+                    F.first("ta")
+                    * F.first("tb")
+                    / (F.first("ta") + F.first("tb"))
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence test on the lang × source contingency
+    table — 'is the language mix the same across sources?', the audit
+    behind stratified sampling plans. One groupBy builds the table; the
+    marginals join back broadcast (the table is |langs|·|sources| rows at
+    any corpus size); χ² = Σ (o−e)²/e with e = row·col/total. Output: the
+    table dims, degrees of freedom, and the statistic."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rowt = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    joined = (
+        cells.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        F.first("n").alias("n"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (
+            (F.count_distinct("lang") - 1)
+            * (F.count_distinct("source") - 1)
+        ).alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+    )
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between document length (n_chars) and
+    the hashed-unigram classifier score — 'is the filter secretly a
+    length filter?', the confound check run before trusting any learned
+    quality signal. Average ranks for ties (min-rank + (ties−1)/2 over
+    the ROUNDED score — engine-exact), then the closed-form Pearson on
+    ranks. Two ordered passes over |docs| rows; at 10^12 docs the global
+    rank becomes per-partition rank + broadcast offsets (the build's
+    zip-with-index shape), same statistic."""
+    d = _t(spark, sf_dir, "documents")
+    sc = _ft_doc_p(d).join(d.select("doc_id", "n_chars"), "doc_id")
+    rx = F.rank().over(Window.orderBy("n_chars")) + (
+        F.count("*").over(Window.partitionBy("n_chars")) - 1
+    ) / 2.0
+    ry = F.rank().over(Window.orderBy("p")) + (
+        F.count("*").over(Window.partitionBy("p")) - 1
+    ) / 2.0
+    r = sc.select(rx.alias("x"), ry.alias("y"))
+    agg = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").alias("n"), F.round(num / den, 6).alias("rho")
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+def q_acf_daily(spark, sf_dir):
+    """Autocorrelation function of the daily event-count series at lags
+    1..ACF_MAX_LAG — the seasonality fingerprint (a weekly cycle shows as
+    a lag-7 peak) feeding q_seasonal_decompose's period choice. Standard
+    estimator: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the global
+    mean/variance. The series is one groupBy (calendar-sized); the lag
+    join is series × ACF_MAX_LAG on an integer index — trivially small
+    forever; the statistic is exact given the series."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.col("cnt").cast("double").alias("x"),
+    )
+    stats = idx.agg(F.avg("x").alias("mu"))
+    centered = idx.crossJoin(F.broadcast(stats))
+    denom = centered.agg(
+        F.sum(
+            (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+        ).alias("ss")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = centered.select("i", (F.col("x") - F.col("mu")).alias("dx"))
+    b = a.select(F.col("i").alias("j"), F.col("dx").alias("dy"))
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("j") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("dx") * F.col("dy")).alias("num"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7016,4 +7182,8 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "cohens_kappa": q_cohens_kappa,
     "elbow_curve": q_elbow_curve,
+    "ks_test": q_ks_test,
+    "chi2_independence": q_chi2_independence,
+    "spearman_corr": q_spearman_corr,
+    "acf_daily": q_acf_daily,
 }
