@@ -2224,6 +2224,71 @@ def _acf_daily_sql() -> str:
     """
 
 
+def _seasonal_naive_backtest_sql() -> str:
+    from deusu_spark.pipelines import FORECAST_LAG, FORECAST_TRAIN_DAYS
+
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                       FROM events GROUP BY 1),
+             s AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                          cnt * 1.0 AS y,
+                          lag(cnt, {FORECAST_LAG}) OVER (ORDER BY day) * 1.0
+                              AS yhat
+                   FROM daily),
+             t AS (SELECT * FROM s
+                   WHERE i > {FORECAST_TRAIN_DAYS} AND yhat IS NOT NULL)
+        SELECT count(*) AS n_test, round(avg(abs(y - yhat)), 6) AS mae,
+               round(avg(abs(y - yhat) / y), 6) AS mape
+        FROM t
+    """
+
+
+def _degree_assortativity_sql() -> str:
+    return """
+        WITH pairs AS (SELECT DISTINCT
+                              'c' || CAST(o_custkey AS VARCHAR) AS cn,
+                              's' || CAST(l_suppkey AS VARCHAR) AS sn
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+             edges AS (SELECT cn AS src, sn AS dst FROM pairs
+                       UNION ALL SELECT sn, cn FROM pairs),
+             deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+             xy AS (SELECT dx.d * 1.0 AS x, dy.d * 1.0 AS y
+                    FROM edges e
+                    JOIN deg dx ON e.src = dx.src
+                    JOIN deg dy ON e.dst = dy.src),
+             agg AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                            sum(x * y) AS sxy, sum(x * x) AS sxx,
+                            sum(y * y) AS syy
+                     FROM xy)
+        SELECT m AS n_edges,
+               round((m * sxy - sx * sy)
+                     / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+                   AS assortativity
+        FROM agg
+    """
+
+
+def _cond_entropy_sql() -> str:
+    return """
+        WITH nn AS (SELECT count(*) * 1.0 AS n FROM documents),
+             cell AS (SELECT lang, source, count(*) AS c
+                      FROM documents GROUP BY 1, 2),
+             cs AS (SELECT source, sum(c) AS cs FROM cell GROUP BY 1),
+             hc AS (SELECT -sum((c / (SELECT n FROM nn))
+                                * log2(c * 1.0 / cs)) AS h
+                    FROM cell JOIN cs USING (source)),
+             marg AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             hl AS (SELECT -sum((c / (SELECT n FROM nn))
+                                * log2(c / (SELECT n FROM nn))) AS h
+                    FROM marg)
+        SELECT round(hl.h, 6) AS h_lang,
+               round(hc.h, 6) AS h_lang_given_source,
+               round(hl.h - hc.h, 6) AS info_gain
+        FROM hl, hc
+    """
+
+
 def _bigram_perplexity_sql() -> str:
     from deusu_spark.pipelines import BIGRAM_K
 
@@ -3243,6 +3308,19 @@ def oracle_sql() -> dict[str, str]:
         "chi2_independence": _chi2_independence_sql(),
         "spearman_corr": _spearman_corr_sql(),
         "acf_daily": _acf_daily_sql(),
+        "seasonal_naive_backtest": _seasonal_naive_backtest_sql(),
+        "degree_assortativity": _degree_assortativity_sql(),
+        "cond_entropy": _cond_entropy_sql(),
+        "lexical_richness": f"""
+            WITH tf AS (SELECT doc_id, t, count(*) AS tf
+                        FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   round(count(*) * 1.0 / sum(tf), 6) AS ttr,
+                   round(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1.0
+                         / sum(tf), 6) AS hapax_rate
+            FROM tf GROUP BY doc_id ORDER BY doc_id
+        """,
         "benford_test": """
             WITH per AS (SELECT substr(CAST(CAST(floor(o_totalprice)
                                     AS BIGINT) AS VARCHAR), 1, 1) AS digit,

@@ -2279,19 +2279,7 @@ def q_pagerank(spark, sf_dir):
     DomainRank.pas) — this is the op that would COMPUTE one from the link
     graph. Fully SQL-oracled via a generated per-iteration CTE chain
     (the same oracle technique as bpe_merges)."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sn"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cn").alias("src"), F.col("sn").alias("dst")
-    ).unionByName(pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
+    edges = _trade_edges(spark, sf_dir)
     return (
         pagerank(edges)
         .select("node", F.round("rank", 6).alias("pr"))
@@ -7038,6 +7026,175 @@ def q_acf_daily(spark, sf_dir):
     )
 
 
+FORECAST_LAG = 7  # seasonal-naive horizon (weekly cycle)
+FORECAST_TRAIN_DAYS = 21  # backtest split point (day index)
+
+
+def q_seasonal_naive_backtest(spark, sf_dir):
+    """Forecast backtest: the seasonal-naive baseline ŷ_t = y_{t−7} over
+    the daily event-count series, evaluated on the days after a fixed
+    train split — MAE and MAPE, the accuracy floor every real capacity
+    forecast must beat before it ships. The series is one groupBy
+    (calendar-sized); the forecast is a lag window over one row per day;
+    the metrics are a single aggregation. Deterministic end to end (no
+    fitting, integer counts)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    scored = daily.select(
+        F.row_number().over(w).alias("i"),
+        F.col("cnt").cast("double").alias("y"),
+        F.lag("cnt", FORECAST_LAG).over(w).cast("double").alias("yhat"),
+    ).where(
+        (F.col("i") > FORECAST_TRAIN_DAYS) & F.col("yhat").isNotNull()
+    )
+    return scored.agg(
+        F.count("*").alias("n_test"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("yhat"))), 6).alias("mae"),
+        F.round(
+            F.avg(F.abs(F.col("y") - F.col("yhat")) / F.col("y")), 6
+        ).alias("mape"),
+    )
+
+
+def _trade_edges(spark, sf_dir) -> DataFrame:
+    """Directed edge list (both directions) of the customer↔supplier
+    bipartite trading graph from orders⋈lineitem — shared by q_pagerank
+    and q_degree_assortativity."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "cn"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "sn"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the trading graph (q_pagerank's edge
+    list): the Pearson correlation of endpoint degrees over all directed
+    edges — negative means hubs attach to leaves (the usual bipartite /
+    web shape), the structural statistic that predicts how badly a hot
+    node skews a graph shuffle. Degrees come from one groupBy; each edge
+    picks up its two endpoint degrees via two broadcastable hash joins;
+    the correlation is one closed-form aggregation. No iteration."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    xy = (
+        edges.join(deg.withColumnRenamed("src", "s_"), F.col("src") == F.col("s_"))
+        .withColumnRenamed("d", "x")
+        .drop("s_")
+        .join(
+            deg.select(
+                F.col("src").alias("d_"), F.col("d").alias("y")
+            ),
+            F.col("dst") == F.col("d_"),
+        )
+        .select(F.col("x").cast("double"), F.col("y").cast("double"))
+    )
+    agg = xy.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def q_lexical_richness(spark, sf_dir):
+    """Per-document lexical richness: type-token ratio and hapax rate
+    (share of tokens occurring exactly once in the doc) — the
+    vocabulary-diversity quality signals that catch keyword-stuffed and
+    template text that length/stopword filters (q_token_stats,
+    q_gopher_rules) miss. Shape: one groupBy to per-(doc, term) counts,
+    one per-doc aggregation — both map-side combinable, nothing
+    corpus-global."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    tf = _tokens(d).groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.count("*") / F.sum("tf"), 6).alias("ttr"),
+            F.round(
+                F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+                / F.sum("tf"),
+                6,
+            ).alias("hapax_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_cond_entropy(spark, sf_dir):
+    """Information gain of `source` about `lang`: H(lang), the
+    conditional entropy H(lang|source) = Σ_s p(s)·H(lang|s), and their
+    difference (mutual information) in bits — the feature-utility audit
+    behind 'does the source field carry language signal worth routing
+    on?' (complements q_chi2_independence's significance test with an
+    effect size). One groupBy over the |langs|×|sources| table plus two
+    marginal reductions — dimension-table-sized at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    cell = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    h_ls = cell.join(
+        F.broadcast(cell.groupBy("source").agg(F.sum("c").alias("cs"))),
+        "source",
+    )
+    # H(lang|source) = -Σ_{l,s} p(l,s) · log2(p(l,s)/p(s))
+    h_cond = h_ls.agg(
+        (
+            -F.sum(
+                (F.col("c") / F.lit(float(n)))
+                * F.log2(F.col("c") / F.col("cs"))
+            )
+        ).alias("h")
+    )
+    marg = d.groupBy("lang").agg(F.count("*").alias("c"))
+    h_lang = marg.agg(
+        (
+            -F.sum(
+                (F.col("c") / F.lit(float(n)))
+                * F.log2(F.col("c") / F.lit(float(n)))
+            )
+        ).alias("h")
+    )
+    return (
+        h_lang.crossJoin(h_cond.withColumnRenamed("h", "hc"))
+        .select(
+            F.round("h", 6).alias("h_lang"),
+            F.round("hc", 6).alias("h_lang_given_source"),
+            F.round(F.col("h") - F.col("hc"), 6).alias("info_gain"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7186,4 +7343,8 @@ QUERIES = {
     "chi2_independence": q_chi2_independence,
     "spearman_corr": q_spearman_corr,
     "acf_daily": q_acf_daily,
+    "seasonal_naive_backtest": q_seasonal_naive_backtest,
+    "degree_assortativity": q_degree_assortativity,
+    "lexical_richness": q_lexical_richness,
+    "cond_entropy": q_cond_entropy,
 }
