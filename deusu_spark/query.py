@@ -56,6 +56,7 @@ from .constants import (
 )
 from .queryplan import PlanTerm, compile_query
 from .synth import crc32
+from .textproc import fold
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -152,6 +153,53 @@ class SearchEngine:
         if sub is None or sub.empty:
             return 0
         return int(sub[sub["kind"] == "full"]["n"].sum())
+
+    def _suggest_rows(self, t: str) -> list[tuple[str, int]]:
+        """ALL verified edit-distance<=1 lexicon terms for a folded term
+        with their df — one bounded Spark job: the scan prunes to the
+        ±1-length band, the SymSpell deletion-neighborhood test is an
+        arrays_overlap against the query's own ≤len+1 keys (JVM column
+        expressions, no explode join needed at query time), and the exact
+        verify is the built-in levenshtein. Un-truncated so a federation
+        coordinator can rank by GLOBAL df (query_local._suggest_candidates
+        is the serving twin)."""
+        qkeys = sorted({t[:i] + t[i + 1:] for i in range(len(t))} | {t})
+        lex = (
+            self.lexicon.where(
+                (F.length("term") >= len(t) - 1)
+                & (F.length("term") <= len(t) + 1)
+            )
+            .groupBy("term")
+            .agg(F.max("df").alias("df"))
+        )
+        term_keys = F.array_union(
+            F.array(F.col("term")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("term")),
+                lambda i: F.concat(
+                    F.substring(F.col("term"), F.lit(1), i - 1),
+                    F.col("term").substr(i + 1, F.length("term")),
+                ),
+            ),
+        )
+        cand = lex.where(
+            F.arrays_overlap(
+                term_keys, F.array(*[F.lit(x) for x in qkeys])
+            )
+            & (F.levenshtein(F.lit(t), F.col("term")) <= 1)
+        )
+        return [(r["term"], int(r["df"])) for r in cand.collect()]
+
+    def suggest(self, term: str, k: int = 3) -> list[str]:
+        """Distributed did-you-mean twin of LocalSearcher.suggest: [] for
+        an empty or in-vocabulary term, else the SymSpell candidates
+        ranked by (-df, term) — identical output to the serving engine on
+        the same index (tested)."""
+        t = fold(term.lower()) if term else term
+        if not t or self.term_df(t) > 0:
+            return []
+        scored = sorted(self._suggest_rows(t), key=lambda x: (-x[1], x[0]))
+        return [c for c, _ in scored[:k]]
 
     def _fetch_term_meta(self, keys: list[str]) -> None:
         """One bucket/term-pruned metadata job for every unseen key (both
@@ -1246,6 +1294,22 @@ class FederatedSearchEngine:
 
     def term_df(self, term: str) -> int:
         return sum(p.term_df(term) for p in self.parts)
+
+    def suggest(self, term: str, k: int = 3) -> list[str]:
+        """Federated did-you-mean, same globalization rule as the serving
+        FederatedSearcher: every part contributes its FULL verified
+        candidate set (one bounded job each, concurrent), ranking uses
+        the SUMMED df — a term present in only one part competes on its
+        true federation-wide frequency."""
+        t = fold(term.lower()) if term else term
+        if not t or self.term_df(t) > 0:
+            return []
+        dfs: dict[str, int] = {}
+        for rows in self._map_parts(lambda p: p._suggest_rows(t)):
+            for c, d in rows:
+                dfs[c] = dfs.get(c, 0) + d
+        scored = sorted(dfs.items(), key=lambda x: (-x[1], x[0]))
+        return [c for c, _ in scored[:k]]
 
     def compile(self, query: str) -> list[PlanTerm]:
         """Global compile: ONE pruned metadata job per part (concurrent)

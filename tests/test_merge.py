@@ -430,3 +430,20 @@ def test_federated_suggest_equals_merged(merge_env):
         assert fed.suggest(typo, k=5) == merged.suggest(typo, k=5), typo
         checked += bool(merged.suggest(typo, k=5))
     assert checked >= 2  # the set must exercise real suggestions
+
+
+def test_federated_suggest_distributed_equals_merged(spark, merge_env):
+    """The DISTRIBUTED federation's did-you-mean (per-part bounded lexicon
+    jobs, summed-df ranking) matches the merged index's serving
+    suggester — same globalization rule as the serving federation."""
+    from deusu_spark.query import FederatedSearchEngine
+    from deusu_spark.query_local import LocalSearcher
+
+    _root, dirs, out, _m = merge_env
+    dfed = FederatedSearchEngine(spark, dirs)
+    merged = LocalSearcher(out)
+    checked = 0
+    for typo in ["linx", "goggle", "zzqqzz", "linux"]:
+        assert dfed.suggest(typo, k=5) == merged.suggest(typo, k=5), typo
+        checked += bool(merged.suggest(typo, k=5))
+    assert checked >= 2

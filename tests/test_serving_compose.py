@@ -110,6 +110,19 @@ def test_suggest_did_you_mean(local_searcher):
     assert s.suggest("") == []
 
 
+def test_suggest_distributed_equals_serving(engine, local_searcher):
+    """SearchEngine.suggest (one bounded lexicon job: length-banded scan,
+    arrays_overlap deletion-neighborhood test, JVM levenshtein verify) is
+    output-identical to LocalSearcher.suggest on the same index."""
+    checked = 0
+    for typo in ["linx", "linuxx", "goggle", "w004", "zzqqzz", "linux", ""]:
+        assert engine.suggest(typo, k=5) == local_searcher.suggest(
+            typo, k=5
+        ), typo
+        checked += bool(local_searcher.suggest(typo, k=5))
+    assert checked >= 2  # the set must exercise real suggestions
+
+
 def test_lev_le1_exact():
     from deusu_spark.query_local import _lev_le1
 
