@@ -2289,6 +2289,121 @@ def _cond_entropy_sql() -> str:
     """
 
 
+def _ltv_curve_sql() -> str:
+    return """
+        WITH first AS (SELECT user_id,
+                              CAST(date_trunc('week', min(ts)) AS DATE)
+                                  AS cohort_wk
+                       FROM events GROUP BY 1),
+             sizes AS (SELECT cohort_wk, count(*) AS n_users
+                       FROM first GROUP BY 1),
+             rev AS (SELECT cohort_wk,
+                            CAST(date_diff('day', cohort_wk,
+                                     CAST(date_trunc('week', ts) AS DATE))
+                                 / 7 AS INTEGER) AS age_weeks,
+                            sum(value) AS wk_rev
+                     FROM events e JOIN first USING (user_id)
+                     WHERE event_type = 'purchase' GROUP BY 1, 2),
+             cum AS (SELECT cohort_wk, age_weeks,
+                            sum(wk_rev) OVER (PARTITION BY cohort_wk
+                                              ORDER BY age_weeks) AS cum_rev
+                     FROM rev)
+        SELECT cohort_wk, age_weeks, n_users, round(cum_rev, 2) AS cum_rev,
+               round(cum_rev / n_users, 6) AS ltv
+        FROM cum JOIN sizes USING (cohort_wk)
+        ORDER BY cohort_wk, age_weeks
+    """
+
+
+def _position_attribution_sql() -> str:
+    return """
+        WITH fp AS (SELECT user_id, min(ts) AS p_ts FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1),
+             pval AS (SELECT e.user_id, p_ts, min(value) AS pvalue
+                      FROM events e JOIN fp USING (user_id)
+                      WHERE event_type = 'purchase' AND ts = p_ts
+                      GROUP BY 1, 2),
+             touches AS (SELECT e.user_id, event_type, ts, pvalue
+                         FROM events e JOIN pval USING (user_id)
+                         WHERE event_type IN ('view', 'click')
+                           AND ts < p_ts),
+             pos AS (SELECT event_type, pvalue,
+                            row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_type)
+                                AS i,
+                            count(*) OVER (PARTITION BY user_id) AS m
+                     FROM touches),
+             cr AS (SELECT event_type, pvalue,
+                           CASE WHEN m = 1 THEN 1.0
+                                WHEN m = 2 THEN 0.5
+                                WHEN i = 1 THEN 0.4
+                                WHEN i = m THEN 0.4
+                                ELSE 0.2 / (m - 2) END AS credit
+                    FROM pos)
+        SELECT event_type AS touch_type, round(sum(credit), 6) AS credit,
+               round(sum(credit * pvalue), 2) AS attributed_revenue
+        FROM cr GROUP BY 1 ORDER BY 1
+    """
+
+
+def _quota_allocation_sql() -> str:
+    from deusu_spark.pipelines import QUOTA_N
+
+    return f"""
+        WITH g AS (SELECT lang, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+             tot AS (SELECT sum(sqrt(n_docs)) AS ts FROM g),
+             sh AS (SELECT lang, n_docs,
+                           sqrt(n_docs) / (SELECT ts FROM tot) * {QUOTA_N}
+                               AS share
+                    FROM g),
+             based AS (SELECT lang, n_docs, share,
+                              CAST(floor(share) AS BIGINT) AS base,
+                              share - floor(share) AS frac
+                       FROM sh),
+             lo AS (SELECT CAST({QUOTA_N} - sum(base) AS INTEGER) AS r
+                    FROM based),
+             rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang)
+                               AS rn
+                    FROM based)
+        SELECT lang, n_docs, round(share, 6) AS share, base,
+               CASE WHEN rn <= (SELECT r FROM lo) THEN 1 ELSE 0 END
+                   AS extra,
+               base + CASE WHEN rn <= (SELECT r FROM lo)
+                           THEN 1 ELSE 0 END AS alloc
+        FROM rk ORDER BY lang
+    """
+
+
+def _trimmed_mean_sql() -> str:
+    from deusu_spark.pipelines import TRIM_FRAC
+
+    return f"""
+        WITH base AS (SELECT n.n_name, o.o_totalprice, o.o_orderkey
+                      FROM orders o
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+             ranked AS (SELECT n_name, o_totalprice,
+                               row_number() OVER (PARTITION BY n_name
+                                                  ORDER BY o_totalprice,
+                                                           o_orderkey) AS i,
+                               count(*) OVER (PARTITION BY n_name) AS n
+                        FROM base),
+             alls AS (SELECT n_name, count(*) AS n_orders,
+                             round(avg(o_totalprice), 4) AS mean_all
+                      FROM ranked GROUP BY 1),
+             kept AS (SELECT n_name, o_totalprice FROM ranked
+                      WHERE i > CAST(floor({TRIM_FRAC} * n) AS BIGINT)
+                        AND i <= n - CAST(floor({TRIM_FRAC} * n)
+                                          AS BIGINT)),
+             trm AS (SELECT n_name, count(*) AS n_kept,
+                            round(avg(o_totalprice), 4) AS mean_trimmed
+                     FROM kept GROUP BY 1)
+        SELECT n_name, n_orders, n_kept, mean_all, mean_trimmed
+        FROM alls JOIN trm USING (n_name) ORDER BY n_name
+    """
+
+
 def _bigram_perplexity_sql() -> str:
     from deusu_spark.pipelines import BIGRAM_K
 
@@ -3311,6 +3426,10 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_backtest": _seasonal_naive_backtest_sql(),
         "degree_assortativity": _degree_assortativity_sql(),
         "cond_entropy": _cond_entropy_sql(),
+        "ltv_curve": _ltv_curve_sql(),
+        "position_attribution": _position_attribution_sql(),
+        "quota_allocation": _quota_allocation_sql(),
+        "trimmed_mean": _trimmed_mean_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -7195,6 +7195,213 @@ def q_cond_entropy(spark, sf_dir):
     )
 
 
+def q_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve: users cohorted by first-seen week, purchase
+    revenue accumulated per cohort over age-in-weeks, normalized per
+    cohort user — the curve every acquisition/payback decision reads
+    (complements q_retention_cohorts' activity matrix with money). Scale
+    shape: per-user first-seen is one groupBy; revenue per (cohort, age)
+    is one map-side-combinable aggregation; the cumulative window runs
+    over the cohort×age matrix (calendar-sized), never over raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_wk")
+    )
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").alias("n_users")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+            "value",
+        )
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias(
+                "age_weeks"
+            ),
+        )
+        .agg(F.sum("value").alias("wk_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_rev", F.sum("wk_rev").over(w))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_weeks",
+            "n_users",
+            F.round("cum_rev", 2).alias("cum_rev"),
+            F.round(F.col("cum_rev") / F.col("n_users"), 6).alias("ltv"),
+        )
+        .orderBy("cohort_wk", "age_weeks")
+    )
+
+
+def q_position_attribution(spark, sf_dir):
+    """U-shaped (position-based 40/20/40) multi-touch attribution over
+    each user's touch journey before their FIRST purchase: first and last
+    touch get 0.4 credit each, the interior splits the remaining 0.2
+    evenly (solo touch = 1.0, two touches = 0.5/0.5) — the model that
+    replaces q_last_touch_attribution when the first touch matters.
+    Journeys are per-user windows (bounded by a user's touch count, never
+    corpus-wide); credits aggregate by touch type in one
+    map-side-combinable pass, weighted by the converted purchase
+    value."""
+    ev = _t(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    pval = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fp, "user_id")
+        .where(F.col("ts") == F.col("p_ts"))
+        .groupBy("user_id", "p_ts")
+        .agg(F.min("value").alias("pvalue"))
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .join(pval, "user_id")
+        .where(F.col("ts") < F.col("p_ts"))
+        .select("user_id", "event_type", "ts", "pvalue")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    wc = Window.partitionBy("user_id")
+    pos = touches.select(
+        "event_type",
+        "pvalue",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wc).alias("m"),
+    )
+    credit = (
+        F.when(F.col("m") == 1, 1.0)
+        .when(F.col("m") == 2, 0.5)
+        .when(F.col("i") == 1, 0.4)
+        .when(F.col("i") == F.col("m"), 0.4)
+        .otherwise(0.2 / (F.col("m") - 2))
+    )
+    return (
+        pos.withColumn("credit", credit)
+        .groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.round(F.sum("credit"), 6).alias("credit"),
+            F.round(F.sum(F.col("credit") * F.col("pvalue")), 2).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+QUOTA_N = 1000  # sample slots to allocate across languages
+
+
+def q_quota_allocation(spark, sf_dir):
+    """Mixture-plan quota allocation by the largest-remainder (Hamilton)
+    method: QUOTA_N sample slots across languages proportional to
+    √(doc count) (the sqrt-temperature reweighting multilingual corpora
+    use), integer base = floor(share), leftover slots to the largest
+    fractional remainders (lang tie-break) — allocations sum to QUOTA_N
+    exactly, which proportional rounding alone can't guarantee. Runs
+    entirely over the |langs| aggregate; the allocation then drives the
+    same deterministic per-group sampling as q_stratified_sample."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = g.agg(F.sum(F.sqrt("n_docs")).alias("ts"))
+    sh = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.sqrt("n_docs") / F.col("ts") * QUOTA_N).alias("share"),
+    )
+    based = sh.select(
+        "lang",
+        "n_docs",
+        "share",
+        F.floor("share").cast("long").alias("base"),
+        (F.col("share") - F.floor("share")).alias("frac"),
+    )
+    leftover = based.agg(
+        (F.lit(QUOTA_N) - F.sum("base")).cast("int").alias("r")
+    )
+    wr = Window.orderBy(F.desc("frac"), "lang")
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "extra",
+            F.when(F.row_number().over(wr) <= F.col("r"), 1).otherwise(0),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round("share", 6).alias("share"),
+            "base",
+            "extra",
+            (F.col("base") + F.col("extra")).alias("alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+TRIM_FRAC = 0.1  # two-sided trim fraction
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Per-nation 10% two-sided trimmed mean of order totals — the
+    robust center that survives the fat tails MAD flags
+    (q_mad_outliers): drop the floor(0.1·n) cheapest and most expensive
+    orders per nation by a DETERMINISTIC row_number (price, orderkey
+    tie-break — integer cutoffs, engine-exact membership), then average
+    the interior. The rank window partitions by nation so every nation
+    trims in parallel; no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_totalprice", "o_orderkey")
+    )
+    wo = Window.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("n_name")
+    ranked = base.select(
+        "n_name",
+        "o_totalprice",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wc).alias("n"),
+    )
+    cut = F.floor(TRIM_FRAC * F.col("n")).cast("long")
+    kept = ranked.where(
+        (F.col("i") > cut) & (F.col("i") <= F.col("n") - cut)
+    )
+    alls = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_all"),
+    )
+    trm = kept.groupBy("n_name").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_trimmed"),
+    )
+    return (
+        alls.join(trm, "n_name")
+        .select(
+            "n_name", "n_orders", "n_kept", "mean_all", "mean_trimmed"
+        )
+        .orderBy("n_name")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7347,4 +7554,8 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "lexical_richness": q_lexical_richness,
     "cond_entropy": q_cond_entropy,
+    "ltv_curve": q_ltv_curve,
+    "position_attribution": q_position_attribution,
+    "quota_allocation": q_quota_allocation,
+    "trimmed_mean": q_trimmed_mean,
 }
