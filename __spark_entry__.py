@@ -2404,6 +2404,80 @@ def _trimmed_mean_sql() -> str:
     """
 
 
+_POSTOK = """arr AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text),
+                                        '[^a-z0-9]+'), x -> x <> '') AS a
+                     FROM documents),
+             tok AS (SELECT doc_id, i - 1 AS pos, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM arr))"""
+
+
+def _min_span_sql() -> str:
+    return f"""
+        WITH {_POSTOK},
+             pos AS (SELECT * FROM tok WHERE t IN ('spark', 'join')),
+             a2 AS (SELECT doc_id, pos AS pa FROM pos WHERE t = 'spark'),
+             b2 AS (SELECT doc_id, pos AS pb FROM pos WHERE t = 'join')
+        SELECT doc_id, count(DISTINCT pa) AS n_a, count(DISTINCT pb) AS n_b,
+               CAST(min(abs(pa - pb)) AS BIGINT) AS min_gap
+        FROM a2 JOIN b2 USING (doc_id) GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _snippet_window_sql() -> str:
+    from deusu_spark.pipelines import SNIPPET_W
+
+    return f"""
+        WITH {_POSTOK},
+             hits AS (SELECT * FROM tok WHERE t IN ('spark', 'join')),
+             wins AS (SELECT s.doc_id, s.pos AS p0,
+                             count(DISTINCT h.t) AS n_terms
+                      FROM hits s JOIN hits h ON s.doc_id = h.doc_id
+                       AND h.pos >= s.pos AND h.pos < s.pos + {SNIPPET_W}
+                      GROUP BY 1, 2),
+             r AS (SELECT doc_id, p0, n_terms,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY n_terms DESC, p0)
+                              AS rn
+                   FROM wins)
+        SELECT doc_id, p0 AS best_pos, n_terms FROM r
+        WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+def _bm25f_topk_sql() -> str:
+    from deusu_spark.pipelines import BM25F_TITLE_BOOST, BM25F_TITLE_W
+
+    return f"""
+        WITH {_POSTOK},
+             fielded AS (SELECT doc_id, t,
+                                CASE WHEN pos < {BM25F_TITLE_W}
+                                     THEN {BM25F_TITLE_BOOST}
+                                     ELSE 1.0 END AS w
+                         FROM tok),
+             wdl AS (SELECT doc_id, sum(w) AS wdl FROM fielded GROUP BY 1),
+             aw AS (SELECT avg(wdl) AS avg_wdl FROM wdl),
+             nn AS (SELECT count(*) AS n FROM documents),
+             wtf AS (SELECT doc_id, t, sum(w) AS wtf FROM fielded
+                     WHERE t IN ('spark', 'join') GROUP BY 1, 2),
+             dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+                     WHERE t IN ('spark', 'join') GROUP BY 1),
+             s AS (SELECT doc_id,
+                          round(sum(ln(1.0 + (nn.n - dfs.df + 0.5)
+                                             / (dfs.df + 0.5))
+                                * wtf * (1.2 + 1.0)
+                                / (wtf + 1.2 * (1 - 0.75
+                                     + 0.75 * wdl.wdl / aw.avg_wdl))), 5)
+                              AS score
+                   FROM wtf JOIN dfs USING (t) JOIN wdl USING (doc_id),
+                        nn, aw
+                   GROUP BY doc_id)
+        SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
 def _bigram_perplexity_sql() -> str:
     from deusu_spark.pipelines import BIGRAM_K
 
@@ -3430,6 +3504,9 @@ def oracle_sql() -> dict[str, str]:
         "position_attribution": _position_attribution_sql(),
         "quota_allocation": _quota_allocation_sql(),
         "trimmed_mean": _trimmed_mean_sql(),
+        "min_span": _min_span_sql(),
+        "snippet_window": _snippet_window_sql(),
+        "bm25f_topk": _bm25f_topk_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

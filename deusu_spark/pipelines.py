@@ -7402,6 +7402,137 @@ def q_trimmed_mean(spark, sf_dir):
     )
 
 
+def q_min_span(spark, sf_dir):
+    """Proximity feature: the minimal position gap between the query
+    terms {spark, join} within each document that contains both — the
+    span statistic proximity-boosted rankers (and snippet pickers) feed
+    on. Positions come from one posexplode; the gap join is WITHIN a
+    document between that doc's occurrence lists (bounded by per-doc term
+    frequency, never cross-doc); one groupBy takes the min. The reference
+    scores binary TF only (§2.6) — this is the positional feature its
+    index can't produce, natural here because positions are one explode
+    away."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    pos = (
+        d.select("doc_id", F.posexplode(arr).alias("pos", "t"))
+        .where(F.col("t").isin("spark", "join"))
+    )
+    a = pos.where(F.col("t") == "spark").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pos.where(F.col("t") == "join").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("pa").alias("n_a"),
+            F.count_distinct("pb").alias("n_b"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_gap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SNIPPET_W = 10  # snippet window length in tokens
+
+
+def q_snippet_window(spark, sf_dir):
+    """Snippet window selection: for every document matching {spark,
+    join}, the SNIPPET_W-token window holding the most DISTINCT query
+    terms, earliest-position tie-break — the query-dependent snippet
+    chooser (the reference's static ShowLink description is
+    query-independent; this is the dynamic upgrade, R6-adjacent).
+    Candidate windows start only at query-term positions (the classic
+    pruning: any optimal window can be left-aligned to a hit), so the
+    within-doc candidate join is hit-count × hit-count bounded, never
+    text-length quadratic; one groupBy per candidate and a per-doc
+    rank-1 window finish it."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    hits = (
+        d.select("doc_id", F.posexplode(arr).alias("pos", "t"))
+        .where(F.col("t").isin("spark", "join"))
+    )
+    starts = hits.select("doc_id", F.col("pos").alias("p0"))
+    wins = (
+        starts.join(
+            hits.select("doc_id", "pos", "t"),
+            "doc_id",
+        )
+        .where(
+            (F.col("pos") >= F.col("p0"))
+            & (F.col("pos") < F.col("p0") + SNIPPET_W)
+        )
+        .groupBy("doc_id", "p0")
+        .agg(F.count_distinct("t").alias("n_terms"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_terms"), F.col("p0").asc()
+    )
+    return (
+        wins.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("p0").alias("best_pos"), "n_terms")
+        .orderBy("doc_id")
+    )
+
+
+BM25F_TITLE_W = 5  # pseudo-title = the first 5 tokens
+BM25F_TITLE_BOOST = 2.0
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F field-weighted ranking for {spark, join}: the document's
+    first BM25F_TITLE_W tokens act as a title field with weight 2, the
+    rest as body with weight 1; per-term weighted tf and weighted doc
+    length feed the standard BM25 saturation (k1=1.2, b=0.75), idf from
+    whole-doc df. The multi-field upgrade of q_bm25_topk — same two
+    map-side-combinable aggregations, one extra per-field groupBy; the
+    field split is a position predicate on the same posexplode, so the
+    plan shape (and its 10^12-doc behavior) is q_bm25_topk's."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    pos = d.select("doc_id", F.posexplode(arr).alias("pos", "t"))
+    fielded = pos.withColumn(
+        "w",
+        F.when(
+            F.col("pos") < BM25F_TITLE_W, F.lit(BM25F_TITLE_BOOST)
+        ).otherwise(F.lit(1.0)),
+    )
+    wdl = fielded.groupBy("doc_id").agg(F.sum("w").alias("wdl"))
+    avg_wdl = wdl.agg(F.avg("wdl")).collect()[0][0]
+    qpos = fielded.where(F.col("t").isin("spark", "join"))
+    wtf = qpos.groupBy("doc_id", "t").agg(F.sum("w").alias("wtf"))
+    dfs = (
+        pos.where(F.col("t").isin("spark", "join"))
+        .select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        wtf.join(F.broadcast(dfs), "t")
+        .join(wdl, "doc_id")
+        .withColumn(
+            "s",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("wtf")
+            * (1.2 + 1.0)
+            / (
+                F.col("wtf")
+                + 1.2 * (1 - 0.75 + 0.75 * F.col("wdl") / F.lit(avg_wdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 5).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7558,4 +7689,7 @@ QUERIES = {
     "position_attribution": q_position_attribution,
     "quota_allocation": q_quota_allocation,
     "trimmed_mean": q_trimmed_mean,
+    "min_span": q_min_span,
+    "snippet_window": q_snippet_window,
+    "bm25f_topk": q_bm25f_topk,
 }
