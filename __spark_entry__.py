@@ -2478,6 +2478,115 @@ def _bm25f_topk_sql() -> str:
     """
 
 
+def _robust_trend_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                       FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                            cnt * 1.0 AS x
+                     FROM daily),
+             pairs AS (SELECT sign(b.x - a.x) AS sgn,
+                              (b.x - a.x) / (b.i - a.i) AS slope
+                       FROM idx a JOIN idx b ON a.i < b.i),
+             s_agg AS (SELECT CAST(sum(sgn) AS BIGINT) AS s,
+                              count(*) AS m
+                       FROM pairs),
+             nn AS (SELECT count(*) AS n FROM idx),
+             ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                                 AS tie_adj
+                      FROM (SELECT count(*) AS t FROM idx
+                            GROUP BY x HAVING count(*) > 1)),
+             ranked AS (SELECT slope,
+                               row_number() OVER (ORDER BY slope) AS r
+                        FROM pairs),
+             sen AS (SELECT slope AS sen_slope FROM ranked, s_agg
+                     WHERE r = CAST(floor((m + 1) / 2) AS BIGINT)),
+             v AS (SELECT n, s,
+                          (n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0
+                              AS var_s
+                   FROM s_agg, nn, ties)
+        SELECT n AS n_days, s, round(var_s, 4) AS var_s,
+               round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                          WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                          ELSE 0.0 END, 6) AS z,
+               round(sen_slope, 6) AS sen_slope
+        FROM v, sen
+    """
+
+
+def _interarrival_fit_sql() -> str:
+    return """
+        WITH g AS (SELECT (epoch_us(ts)
+                           - lag(epoch_us(ts))
+                               OVER (ORDER BY ts, event_id)) / 1000000.0
+                              AS dt
+                   FROM events),
+             gaps AS (SELECT dt FROM g WHERE dt IS NOT NULL),
+             nm AS (SELECT count(*) AS n, avg(dt) AS mean_dt FROM gaps),
+             ranked AS (SELECT dt, row_number() OVER (ORDER BY dt) AS r
+                        FROM gaps),
+             d AS (SELECT max(abs(r * 1.0 / (SELECT n FROM nm)
+                           - (1.0 - exp(-dt / (SELECT mean_dt FROM nm)))))
+                              AS ks_d
+                   FROM ranked)
+        SELECT (SELECT n FROM nm) AS n_gaps,
+               round(1.0 / (SELECT mean_dt FROM nm), 9) AS lambda,
+               round(ks_d, 6) AS ks_d
+        FROM d
+    """
+
+
+def _mutual_nn_sql() -> str:
+    from deusu_spark.pipelines import MNN_MAX_VEC
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < {MNN_MAX_VEC}),
+             longv AS (SELECT vec_id, i AS idx,
+                              CAST(embedding[i] AS DOUBLE) AS val
+                       FROM (SELECT vec_id, embedding,
+                                    unnest(range(1, len(embedding) + 1))
+                                        AS i
+                             FROM e)),
+             nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm
+                     FROM longv GROUP BY 1),
+             dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                             sum(a.val * b.val) AS dot
+                      FROM longv a JOIN longv b
+                        ON a.idx = b.idx AND a.vec_id <> b.vec_id
+                      GROUP BY 1, 2),
+             cos AS (SELECT va, vb,
+                            round(dot / (na.nrm * nb.nrm), 6) AS cos
+                     FROM dots
+                     JOIN nrm na ON na.vec_id = va
+                     JOIN nrm nb ON nb.vec_id = vb),
+             top1 AS (SELECT va, vb, cos FROM (
+                          SELECT va, vb, cos,
+                                 row_number() OVER (PARTITION BY va
+                                                    ORDER BY cos DESC, vb)
+                                     AS rn
+                          FROM cos)
+                      WHERE rn = 1)
+        SELECT t.va AS vec_a, t.vb AS vec_b, t.cos
+        FROM top1 t JOIN top1 u ON t.va = u.vb AND t.vb = u.va
+        WHERE t.va < t.vb ORDER BY vec_a
+    """
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+        WITH pred AS ({_lang_id_sql()}),
+             cells AS (SELECT d.lang AS actual, pred_lang AS predicted,
+                              count(*) AS n
+                       FROM pred JOIN documents d USING (doc_id)
+                       GROUP BY 1, 2)
+        SELECT actual, predicted, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY actual), 6)
+                   AS frac_of_actual
+        FROM cells ORDER BY actual, predicted
+    """
+
+
 def _bigram_perplexity_sql() -> str:
     from deusu_spark.pipelines import BIGRAM_K
 
@@ -3507,6 +3616,10 @@ def oracle_sql() -> dict[str, str]:
         "min_span": _min_span_sql(),
         "snippet_window": _snippet_window_sql(),
         "bm25f_topk": _bm25f_topk_sql(),
+        "robust_trend": _robust_trend_sql(),
+        "interarrival_fit": _interarrival_fit_sql(),
+        "mutual_nn": _mutual_nn_sql(),
+        "lang_confusion": _lang_confusion_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -7533,6 +7533,223 @@ def q_bm25f_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
 
 
+def q_robust_trend(spark, sf_dir):
+    """Nonparametric trend test + robust slope over the daily event-count
+    series: Mann-Kendall S (pairwise sign sum) with the tie-corrected
+    variance and continuity-corrected z, plus the Theil-Sen slope (lower
+    median of pairwise slopes, deterministic) — the outlier-proof
+    replacement for q_regression_trend's least squares when monitoring
+    counts. The pairwise join is over the CALENDAR-sized series (n days →
+    n² /2 pairs of one-row-per-day data), never over raw events; the
+    event reduction is the usual single groupBy."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.col("cnt").cast("double").alias("x"),
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.signum(F.col("xb") - F.col("xa")).alias("sgn"),
+        ((F.col("xb") - F.col("xa")) / (F.col("ib") - F.col("ia"))).alias(
+            "slope"
+        ),
+    )
+    s_agg = pairs.agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.count("*").alias("m"),
+    )
+    nn = idx.agg(F.count("*").alias("n"))
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_adj")
+        )
+    )
+    med_pos = F.floor((F.col("m") + 1) / 2).cast("long")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("r"),
+    )
+    sen = (
+        ranked.crossJoin(F.broadcast(s_agg.select("m")))
+        .where(F.col("r") == med_pos)
+        .select(F.col("slope").alias("sen_slope"))
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_adj")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s_agg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sen))
+        .select(
+            F.col("n").alias("n_days"),
+            "s",
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 6).alias("z"),
+            F.round("sen_slope", 6).alias("sen_slope"),
+        )
+    )
+
+
+def q_interarrival_fit(spark, sf_dir):
+    """Distribution fit + goodness-of-fit: exponential MLE over the
+    global event inter-arrival gaps (λ = 1/mean) and the one-sample KS
+    distance between the gap ECDF and Exp(λ) evaluated at the observed
+    points (right-continuous ECDF convention) — 'is arrival really
+    Poisson?', the assumption every queueing/capacity model starts from.
+    Gaps come from one lag window over (ts, event_id) order;
+    at 10^12 events the same lag runs per partition with boundary-row
+    exchange (the sessionize shape). Timestamps are microsecond-exact in
+    doubles, so gaps are engine-exact; only λ and the CDF are floating."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    # integer microseconds subtracted BEFORE the /1e6: gap values are then
+    # bit-identical to the oracle's epoch_us arithmetic (a double cast of
+    # the absolute timestamp would round at ~0.5µs near epoch 1.7e9)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        e.select(((us - F.lag(us).over(w)) / 1000000.0).alias("dt"))
+        .where(F.col("dt").isNotNull())
+    )
+    n_mean = gaps.agg(
+        F.count("*").alias("n"), F.avg("dt").alias("mean_dt")
+    )
+    ranked = gaps.select(
+        "dt", F.row_number().over(Window.orderBy("dt")).alias("r")
+    )
+    d = (
+        ranked.crossJoin(F.broadcast(n_mean))
+        .select(
+            F.abs(
+                F.col("r") / F.col("n")
+                - (1.0 - F.exp(-F.col("dt") / F.col("mean_dt")))
+            ).alias("dev")
+        )
+        .agg(F.max("dev").alias("ks_d"))
+    )
+    return (
+        n_mean.crossJoin(F.broadcast(d))
+        .select(
+            F.col("n").alias("n_gaps"),
+            F.round(1.0 / F.col("mean_dt"), 9).alias("lambda"),
+            F.round("ks_d", 6).alias("ks_d"),
+        )
+    )
+
+
+MNN_MAX_VEC = 200  # bounded exact all-pairs for the MNN baseline
+
+
+def q_mutual_nn(spark, sf_dir):
+    """Mutual-nearest-neighbor pairs over embeddings (vec_id <
+    MNN_MAX_VEC): a and b link iff each is the other's top-1 cosine
+    neighbor (rounded cosine, neighbor-id tie-break) — the
+    high-precision alignment/dedup primitive (MNN matching) whose
+    candidates survive where one-sided top-1 links don't. This is the
+    bounded exact baseline, like q_embedding_near_dup_pairs: at corpus
+    scale the pair generation swaps to the LSH/IVF candidate join
+    (q_ann_lsh_candidates) with the same mutual-top-1 verify."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < MNN_MAX_VEC)
+    )
+    long = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "idx", "val"
+        ),
+    )
+    nrm = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    a = long.select(
+        F.col("vec_id").alias("va"), "idx", F.col("val").alias("xa")
+    )
+    b = long.select(
+        F.col("vec_id").alias("vb"), "idx", F.col("val").alias("xb")
+    )
+    dots = (
+        a.join(b, "idx")
+        .where(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    cos = (
+        dots.join(nrm.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na")), "va")
+        .join(nrm.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb")), "vb")
+        .select(
+            "va",
+            "vb",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    wtop = Window.partitionBy("va").orderBy(F.desc("cos"), F.col("vb").asc())
+    top1 = (
+        cos.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .select("va", "vb", "cos")
+    )
+    rev = top1.select(
+        F.col("va").alias("vb2"), F.col("vb").alias("va2")
+    )
+    return (
+        top1.join(
+            rev,
+            (F.col("va") == F.col("va2")) & (F.col("vb") == F.col("vb2")),
+        )
+        .where(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cos")
+        .orderBy("vec_a")
+    )
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: q_lang_id's marker-argmax prediction
+    against the documents table's lang label, as (actual, predicted)
+    cells with row-normalized fractions — the per-class eval that tells a
+    routing pipeline WHICH languages the heuristic confuses (the
+    aggregate twin of q_lang_id, completing the eval family of
+    brier/auc/kappa for the multiclass case). One groupBy over the
+    |langs|² cells after the per-doc prediction."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    cells = (
+        d.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", F.col("pred_lang").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("actual")
+    return (
+        cells.withColumn(
+            "frac_of_actual",
+            F.round(F.col("n") / F.sum("n").over(wrow), 6),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7692,4 +7909,8 @@ QUERIES = {
     "min_span": q_min_span,
     "snippet_window": q_snippet_window,
     "bm25f_topk": q_bm25f_topk,
+    "robust_trend": q_robust_trend,
+    "interarrival_fit": q_interarrival_fit,
+    "mutual_nn": q_mutual_nn,
+    "lang_confusion": q_lang_confusion,
 }
