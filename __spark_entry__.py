@@ -2478,6 +2478,56 @@ def _bm25f_topk_sql() -> str:
     """
 
 
+_BRUTE_COS_SQL = """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+                 sims AS (
+                     SELECT vec_id,
+                            (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                             FROM (SELECT unnest(e.embedding) AS x,
+                                          unnest(q.qe) AS y)) /
+                            (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                                   FROM (SELECT unnest(e.embedding) AS x))) *
+                             sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                                   FROM (SELECT unnest(q.qe) AS y)))) AS sim
+                     FROM embeddings e, q WHERE e.vec_id <> 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15
+        """
+
+
+def _ann_recall_sql() -> str:
+    from deusu_spark.pipelines import ANN_RECALL_K
+
+    return f"""
+        WITH ivf AS ({_ann_ivf_sql()}),
+             brute AS ({_BRUTE_COS_SQL})
+        SELECT {ANN_RECALL_K} AS k, count(*) AS n_common,
+               round(count(*) / {float(ANN_RECALL_K)}, 6) AS recall
+        FROM ivf JOIN brute USING (vec_id)
+    """
+
+
+def _weighted_median_sql() -> str:
+    return """
+        WITH cum AS (SELECT l_returnflag, l_extendedprice,
+                            sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber
+                                ROWS UNBOUNDED PRECEDING) AS cumw,
+                            sum(l_quantity) OVER (PARTITION BY l_returnflag)
+                                AS w,
+                            count(*) OVER (PARTITION BY l_returnflag)
+                                AS n_rows
+                     FROM lineitem),
+             hit AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, cumw) AS rn
+                     FROM cum WHERE cumw >= w / 2.0)
+        SELECT l_returnflag, n_rows, round(w, 2) AS total_weight,
+               round(l_extendedprice, 2) AS weighted_median
+        FROM hit WHERE rn = 1 ORDER BY l_returnflag
+    """
+
+
 def _robust_trend_sql() -> str:
     return """
         WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
@@ -3438,21 +3488,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        "embedding_cosine_topk": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-                 sims AS (
-                     SELECT vec_id,
-                            (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-                             FROM (SELECT unnest(e.embedding) AS x,
-                                          unnest(q.qe) AS y)) /
-                            (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                                   FROM (SELECT unnest(e.embedding) AS x))) *
-                             sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-                                   FROM (SELECT unnest(q.qe) AS y)))) AS sim
-                     FROM embeddings e, q WHERE e.vec_id <> 0)
-            SELECT vec_id, round(sim, 4) AS cos_sim
-            FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 15
-        """,
+        "embedding_cosine_topk": _BRUTE_COS_SQL,
         "peak_concurrency": """
             WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
                                epoch_us(ts)
@@ -3620,6 +3656,8 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_fit": _interarrival_fit_sql(),
         "mutual_nn": _mutual_nn_sql(),
         "lang_confusion": _lang_confusion_sql(),
+        "ann_recall_at_k": _ann_recall_sql(),
+        "weighted_median": _weighted_median_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -7750,6 +7750,78 @@ def q_lang_confusion(spark, sf_dir):
     )
 
 
+ANN_RECALL_K = 15  # matches the two ANN ops' top-k
+
+
+def q_ann_recall_at_k(spark, sf_dir):
+    """Recall@k of the IVF ANN path against the exact brute-force
+    baseline — the acceptance metric every ANN deployment is gated on,
+    here as a first-class oracle-checked query (tests/test_ann.py asserts
+    a recall floor on clustered vectors; this measures the actual corpus).
+    Composition of q_ann_ivf_topk and q_embedding_cosine_topk (identical
+    rounding and tie rules, so both top-k sets are engine-exact); the
+    intersect is a k-row join."""
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    brute = q_embedding_cosine_topk(spark, sf_dir).select("vec_id")
+    return (
+        ivf.join(brute, "vec_id")
+        .agg(F.count("*").alias("n_common"))
+        .select(
+            F.lit(ANN_RECALL_K).alias("k"),
+            "n_common",
+            F.round(F.col("n_common") / float(ANN_RECALL_K), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def q_weighted_median(spark, sf_dir):
+    """Per-group WEIGHTED median: the smallest l_extendedprice whose
+    cumulative l_quantity reaches half the group's total quantity,
+    per return flag — the quantity-weighted price center inventory and
+    pricing audits use where the plain median over rows misleads.
+    Deterministic: rows order by (price, orderkey, linenumber), the
+    cumulative window partitions BY GROUP (parallel across groups,
+    bounded by group size), and the selector is the rank-1 row at the
+    threshold — integer/decimal-exact membership, no interpolation
+    ambiguity between engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wgrp = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cumw"),
+        F.sum("l_quantity").over(wgrp).alias("w"),
+        F.count("*").over(wgrp).alias("n_rows"),
+    ).where(F.col("cumw") >= F.col("w") / 2.0)
+    wpick = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "cumw"
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round("w", 2).alias("total_weight"),
+            F.round("l_extendedprice", 2).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7913,4 +7985,6 @@ QUERIES = {
     "interarrival_fit": q_interarrival_fit,
     "mutual_nn": q_mutual_nn,
     "lang_confusion": q_lang_confusion,
+    "ann_recall_at_k": q_ann_recall_at_k,
+    "weighted_median": q_weighted_median,
 }
