@@ -3658,6 +3658,50 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _lang_confusion_sql(),
         "ann_recall_at_k": _ann_recall_sql(),
         "weighted_median": _weighted_median_sql(),
+        "user_entropy": """
+            WITH cnt AS (SELECT user_id, event_type, count(*) AS c
+                         FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_types,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                       AS entropy_bits
+            FROM cnt GROUP BY user_id ORDER BY user_id
+        """,
+        "wow_growth": """
+            WITH weekly AS (SELECT event_type,
+                                   CAST(date_trunc('week', ts) AS DATE)
+                                       AS wk,
+                                   count(*) AS cnt
+                            FROM events GROUP BY 1, 2)
+            SELECT event_type, wk, cnt,
+                   round((cnt - lag(cnt) OVER (PARTITION BY event_type
+                                               ORDER BY wk))
+                         * 1.0 / lag(cnt) OVER (PARTITION BY event_type
+                                                ORDER BY wk), 6)
+                       AS wow_growth
+            FROM weekly ORDER BY event_type, wk
+        """,
+        "capture_recapture": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'view'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 m AS (SELECT count(*) AS m FROM a JOIN b USING (user_id))
+            SELECT (SELECT count(*) FROM a) AS n1,
+                   (SELECT count(*) FROM b) AS n2,
+                   (SELECT m FROM m) AS m,
+                   round((SELECT count(*) FROM a)
+                         * (SELECT count(*) FROM b) * 1.0
+                         / (SELECT m FROM m), 4) AS n_estimate
+        """,
+        "overdispersion": """
+            WITH per AS (SELECT user_id, count(*) AS c
+                         FROM events GROUP BY 1)
+            SELECT count(*) AS n_users, round(avg(c), 6) AS mean,
+                   round(var_pop(c), 6) AS var_pop,
+                   round(var_pop(c) / avg(c), 6) AS dispersion
+            FROM per
+        """,
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -7822,6 +7822,99 @@ def q_weighted_median(spark, sf_dir):
     )
 
 
+def q_user_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy (bits) of each
+    user's event-type distribution — the bot/power-user separator (a
+    scripted client hammers one event type → entropy ≈ 0; organic use
+    spreads). Two map-side-combinable groupBys (user×type counts, then
+    per-user reduction via the Σp·log2 p identity computed from counts:
+    log2(n) − Σc·log2(c)/n — one pass, no per-user normalization join)."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        cnt.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_wow_growth(spark, sf_dir):
+    """Week-over-week growth per event type: weekly counts and the
+    fractional change vs the previous week (NULL on each type's first
+    week) — the top-line trend table every ops review opens with. One
+    groupBy to the type×week grid; the lag window partitions by type
+    over calendar-sized rows."""
+    e = _t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("cnt").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "wk",
+            "cnt",
+            F.round((F.col("cnt") - prev) / prev, 6).alias("wow_growth"),
+        )
+        .orderBy("event_type", "wk")
+    )
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture estimate of the active-user
+    population from two independent 'captures' (the view-ers and the
+    click-ers): N̂ = n₁·n₂ / m with m = users seen in both — the estimator
+    for 'how many users are really out there' when neither event covers
+    everyone (same trick census and dedup-coverage estimation use).
+    Three distinct-count aggregates and one intersection join — all
+    map-side-combinable; the arithmetic is one row."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "view").select("user_id").distinct()
+    b = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    m = a.join(b, "user_id").agg(F.count("*").alias("m"))
+    stats = (
+        a.agg(F.count("*").alias("n1"))
+        .crossJoin(F.broadcast(b.agg(F.count("*").alias("n2"))))
+        .crossJoin(F.broadcast(m))
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        "m",
+        F.round(F.col("n1") * F.col("n2") / F.col("m"), 4).alias(
+            "n_estimate"
+        ),
+    )
+
+
+def q_overdispersion(spark, sf_dir):
+    """Overdispersion check on per-user event counts: the dispersion
+    index D = population variance / mean — D ≈ 1 is Poisson, D ≫ 1 says
+    'use a negative-binomial model and size capacity for bursts' (the
+    companion decision to q_interarrival_fit's KS test). One groupBy to
+    per-user counts, one closed-form aggregation over the user table."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    return per.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("c"), 6).alias("mean"),
+        F.round(F.var_pop("c"), 6).alias("var_pop"),
+        F.round(F.var_pop("c") / F.avg("c"), 6).alias("dispersion"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7987,4 +8080,8 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "ann_recall_at_k": q_ann_recall_at_k,
     "weighted_median": q_weighted_median,
+    "user_entropy": q_user_entropy,
+    "wow_growth": q_wow_growth,
+    "capture_recapture": q_capture_recapture,
+    "overdispersion": q_overdispersion,
 }
