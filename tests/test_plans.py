@@ -79,6 +79,26 @@ def test_pack_sequences_window_is_shard_partitioned(spark):
     assert "partitionBy=[shard" in w.replace(" ", "") or "shard" in w
 
 
+def test_session5_ops_stay_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
+    """The session-5 operator families (CDC chunking, PRF expansion,
+    BM25F, classifier-derived evals, robust trend) are pure column
+    expressions end to end — no Python evaluator may appear in any
+    plan (the md5/digit-sum hashing, deletion keys, window ranks and
+    closed-form statistics are all JVM codegen)."""
+    from deusu_spark import pipelines
+
+    for q in (
+        pipelines.q_cdc_chunks,
+        pipelines.q_prf_expansion,
+        pipelines.q_bm25f_topk,
+        pipelines.q_roc_auc,
+        pipelines.q_robust_trend,
+        pipelines.q_weighted_median,
+    ):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan and "BatchEvalPython" not in plan, q
+
+
 def test_ivf_assign_literal_path_no_python(spark):
     """At dim <= ANN_LITERAL_DIM_MAX the IVF assignment is whole-stage
     codegen (no shuffle, no Python): literal centroid folds + array argmax."""
