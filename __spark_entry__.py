@@ -2528,6 +2528,43 @@ def _weighted_median_sql() -> str:
     """
 
 
+def _quota_sample_sql() -> str:
+    return f"""
+        WITH alloc AS (SELECT lang, alloc FROM ({_quota_allocation_sql()})),
+             r AS (SELECT doc_id, lang,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY md5('qs:' || CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rk
+                   FROM documents)
+        SELECT doc_id, lang FROM r JOIN alloc USING (lang)
+        WHERE rk <= alloc ORDER BY doc_id
+    """
+
+
+def _hash_uniformity_sql() -> str:
+    from deusu_spark.pipelines import HASH_BUCKETS, _hex15_to_long_sql
+
+    h = _hex15_to_long_sql("strpos", "md5(t)")
+    return f"""
+        WITH terms AS (SELECT DISTINCT t FROM ({_TOKS})),
+             per AS (SELECT CAST(({h}) % {HASH_BUCKETS} AS INTEGER)
+                                AS bucket,
+                            count(*) AS o
+                     FROM terms GROUP BY 1),
+             tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_terms,
+                            count(*) AS n_buckets FROM per)
+        SELECT (SELECT n_terms FROM tot) AS n_terms,
+               (SELECT n_buckets FROM tot) AS n_buckets,
+               CAST(min(o) AS BIGINT) AS min_bucket,
+               CAST(max(o) AS BIGINT) AS max_bucket,
+               round(sum(pow(o - (SELECT n_terms FROM tot)
+                                 / {float(HASH_BUCKETS)}, 2)
+                         / ((SELECT n_terms FROM tot)
+                            / {float(HASH_BUCKETS)})), 4) AS chi2
+        FROM per
+    """
+
+
 def _robust_trend_sql() -> str:
     return """
         WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
@@ -3702,6 +3739,45 @@ def oracle_sql() -> dict[str, str]:
                    round(var_pop(c) / avg(c), 6) AS dispersion
             FROM per
         """,
+        "moment_stats": """
+            WITH mu AS (SELECT avg(n_chars) AS mu FROM documents),
+                 c AS (SELECT n_chars - (SELECT mu FROM mu) AS dx
+                       FROM documents),
+                 agg AS (SELECT count(*) AS n, avg(dx * dx) AS m2,
+                                avg(dx * dx * dx) AS m3,
+                                avg(dx * dx * dx * dx) AS m4
+                         FROM c)
+            SELECT n, round((SELECT mu FROM mu), 4) AS mean,
+                   round(sqrt(m2), 4) AS stddev_pop,
+                   round(m3 / pow(m2, 1.5), 6) AS skewness,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+            FROM agg
+        """,
+        "canonical_selection": r"""
+            WITH base AS (SELECT doc_id, text, n_chars FROM documents
+                          WHERE doc_id < 300
+                          UNION ALL
+                          SELECT doc_id + 10000, substr(text, 1, 150),
+                                 length(substr(text, 1, 150))
+                          FROM documents
+                          WHERE doc_id < 200 AND doc_id % 7 = 0),
+                 sized AS (SELECT doc_id, n_chars,
+                                  md5(substr(lower(trim(regexp_replace(text,
+                                      '\s+', ' ', 'g'))), 1, 120)) AS fp
+                           FROM base),
+                 dups AS (SELECT *, count(*) OVER (PARTITION BY fp)
+                                        AS n_members
+                          FROM sized),
+                 pick AS (SELECT fp, n_members, doc_id, n_chars,
+                                 row_number() OVER (PARTITION BY fp
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+                          FROM dups WHERE n_members > 1)
+            SELECT fp, n_members, doc_id AS kept_doc,
+                   n_chars AS kept_n_chars
+            FROM pick WHERE rn = 1 ORDER BY fp
+        """,
+        "quota_sample": _quota_sample_sql(),
+        "hash_uniformity": _hash_uniformity_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -7915,6 +7915,146 @@ def q_overdispersion(spark, sf_dir):
     )
 
 
+def q_moment_stats(spark, sf_dir):
+    """Skewness and excess kurtosis of the document-length distribution,
+    computed from explicit central moments (m₃/m₂^1.5, m₄/m₂²−3) rather
+    than the built-in skewness()/kurtosis() — the built-ins disagree
+    between engines on sample-vs-population bias correction, the raw
+    moments don't. The shape audit behind 'is length log-normal-ish or
+    fat-tailed?' that decides winsorization and partition-size planning.
+    Two passes over the column (mean, then moments), both
+    map-side-combinable."""
+    d = _t(spark, sf_dir, "documents")
+    mu = d.agg(F.avg("n_chars").alias("mu"))
+    c = d.crossJoin(F.broadcast(mu)).select(
+        (F.col("n_chars") - F.col("mu")).alias("dx")
+    )
+    agg = c.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("dx") * F.col("dx")).alias("m2"),
+        F.avg(F.col("dx") * F.col("dx") * F.col("dx")).alias("m3"),
+        F.avg(
+            F.col("dx") * F.col("dx") * F.col("dx") * F.col("dx")
+        ).alias("m4"),
+    )
+    return agg.crossJoin(F.broadcast(mu)).select(
+        "n",
+        F.round("mu", 4).alias("mean"),
+        F.round(F.sqrt("m2"), 4).alias("stddev_pop"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
+CANON_PREFIX = 120  # prefix-fingerprint length (chars, normalized)
+
+
+def q_canonical_selection(spark, sf_dir):
+    """Duplicate-cluster canonical selection by QUALITY (keep the longest
+    member, doc_id tie-break) — the keep-best policy that replaces
+    q_dedup_filtered_corpus's keep-lowest-id when members differ in
+    quality (truncated mirrors, stripped boilerplate copies). Clusters
+    key on a normalized PREFIX fingerprint (first CANON_PREFIX chars), so
+    a truncated mirror collides with its longer original; the winner is a
+    rank-1 row over windows partitioned BY CLUSTER (bounded by cluster
+    size). The synthetic corpus has no natural truncated mirrors, so
+    every doc_id % 7 == 0 doc < 200 plants one (the _dupspan_base
+    precedent — same arithmetic in the oracle); swapping the quality key
+    for a model score is a one-column change."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    planted = d.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 200)
+    ).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.substring("text", 1, 150).alias("text"),
+        F.length(F.substring("text", 1, 150)).alias("n_chars"),
+    )
+    base = d.select("doc_id", "text", "n_chars").unionByName(planted)
+    fp = F.md5(
+        F.substring(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+            1,
+            CANON_PREFIX,
+        )
+    )
+    sized = base.select("doc_id", "n_chars", fp.alias("fp"))
+    wsz = Window.partitionBy("fp")
+    dups = sized.withColumn("n_members", F.count("*").over(wsz)).where(
+        F.col("n_members") > 1
+    )
+    wpick = Window.partitionBy("fp").orderBy(
+        F.desc("n_chars"), F.col("doc_id").asc()
+    )
+    return (
+        dups.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "fp",
+            "n_members",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+        .orderBy("fp")
+    )
+
+
+def q_quota_sample(spark, sf_dir):
+    """Materialize q_quota_allocation's plan: per language, keep exactly
+    `alloc` documents chosen by deterministic md5 order — the sampling
+    step that turns the largest-remainder quota table into an actual
+    training slice (stable under reruns and repartitioning, like every
+    hash-derived selection in this family). The rank window partitions by
+    language; the quota table is a broadcast join."""
+    d = _t(spark, sf_dir, "documents")
+    alloc = q_quota_allocation(spark, sf_dir).select("lang", "alloc")
+    h = F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string")))
+    wr = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(wr))
+        .join(F.broadcast(alloc), "lang")
+        .where(F.col("rk") <= F.col("alloc"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+HASH_BUCKETS = 64  # the index's term-scatter fan-out
+
+
+def q_hash_uniformity(spark, sf_dir):
+    """Hash-bucket uniformity audit: distribute the corpus vocabulary
+    over HASH_BUCKETS via the portable md5 digit-sum hash and report the
+    balance (min/max bucket size + chi-square against uniform) — the
+    shuffle-balance check behind the engine's 64-way term scatter (a hot
+    bucket is a hot reducer; G2's crc32&63 gets the same audit with crc
+    swapped in). One distinct + one 64-group aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    terms = _tokens(d).select("t").distinct()
+    b = (
+        F.expr(_hex15_to_long_sql("instr", "md5(t)")) % HASH_BUCKETS
+    ).cast("int")
+    per = terms.groupBy(b.alias("bucket")).agg(F.count("*").alias("o"))
+    tot = per.agg(
+        F.sum("o").alias("n_terms"), F.count("*").alias("n_buckets")
+    )
+    e = F.col("n_terms") / F.lit(float(HASH_BUCKETS))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_terms").alias("n_terms"),
+            F.first("n_buckets").alias("n_buckets"),
+            F.min("o").alias("min_bucket"),
+            F.max("o").alias("max_bucket"),
+            F.round(
+                F.sum(F.pow(F.col("o") - e, 2) / e), 4
+            ).alias("chi2"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8084,4 +8224,8 @@ QUERIES = {
     "wow_growth": q_wow_growth,
     "capture_recapture": q_capture_recapture,
     "overdispersion": q_overdispersion,
+    "moment_stats": q_moment_stats,
+    "canonical_selection": q_canonical_selection,
+    "quota_sample": q_quota_sample,
+    "hash_uniformity": q_hash_uniformity,
 }
