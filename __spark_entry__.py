@@ -1879,6 +1879,75 @@ def _gopher_rules_sql() -> str:
     """
 
 
+def _cdc_chunk_ctes() -> str:
+    """Shared CTE chain ending at chunks(doc_id, cid, chunk, n_tokens) —
+    used by cdc_chunks and chunk_savings."""
+    from deusu_spark.pipelines import CDC_DIVISOR, _hex15_to_long_sql
+
+    th = _hex15_to_long_sql("strpos", "md5(t)")
+    return f"""arr AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text),
+                                        '[^a-z0-9]+'), x -> x <> '') AS a
+                     FROM documents WHERE doc_id < 400),
+             tok AS (SELECT doc_id, i AS pos, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM arr)),
+             th AS (SELECT doc_id, pos, t,
+                           CASE WHEN ({th}) % {CDC_DIVISOR} = 0
+                                THEN 1 ELSE 0 END AS b
+                    FROM tok),
+             ch AS (SELECT doc_id, pos, t,
+                           sum(b) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS cid
+                    FROM th),
+             chunks AS (SELECT doc_id, cid,
+                               string_agg(t, ' ' ORDER BY pos) AS chunk,
+                               count(*) AS n_tokens
+                        FROM ch GROUP BY 1, 2)"""
+
+
+def _behavior_linkage_sql() -> str:
+    from deusu_spark.pipelines import BEHAVIOR_MAX_DIST, BEHAVIOR_SEQ_LEN
+
+    return f"""
+        WITH firstk AS (SELECT user_id, ch, rn FROM (
+                            SELECT user_id,
+                                   substr(event_type, 1, 1) AS ch,
+                                   row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+                            FROM events)
+                        WHERE rn <= {BEHAVIOR_SEQ_LEN}),
+             seqs AS (SELECT user_id,
+                             string_agg(ch, '' ORDER BY rn) AS seq
+                      FROM firstk GROUP BY 1),
+             blocked AS (SELECT user_id, seq, substr(seq, 1, 1) AS blk
+                         FROM seqs)
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               levenshtein(a.seq, b.seq) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.user_id < b.user_id
+        WHERE levenshtein(a.seq, b.seq) <= {BEHAVIOR_MAX_DIST}
+        ORDER BY user_a, user_b
+    """
+
+
+def _chunk_savings_sql() -> str:
+    return f"""
+        WITH {_cdc_chunk_ctes()},
+             per_fp AS (SELECT md5(chunk) AS fp,
+                               min(n_tokens) AS n_tokens,
+                               count(*) AS occ
+                        FROM chunks GROUP BY 1)
+        SELECT CAST(sum(occ * n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum((occ - 1) * n_tokens) AS BIGINT) AS saved_tokens,
+               count(*) AS n_unique_chunks,
+               round(sum((occ - 1) * n_tokens) * 1.0
+                     / sum(occ * n_tokens), 6) AS dedup_ratio
+        FROM per_fp
+    """
+
+
 def _cdc_chunks_sql() -> str:
     from deusu_spark.pipelines import CDC_DIVISOR, _hex15_to_long_sql
 
@@ -3778,6 +3847,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quota_sample": _quota_sample_sql(),
         "hash_uniformity": _hash_uniformity_sql(),
+        "longest_streak": """
+            WITH isl AS (SELECT user_id, event_type,
+                                row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                - row_number() OVER (PARTITION BY user_id,
+                                                         event_type
+                                                     ORDER BY ts, event_id)
+                                    AS grp
+                         FROM events),
+                 runs AS (SELECT user_id, event_type, grp,
+                                 count(*) AS len
+                          FROM isl GROUP BY 1, 2, 3),
+                 pick AS (SELECT user_id, event_type, len,
+                                 row_number() OVER (PARTITION BY user_id
+                                     ORDER BY len DESC, event_type) AS rn
+                          FROM runs)
+            SELECT user_id, event_type AS streak_type, len AS streak_len
+            FROM pick WHERE rn = 1 ORDER BY user_id
+        """,
+        "behavior_linkage": _behavior_linkage_sql(),
+        "chunk_savings": _chunk_savings_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -8055,6 +8055,140 @@ def q_hash_uniformity(spark, sf_dir):
     )
 
 
+def q_longest_streak(spark, sf_dir):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE
+    same-type events (by event time) — the engagement/abuse streak
+    statistic (N errors in a row, N purchases in a row) that plain
+    counts can't see. The classic two-row_number island id
+    (rn_global − rn_within_type is constant inside a run) keeps
+    everything in per-user windows bounded by that user's history; the
+    reduction is two groupBys. Deterministic: ordering ties break on
+    event_id."""
+    e = _t(spark, sf_dir, "events")
+    wall = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wtyp = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    isl = e.select(
+        "user_id",
+        "event_type",
+        (
+            F.row_number().over(wall) - F.row_number().over(wtyp)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("len")
+    )
+    wpick = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "event_type"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("len").alias("streak_len"),
+        )
+        .orderBy("user_id")
+    )
+
+
+BEHAVIOR_SEQ_LEN = 10  # events per user in the behavior string
+BEHAVIOR_MAX_DIST = 3
+
+
+def q_behavior_linkage(spark, sf_dir):
+    """Behavioral record linkage: each user's first BEHAVIOR_SEQ_LEN
+    events as a type-initial string ('svcpe…'), pairs within edit
+    distance BEHAVIOR_MAX_DIST, blocked on the first event type — the
+    sequence-similarity analog of q_fuzzy_match_parts for bot-ring /
+    duplicate-account detection (near-identical early behavior). The
+    per-user string is one ordered window + ordered string_agg (bounded
+    by SEQ_LEN); the blocking join keeps candidates ~n·B, and the exact
+    Levenshtein verify is JVM-side in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        e.select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= BEHAVIOR_SEQ_LEN)
+    )
+    seqs = firstk.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    blocked = seqs.select(
+        "user_id", "seq", F.substring("seq", 1, 1).alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.seq"), F.col("b.seq"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist") <= BEHAVIOR_MAX_DIST)
+        .orderBy("user_a", "user_b")
+    )
+
+
+def q_chunk_savings(spark, sf_dir):
+    """Storage/compute savings estimate from chunk-level dedup: over
+    q_cdc_chunks' content-defined chunks, the token volume saved by
+    keeping one copy per fingerprint — the number a dedup rollout is
+    approved on (the CDC twin of the doc-level q_dedup_filtered_corpus
+    accounting). One extra aggregation over the chunk-fingerprint table;
+    rates are exact integers until the final ratio."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    base = d.select("doc_id", arr.alias("a"))
+    tok = base.select("doc_id", F.posexplode("a").alias("pos", "t"))
+    th = F.expr(_hex15_to_long_sql("instr", "md5(t)"))
+    flagged = tok.withColumn(
+        "b", F.when(th % CDC_DIVISOR == 0, 1).otherwise(0)
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    cid = flagged.withColumn("cid", F.sum("b").over(wrun))
+    chunks = cid.groupBy("doc_id", "cid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("chunk"),
+        F.count("*").alias("n_tokens"),
+    )
+    per_fp = chunks.groupBy(F.md5("chunk").alias("fp")).agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.count("*").alias("occ"),
+    )
+    return per_fp.agg(
+        F.sum(F.col("occ") * F.col("n_tokens")).alias("total_tokens"),
+        F.sum(
+            (F.col("occ") - 1) * F.col("n_tokens")
+        ).alias("saved_tokens"),
+        F.count("*").alias("n_unique_chunks"),
+        F.round(
+            F.sum((F.col("occ") - 1) * F.col("n_tokens"))
+            / F.sum(F.col("occ") * F.col("n_tokens")),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8228,4 +8362,7 @@ QUERIES = {
     "canonical_selection": q_canonical_selection,
     "quota_sample": q_quota_sample,
     "hash_uniformity": q_hash_uniformity,
+    "longest_streak": q_longest_streak,
+    "behavior_linkage": q_behavior_linkage,
+    "chunk_savings": q_chunk_savings,
 }
