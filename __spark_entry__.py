@@ -1948,6 +1948,66 @@ def _chunk_savings_sql() -> str:
     """
 
 
+def _welch_t_sql() -> str:
+    from deusu_spark.pipelines import WELCH_TYPE_A, WELCH_TYPE_B
+
+    return f"""
+        WITH g AS (SELECT event_type, count(*) AS n, sum(value) AS s,
+                          sum(value * value) AS ss
+                   FROM events
+                   WHERE event_type IN ('{WELCH_TYPE_A}', '{WELCH_TYPE_B}')
+                   GROUP BY 1),
+             st AS (SELECT event_type, n, s / n AS m,
+                           (ss - s * s / n) / (n - 1) AS v
+                    FROM g),
+             j AS (SELECT a.n AS n_a, a.m AS m_a, a.v AS v_a,
+                          b.n AS n_b, b.m AS m_b, b.v AS v_b
+                   FROM st a, st b
+                   WHERE a.event_type = '{WELCH_TYPE_A}'
+                     AND b.event_type = '{WELCH_TYPE_B}')
+        SELECT n_a, n_b, round(m_a - m_b, 6) AS mean_diff,
+               round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6)
+                   AS t_stat,
+               round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+                     / (v_a * v_a / (n_a * n_a * (n_a - 1))
+                        + v_b * v_b / (n_b * n_b * (n_b - 1))), 6)
+                   AS dof
+        FROM j
+    """
+
+
+def _link_prediction_sql() -> str:
+    from deusu_spark.pipelines import LINKPRED_MAX_PART, LINKPRED_TOPK
+
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem WHERE l_partkey < {LINKPRED_MAX_PART}),
+             e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey < b.l_partkey),
+             adj AS (SELECT u, v FROM e
+                     UNION ALL SELECT v AS u, u AS v FROM e),
+             deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+             cn AS (SELECT w1.u AS a, w2.u AS b, count(*) AS cn
+                    FROM adj w1 JOIN adj w2 ON w1.v = w2.v
+                    WHERE w1.u < w2.u GROUP BY 1, 2),
+             cand AS (SELECT cn.* FROM cn
+                      LEFT JOIN e ON cn.a = e.u AND cn.b = e.v
+                      WHERE e.u IS NULL),
+             scored AS (SELECT a, b, cn,
+                               round(cn * 1.0 / (da.d + db.d - cn), 6)
+                                   AS jaccard
+                        FROM cand
+                        JOIN deg da ON cand.a = da.u
+                        JOIN deg db ON cand.b = db.u),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY jaccard DESC, cn DESC, a, b) AS rn
+                      FROM scored)
+        SELECT a AS part_a, b AS part_b, cn AS common_neighbors, jaccard
+        FROM pick WHERE rn <= {LINKPRED_TOPK} ORDER BY part_a, part_b
+    """
+
+
 def _cdc_chunks_sql() -> str:
     from deusu_spark.pipelines import CDC_DIVISOR, _hex15_to_long_sql
 
@@ -3868,6 +3928,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "behavior_linkage": _behavior_linkage_sql(),
         "chunk_savings": _chunk_savings_sql(),
+        "kendall_tau": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                                  count(*) AS x,
+                                  round(sum(value), 6) AS y
+                           FROM events GROUP BY 1),
+                 pairs AS (SELECT
+                     CASE WHEN (b.x - a.x) > 0 AND (b.y - a.y) > 0
+                            OR (b.x - a.x) < 0 AND (b.y - a.y) < 0
+                          THEN 1 ELSE 0 END AS c,
+                     CASE WHEN (b.x - a.x) > 0 AND (b.y - a.y) < 0
+                            OR (b.x - a.x) < 0 AND (b.y - a.y) > 0
+                          THEN 1 ELSE 0 END AS d,
+                     CASE WHEN b.x = a.x AND b.y <> a.y
+                          THEN 1 ELSE 0 END AS tx,
+                     CASE WHEN b.y = a.y AND b.x <> a.x
+                          THEN 1 ELSE 0 END AS ty
+                     FROM daily a JOIN daily b ON a.day < b.day)
+            SELECT sum(c) AS concordant, sum(d) AS discordant,
+                   sum(tx) AS tied_x, sum(ty) AS tied_y,
+                   round((sum(c) - sum(d))
+                         / sqrt((sum(c) + sum(d) + sum(tx))
+                                * (sum(c) + sum(d) + sum(ty))), 6)
+                       AS tau_b
+            FROM pairs
+        """,
+        "anova_f": """
+            WITH g AS (SELECT o_orderpriority, count(*) AS n_g,
+                              sum(o_totalprice) AS s_g,
+                              sum(o_totalprice * o_totalprice) AS ss_g
+                       FROM orders GROUP BY 1),
+                 tot AS (SELECT count(*) AS k, sum(n_g) AS n,
+                                sum(s_g) AS s, sum(ss_g) AS ss,
+                                sum(s_g * s_g / n_g) AS sgn
+                         FROM g)
+            SELECT k AS k_groups, n,
+                   k - 1 AS df_between, n - k AS df_within,
+                   round(((sgn - s * s / n) / (k - 1))
+                         / ((ss - sgn) / (n - k)), 6) AS f_stat,
+                   round((sgn - s * s / n) / (ss - s * s / n), 6)
+                       AS eta_sq
+            FROM tot
+        """,
+        "welch_t": _welch_t_sql(),
+        "link_prediction": _link_prediction_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -8189,6 +8189,223 @@ def q_chunk_savings(spark, sf_dir):
     )
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between the daily event COUNT and
+    the daily event VALUE total — the nonparametric twin of
+    q_spearman_corr for short series where the pairwise statistic is
+    exact and tie handling matters (count ties are common on a
+    30-day series). Concordant/discordant/tied pair counts stay exact
+    integers from one ordered self-join of the calendar-sized daily
+    aggregate (n(n-1)/2 pairs of DAYS, never of events — the raw table
+    is reduced by one groupBy first, so the pair join is bounded by the
+    calendar, not the corpus, at any scale); tau-b's tie-corrected
+    denominator is the only float."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("x"),
+            F.round(F.sum("value"), 6).alias("y"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.when((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0), 1)
+        .otherwise(0)
+        .alias("c"),
+        F.when((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0), 1)
+        .otherwise(0)
+        .alias("d"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.agg(
+        F.sum("c").alias("concordant"),
+        F.sum("d").alias("discordant"),
+        F.sum("tx").alias("tied_x"),
+        F.sum("ty").alias("tied_y"),
+    )
+    num = F.col("concordant") - F.col("discordant")
+    den = F.sqrt(
+        (F.col("concordant") + F.col("discordant") + F.col("tied_x"))
+        * (F.col("concordant") + F.col("discordant") + F.col("tied_y"))
+    )
+    return agg.select(
+        "concordant",
+        "discordant",
+        "tied_x",
+        "tied_y",
+        F.round(num / den, 6).alias("tau_b"),
+    )
+
+
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA: does mean order value differ across the five
+    order priorities? F = (SSB/(k−1)) / (SSW/(n−k)) from the classic
+    sum-of-squares identities (SSB = Σ S_g²/n_g − S²/n,
+    SSW = Σx² − Σ S_g²/n_g), so the whole test is ONE map-side-combining
+    groupBy over the fact table plus a k-row reduction — the k-sample
+    generalization of q_ab_test's two-proportion z (means, not
+    proportions). eta² = SSB/SST is the effect size the F alone
+    hides."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_g"),
+        F.sum("o_totalprice").alias("s_g"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sgn"),
+    )
+    ssb = F.col("sgn") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sgn")
+    sst = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+WELCH_TYPE_A = "purchase"
+WELCH_TYPE_B = "click"
+
+
+def q_welch_t(spark, sf_dir):
+    """Welch's unequal-variance two-sample t: do purchase events carry a
+    different mean value than clicks? Means/variances from one grouped
+    aggregate (sample variance via the Σx²/Σx/n identity), then the
+    Welch statistic and its Satterthwaite degrees of freedom — the
+    means-based companion to q_ab_test (proportions) and q_anova_f
+    (k groups). Everything is two aggregate rows; no row ever leaves
+    the JVM."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin(WELCH_TYPE_A, WELCH_TYPE_B)
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    m = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    stats = g.select(
+        "event_type", F.col("n"), m.alias("mean"), var.alias("var")
+    )
+    a = stats.where(F.col("event_type") == WELCH_TYPE_A).select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("m_a"),
+        F.col("var").alias("v_a"),
+    )
+    b = stats.where(F.col("event_type") == WELCH_TYPE_B).select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("m_b"),
+        F.col("var").alias("v_b"),
+    )
+    j = a.crossJoin(b)
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2_a + se2_b)
+    dof = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (F.col("n_a") - 1)
+        + se2_b * se2_b / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+LINKPRED_MAX_PART = 400  # subgraph bound (same convention as doc_id caps)
+LINKPRED_TOPK = 20
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the parts-co-ordered graph
+    (q_triangle_count's edge set): for part pairs NOT yet co-ordered,
+    the Jaccard overlap of their neighbor sets — 'which products will
+    be bought together next', the graph-completion primitive behind
+    recommendation candidate generation. Candidate pairs are enumerated
+    as wedges at the shared neighbor (cost Σ_w deg(w)², the same bound
+    as the triangle wedge join — at power-law scale you'd cap each
+    hub's neighbor list; here the subgraph bound keeps the oracle's
+    identical join exact), existing edges are removed with one
+    left_anti, and the top-K is ordered deterministically."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < LINKPRED_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    w1 = adj.select(F.col("v").alias("w"), F.col("u").alias("a"))
+    w2 = adj.select(F.col("v").alias("w"), F.col("u").alias("b"))
+    cn = (
+        w1.join(w2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = cn.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.withColumnRenamed("u", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("u", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    wpick = Window.orderBy(F.desc("jaccard"), F.desc("cn"), "a", "b")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= LINKPRED_TOPK)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "jaccard",
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8365,4 +8582,8 @@ QUERIES = {
     "longest_streak": q_longest_streak,
     "behavior_linkage": q_behavior_linkage,
     "chunk_savings": q_chunk_savings,
+    "kendall_tau": q_kendall_tau,
+    "anova_f": q_anova_f,
+    "welch_t": q_welch_t,
+    "link_prediction": q_link_prediction,
 }
