@@ -1948,6 +1948,141 @@ def _chunk_savings_sql() -> str:
     """
 
 
+def _query_likelihood_sql() -> str:
+    from deusu_spark.pipelines import QLM_MAX_DOC, QLM_MU, QLM_TERMS, QLM_TOPK
+
+    terms = ", ".join(f"'{t}'" for t in QLM_TERMS)
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                                      '[^a-z0-9]+'), x -> x <> '') AS a
+                   FROM documents WHERE doc_id < {QLM_MAX_DOC}),
+             tok AS (SELECT doc_id, unnest(a) AS t FROM d),
+             tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             coll AS (SELECT t, count(*) AS ctf FROM tok GROUP BY 1),
+             ctot AS (SELECT count(*) AS c FROM tok),
+             q AS (SELECT unnest([{terms}]) AS t),
+             grid AS (SELECT dl.doc_id,
+                             ln((coalesce(tf.tf, 0)
+                                 + {QLM_MU} * coll.ctf / ctot.c)
+                                / (dl.dl + {QLM_MU})) AS lp
+                      FROM dl CROSS JOIN q
+                      JOIN coll ON coll.t = q.t
+                      CROSS JOIN ctot
+                      LEFT JOIN tf ON tf.doc_id = dl.doc_id
+                                  AND tf.t = q.t),
+             scored AS (SELECT doc_id, round(sum(lp), 6) AS score
+                        FROM grid GROUP BY 1),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY score DESC, doc_id) AS rn
+                      FROM scored)
+        SELECT doc_id, score FROM pick WHERE rn <= {QLM_TOPK}
+        ORDER BY doc_id
+    """
+
+
+def _rake_keywords_sql() -> str:
+    from deusu_spark.pipelines import RAKE_MAX_DOC, RAKE_STOP, RAKE_TOPK
+
+    stop = ", ".join(f"'{t}'" for t in RAKE_STOP)
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                                      '[^a-z0-9]+'), x -> x <> '') AS a
+                   FROM documents WHERE doc_id < {RAKE_MAX_DOC}),
+             tok AS (SELECT doc_id, i AS pos, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM d)),
+             fl AS (SELECT doc_id, pos, t,
+                           CASE WHEN t IN ({stop}) THEN 1 ELSE 0 END AS s
+                    FROM tok),
+             isl0 AS (SELECT doc_id, pos, t, s,
+                             sum(s) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS isl
+                      FROM fl),
+             isl AS (SELECT doc_id, pos, t, isl FROM isl0 WHERE s = 0),
+             phrases AS (SELECT doc_id, isl,
+                                string_agg(t, ' ' ORDER BY pos) AS phrase,
+                                count(*) AS plen
+                         FROM isl GROUP BY 1, 2),
+             occ AS (SELECT i.t, p.plen FROM isl i
+                     JOIN phrases p USING (doc_id, isl)),
+             wscore AS (SELECT t, sum(plen) * 1.0 / count(*) AS wscore
+                        FROM occ GROUP BY 1),
+             member AS (SELECT i.doc_id, i.isl, p.phrase, i.t
+                        FROM isl i JOIN phrases p USING (doc_id, isl)),
+             pscored AS (SELECT doc_id, isl, phrase,
+                                sum(wscore) AS pscore
+                         FROM member JOIN wscore USING (t)
+                         GROUP BY 1, 2, 3),
+             agg AS (SELECT phrase, count(*) AS n_occ,
+                            round(max(pscore), 6) AS score
+                     FROM pscored GROUP BY 1),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY score DESC, phrase) AS rn
+                      FROM agg)
+        SELECT phrase, n_occ, score FROM pick WHERE rn <= {RAKE_TOPK}
+        ORDER BY phrase
+    """
+
+
+def _holt_smoothing_sql() -> str:
+    from deusu_spark.pipelines import HOLT_ALPHA, HOLT_BETA, HOLT_H
+
+    # bare 0.5/0.3 literals would be DECIMAL in DuckDB and run the whole
+    # recursion in truncating decimal arithmetic — force DOUBLE
+    a, b = f"CAST({HOLT_ALPHA} AS DOUBLE)", f"CAST({HOLT_BETA} AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE
+             daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS x
+                       FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i, x
+                     FROM daily),
+             n AS (SELECT count(*) AS t FROM idx),
+             h(i, l, b) AS (
+                 SELECT 2,
+                        (SELECT x FROM idx WHERE i = 1),
+                        (SELECT x FROM idx WHERE i = 2)
+                        - (SELECT x FROM idx WHERE i = 1)
+                 UNION ALL
+                 SELECT h.i + 1,
+                        {a} * idx.x + (1 - {a}) * (h.l + h.b),
+                        {b} * (({a} * idx.x + (1 - {a}) * (h.l + h.b))
+                               - h.l) + (1 - {b}) * h.b
+                 FROM h JOIN idx ON idx.i = h.i + 1)
+        SELECT (SELECT t FROM n) AS n_days,
+               round(l, 6) AS level,
+               round(b, 6) AS trend,
+               round(l + {HOLT_H} * b, 6) AS forecast_h{HOLT_H}
+        FROM h WHERE i = (SELECT t FROM n)
+    """
+
+
+def _dau_wau_sql() -> str:
+    from deusu_spark.pipelines import DAU_WINDOW
+
+    return f"""
+        WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id
+                    FROM events),
+             days AS (SELECT DISTINCT uday AS day FROM ud),
+             dau AS (SELECT uday AS day,
+                            count(DISTINCT user_id) AS dau
+                     FROM ud GROUP BY 1),
+             wau AS (SELECT d.day,
+                            count(DISTINCT u.user_id) AS wau{DAU_WINDOW}
+                     FROM days d JOIN ud u
+                       ON u.uday <= d.day
+                      AND u.uday > d.day - {DAU_WINDOW}
+                     GROUP BY 1)
+        SELECT d.day, d.dau, w.wau{DAU_WINDOW},
+               round(d.dau * 1.0 / w.wau{DAU_WINDOW}, 6) AS stickiness
+        FROM dau d JOIN wau w USING (day) ORDER BY day
+    """
+
+
 def _welch_t_sql() -> str:
     from deusu_spark.pipelines import WELCH_TYPE_A, WELCH_TYPE_B
 
@@ -3972,6 +4107,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "welch_t": _welch_t_sql(),
         "link_prediction": _link_prediction_sql(),
+        "query_likelihood": _query_likelihood_sql(),
+        "rake_keywords": _rake_keywords_sql(),
+        "holt_smoothing": _holt_smoothing_sql(),
+        "dau_wau": _dau_wau_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -8406,6 +8406,219 @@ def q_link_prediction(spark, sf_dir):
     )
 
 
+QLM_TERMS = ("join", "filter", "spark")
+QLM_MU = 300.0
+QLM_TOPK = 15
+QLM_MAX_DOC = 300
+
+
+def q_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood language-model ranking — the
+    probabilistic-retrieval sibling of q_bm25_topk/q_bm25f_topk (LM vs
+    probabilistic-relevance families): score(d) = Σ_q ln((tf_wd +
+    μ·P(w|C)) / (dl_d + μ)). Absent terms still contribute through the
+    collection model, so the doc×query-term grid is built with a
+    broadcast cross join against the 3-term query (|docs|×|q| rows, not
+    |postings|) and a left join onto the tf table; the collection LM is
+    a broadcast aggregate. At 10^12 docs the same plan holds: the grid
+    is postings-bounded after the tf semi-join in a real system — here
+    exactness over the bounded corpus is the point (it is the oracle
+    for a WAND-accelerated LM scorer)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < QLM_MAX_DOC)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(arr).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    coll = tok.groupBy("t").agg(F.count("*").alias("ctf"))
+    ctot = tok.agg(F.count("*").alias("c"))
+    qterms = spark.createDataFrame(
+        [(t,) for t in QLM_TERMS], "t string"
+    )
+    grid = (
+        dl.crossJoin(F.broadcast(qterms))
+        .join(tf, ["doc_id", "t"], "left")
+        .join(F.broadcast(coll.join(qterms, "t")), "t")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0))
+                    + QLM_MU * F.col("ctf") / F.col("c")
+                )
+                / (F.col("dl") + QLM_MU)
+            ).alias("lp"),
+        )
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.round(F.sum("lp"), 6).alias("score")
+    )
+    wpick = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= QLM_TOPK)
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    )
+
+
+RAKE_STOP = ("the", "a", "and", "of", "to", "in")
+RAKE_TOPK = 15
+RAKE_MAX_DOC = 200
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on the stopword
+    flag — the same island id as q_longest_streak), each word scores
+    degree/frequency over the phrase co-occurrence graph (degree =
+    Σ len(phrase) over phrases containing the word), and a phrase scores
+    the sum of its words' scores. Everything is two groupBys over the
+    exploded token table plus one broadcast word-score join — no Python.
+    The corpus-global top-K phrase list is the 'what is this corpus
+    about' digest next to q_keywords_tfidf's per-doc variant."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < RAKE_MAX_DOC)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    tok = d.select("doc_id", F.posexplode(arr).alias("pos", "t"))
+    flagged = tok.withColumn(
+        "s", F.when(F.col("t").isin(*RAKE_STOP), 1).otherwise(0)
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn("isl", F.sum("s").over(wrun)).where(
+        F.col("s") == 0
+    )
+    phrases = isl.groupBy("doc_id", "isl").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda st: st["t"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    occ = isl.join(phrases, ["doc_id", "isl"]).select("t", "plen")
+    wscore = occ.groupBy("t").agg(
+        (F.sum("plen") / F.count("*")).alias("wscore")
+    )
+    member = isl.join(phrases, ["doc_id", "isl"]).select(
+        "doc_id", "isl", "phrase", "t"
+    )
+    pscored = (
+        member.join(F.broadcast(wscore), "t")
+        .groupBy("doc_id", "isl", "phrase")
+        .agg(F.sum("wscore").alias("pscore"))
+    )
+    agg = pscored.groupBy("phrase").agg(
+        F.count("*").alias("n_occ"),
+        F.round(F.max("pscore"), 6).alias("score"),
+    )
+    wpick = Window.orderBy(F.desc("score"), "phrase")
+    return (
+        agg.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= RAKE_TOPK)
+        .select("phrase", "n_occ", "score")
+        .orderBy("phrase")
+    )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_H = 3
+
+
+def q_holt_smoothing(spark, sf_dir):
+    """Holt's linear (double-exponential) smoothing of the daily event
+    count — the trend-following forecaster between q_seasonal_naive
+    (no smoothing) and q_seasonal_decompose (period model): l_t = αx_t
+    + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b, initialized l_1=x_1,
+    b_1=x_2−x_1. The recursion is inherently sequential, but the series
+    is CALENDAR-sized (one row per day after the groupBy), so it runs
+    as one JVM higher-order fold (F.aggregate) over the sorted daily
+    array — the corpus-sized work is the single groupBy; no Python, no
+    driver loop. The DuckDB oracle replays the identical recursion as a
+    recursive CTE; both engines share double arithmetic order, so the
+    match is exact."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    series = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    a, b = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+    init = F.struct(
+        F.element_at("xs", 1).alias("l"),
+        (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 3, F.size("xs") - 2),
+        init,
+        lambda acc, x: F.struct(
+            (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                b * ((a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])) - acc["l"])
+                + (F.lit(1.0) - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        F.size("xs").alias("n_days"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + HOLT_H * fold["b"], 6).alias(
+            f"forecast_h{HOLT_H}"
+        ),
+    )
+
+
+DAU_WINDOW = 7
+
+
+def q_dau_wau(spark, sf_dir):
+    """Engagement stickiness: per day, DAU, trailing-7-day WAU, and the
+    DAU/WAU ratio — the retention pulse product teams watch daily (its
+    monthly twin is the same plan with a 28-day window). COUNT DISTINCT
+    over a trailing window isn't a frame-able aggregate, so the WAU is
+    the user-day dedup joined to the calendar on a bounded date-range
+    condition (days × window rows, calendar-sized forever) — never a
+    distinct-over-frame and never a rescan of raw events, which the one
+    upfront dedup reduces by events/user-day."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date("ts").alias("uday"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("uday").alias("day")).distinct()
+    dau = ud.groupBy(F.col("uday").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        days.join(
+            ud,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.date_sub(F.col("day"), DAU_WINDOW)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias(f"wau{DAU_WINDOW}"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            f"wau{DAU_WINDOW}",
+            F.round(
+                F.col("dau") / F.col(f"wau{DAU_WINDOW}"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8586,4 +8799,8 @@ QUERIES = {
     "anova_f": q_anova_f,
     "welch_t": q_welch_t,
     "link_prediction": q_link_prediction,
+    "query_likelihood": q_query_likelihood,
+    "rake_keywords": q_rake_keywords,
+    "holt_smoothing": q_holt_smoothing,
+    "dau_wau": q_dau_wau,
 }
