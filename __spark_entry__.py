@@ -1948,6 +1948,106 @@ def _chunk_savings_sql() -> str:
     """
 
 
+def _label_propagation_sql() -> str:
+    from deusu_spark.pipelines import LPA_ITERS, LPA_MAX_PART
+
+    ctes = [
+        f"""li AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM lineitem WHERE l_partkey < {LPA_MAX_PART}),
+             e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey < b.l_partkey),
+             adj AS (SELECT u, v FROM e
+                     UNION ALL SELECT v AS u, u AS v FROM e),
+             l0 AS (SELECT DISTINCT u AS node, u AS lab FROM adj)"""
+    ]
+    for r in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""c{r} AS (SELECT adj.u AS node, p.lab, count(*) AS c
+                     FROM adj JOIN l{r - 1} p ON p.node = adj.v
+                     GROUP BY 1, 2),
+             l{r} AS (SELECT node, lab FROM (
+                          SELECT node, lab, row_number() OVER (
+                              PARTITION BY node
+                              ORDER BY c DESC, lab) AS rn
+                          FROM c{r}) WHERE rn = 1)"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT lab AS community, count(*) AS size
+        FROM l{LPA_ITERS} GROUP BY 1 ORDER BY 1
+    """
+
+
+def _mmr_diversify_sql() -> str:
+    from deusu_spark.pipelines import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_MAX_DOC,
+        MMR_POOL,
+        MMR_TERM,
+    )
+
+    lam = f"CAST({MMR_LAMBDA} AS DOUBLE)"
+    ctes = [
+        f"""d AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text),
+                                     '[^a-z0-9]+'), x -> x <> '') AS a
+                  FROM documents WHERE doc_id < {MMR_MAX_DOC}),
+             tok AS (SELECT doc_id, unnest(a) AS t FROM d),
+             rel AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS rel
+                     FROM tok WHERE t = '{MMR_TERM}' GROUP BY 1),
+             pool AS (SELECT doc_id, rel FROM (
+                          SELECT *, row_number() OVER (
+                              ORDER BY rel DESC, doc_id) AS rn
+                          FROM rel) WHERE rn <= {MMR_POOL}),
+             dtok AS (SELECT DISTINCT tok.doc_id, t
+                      FROM tok JOIN pool USING (doc_id)),
+             nset AS (SELECT doc_id, count(*) AS nt FROM dtok GROUP BY 1),
+             inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                              count(*) AS i
+                       FROM dtok a JOIN dtok b
+                         ON a.t = b.t AND a.doc_id <> b.doc_id
+                       GROUP BY 1, 2),
+             sim AS (SELECT da, db,
+                            CAST(i AS DOUBLE) / (na.nt + nb.nt - i) AS sim
+                     FROM inter
+                     JOIN nset na ON na.doc_id = da
+                     JOIN nset nb ON nb.doc_id = db),
+             s1 AS (SELECT doc_id, 1 AS pick, {lam} * rel AS mmr FROM (
+                        SELECT *, row_number() OVER (
+                            ORDER BY rel DESC, doc_id) AS rn
+                        FROM pool) WHERE rn = 1),
+             sel1 AS (SELECT doc_id FROM s1)"""
+    ]
+    for r in range(2, MMR_K + 1):
+        ctes.append(
+            f"""m{r} AS (SELECT da AS doc_id, max(sim) AS maxsim
+                     FROM sim WHERE db IN (SELECT doc_id FROM sel{r - 1})
+                     GROUP BY 1),
+             sc{r} AS (SELECT p.doc_id,
+                              {lam} * p.rel - (1 - {lam})
+                              * coalesce(m{r}.maxsim, 0) AS mmr
+                       FROM pool p LEFT JOIN m{r} USING (doc_id)
+                       WHERE p.doc_id NOT IN
+                             (SELECT doc_id FROM sel{r - 1})),
+             s{r} AS (SELECT doc_id, {r} AS pick, mmr FROM (
+                          SELECT *, row_number() OVER (
+                              ORDER BY mmr DESC, doc_id) AS rn
+                          FROM sc{r}) WHERE rn = 1),
+             sel{r} AS (SELECT doc_id FROM sel{r - 1}
+                        UNION ALL SELECT doc_id FROM s{r})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, MMR_K + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT pick, doc_id, round(mmr, 6) AS mmr FROM ({union})
+        ORDER BY pick
+    """
+
+
 def _query_likelihood_sql() -> str:
     from deusu_spark.pipelines import QLM_MAX_DOC, QLM_MU, QLM_TERMS, QLM_TOPK
 
@@ -4111,6 +4211,35 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _rake_keywords_sql(),
         "holt_smoothing": _holt_smoothing_sql(),
         "dau_wau": _dau_wau_sql(),
+        "agg_refresh": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 6) AS total,
+                   round(sum(value) / count(*), 6) AS avg_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "label_propagation": _label_propagation_sql(),
+        "audience_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+                 sizes AS (SELECT event_type, count(*) AS n
+                           FROM ut GROUP BY 1),
+                 pairs AS (SELECT a.event_type AS type_a,
+                                  b.event_type AS type_b,
+                                  count(*) AS n_both
+                           FROM ut a JOIN ut b
+                             ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+                           GROUP BY 1, 2)
+            SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+                   round(CAST(n_both AS DOUBLE)
+                         / (sa.n + sb.n - n_both), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.event_type = pairs.type_a
+            JOIN sizes sb ON sb.event_type = pairs.type_b
+            ORDER BY type_a, type_b
+        """,
+        "mmr_diversify": _mmr_diversify_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

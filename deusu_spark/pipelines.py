@@ -8619,6 +8619,270 @@ def q_dau_wau(spark, sf_dir):
     )
 
 
+AGG_REFRESH_CUTOFF = "2024-01-26"
+
+
+def q_agg_refresh(spark, sf_dir):
+    """Incremental aggregate maintenance: per-type count/sum/min/max
+    kept as MERGEABLE partials — the base table's partial (days before
+    the cutoff) merged with the changelog's partial (days after) with
+    one outer join, never rescanning the base. This is the 100 TB
+    materialized-view refresh pattern (partial aggregates are what
+    Spark's own map-side combine ships between stages); the DuckDB
+    oracle recomputes from the FULL table, so the green row proves
+    merge(base, delta) == recompute exactly — including the avg, which
+    must be re-derived from merged sum/count, never averaged."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit(AGG_REFRESH_CUTOFF).cast("date")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(e.where(F.to_date("ts") < cut))
+    delta = partial(e.where(F.to_date("ts") >= cut))
+    b = base.select(
+        "event_type",
+        F.col("n").alias("bn"),
+        F.col("s").alias("bs"),
+        F.col("mn").alias("bmn"),
+        F.col("mx").alias("bmx"),
+    )
+    d = delta.select(
+        "event_type",
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("mn").alias("dmn"),
+        F.col("mx").alias("dmx"),
+    )
+    merged = b.join(d, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (
+            F.coalesce("bs", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0))
+        ).alias("s"),
+        F.least(
+            F.coalesce("bmn", F.col("dmn")), F.coalesce("dmn", F.col("bmn"))
+        ).alias("mn"),
+        F.greatest(
+            F.coalesce("bmx", F.col("dmx")), F.coalesce("dmx", F.col("bmx"))
+        ).alias("mx"),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("s", 6).alias("total"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+LPA_MAX_PART = 300
+LPA_ITERS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the
+    parts-co-ordered graph: every node starts as its own label, and for
+    LPA_ITERS rounds each node adopts the most frequent label among its
+    neighbors (ties to the smallest label — fully deterministic, unlike
+    textbook random-order LPA). Finds denser-than-component communities
+    that q_dedup_clusters' connected components can't separate. Each
+    round is one join + one grouped count + one argmax window — the plan
+    unrolls LPA_ITERS rounds, so depth is fixed and known (the bounded
+    twin of the converge-loop in q_pagerank/q_dedup_clusters); the
+    DuckDB oracle unrolls the identical rounds as CTEs. Output is the
+    community-size histogram."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < LPA_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    lbl = adj.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lab")
+    )
+    for _ in range(LPA_ITERS):
+        nb = adj.join(
+            lbl.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "lab")
+        cnt = nb.groupBy("node", "lab").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "lab")
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return (
+        lbl.groupBy("lab")
+        .agg(F.count("*").alias("size"))
+        .select(F.col("lab").alias("community"), "size")
+        .orderBy("community")
+    )
+
+
+def q_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: for every pair of event types, how many
+    users did BOTH, with per-type audience sizes and the Jaccard overlap
+    — the segment-venn product analytics ask ('do purchasers also hit
+    errors?'). One distinct (user, type) dedup up front bounds the
+    self-join at users × types² with types a small constant; at 10^12
+    events the dedup is the only corpus-sized pass (the same shape as
+    q_dau_wau)."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(
+                sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a")
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b")
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+MMR_TERM = "join"
+MMR_POOL = 15
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_MAX_DOC = 300
+
+
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the MMR_POOL docs most relevant to the query term
+    (tf-ranked), greedily pick MMR_K that maximize
+    λ·rel − (1−λ)·max_sim-to-already-picked, with token-set Jaccard as
+    the redundancy measure — the diversification stage a search/RAG
+    stack runs AFTER q_bm25_topk so the answer set isn't five copies of
+    the same document. The greedy recursion is inherently sequential
+    but bounded by K and the POOL (never the corpus): the pairwise sim
+    matrix is computed once from the exploded pool (POOL² rows), and
+    the K rounds unroll as joins over it. Ties break on doc_id; the
+    oracle unrolls the identical rounds."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < MMR_MAX_DOC)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(arr).alias("t"))
+    rel = (
+        tok.where(F.col("t") == MMR_TERM)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("rel"))
+    )
+    wpool = Window.orderBy(F.desc("rel"), "doc_id")
+    pool = (
+        rel.withColumn("rn", F.row_number().over(wpool))
+        .where(F.col("rn") <= MMR_POOL)
+        .select("doc_id", "rel")
+    )
+    dtok = tok.join(pool, "doc_id").select("doc_id", "t").distinct()
+    nset = dtok.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    ai = dtok.select(F.col("doc_id").alias("da"), "t")
+    bi = dtok.select(F.col("doc_id").alias("db"), "t")
+    inter = (
+        ai.join(bi, "t")
+        .where(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    sim = (
+        inter.join(nset.withColumnRenamed("doc_id", "da").withColumnRenamed("nt", "na"), "da")
+        .join(nset.withColumnRenamed("doc_id", "db").withColumnRenamed("nt", "nb"), "db")
+        .select(
+            "da",
+            "db",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "sim"
+            ),
+        )
+    )
+    # pool (≤MMR_POOL rows) and sim (≤POOL² rows) feed every unrolled
+    # round — checkpoint once so the K rounds read the tiny tables
+    # instead of replaying the corpus-sized tokenize lineage K times
+    pool = pool.localCheckpoint()
+    sim = sim.localCheckpoint()
+    lam = F.lit(MMR_LAMBDA)
+    w1 = Window.orderBy(F.desc("rel"), "doc_id")
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(1).alias("pick"), (lam * F.col("rel")).alias("mmr"))
+    )
+    for r in range(2, MMR_K + 1):
+        cand = pool.join(sel.select("doc_id"), "doc_id", "left_anti")
+        ms = (
+            sim.join(
+                sel.select(F.col("doc_id").alias("db")), "db"
+            )
+            .groupBy(F.col("da").alias("doc_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            cand.join(ms, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    lam * F.col("rel")
+                    - (F.lit(1.0) - lam)
+                    * F.coalesce("maxsim", F.lit(0.0))
+                ).alias("mmr"),
+            )
+        )
+        wr = Window.orderBy(F.desc("mmr"), "doc_id")
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.lit(r).alias("pick"), "mmr")
+        )
+        sel = sel.unionAll(nxt)
+    return sel.select(
+        "pick", "doc_id", F.round("mmr", 6).alias("mmr")
+    ).orderBy("pick")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8803,4 +9067,8 @@ QUERIES = {
     "rake_keywords": q_rake_keywords,
     "holt_smoothing": q_holt_smoothing,
     "dau_wau": q_dau_wau,
+    "agg_refresh": q_agg_refresh,
+    "label_propagation": q_label_propagation,
+    "audience_overlap": q_audience_overlap,
+    "mmr_diversify": q_mmr_diversify,
 }

@@ -99,6 +99,33 @@ def test_session5_ops_stay_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
         assert "EvalPython" not in plan and "BatchEvalPython" not in plan, q
 
 
+def test_round3_session_ops_stay_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
+    """This session's operator families (classical inference, retrieval
+    LM/diversification, graph link prediction / label propagation,
+    engagement, incremental-aggregate merge, Holt fold, RAKE islands)
+    are pure column expressions end to end — the Holt recursion is a
+    JVM higher-order fold, the MMR/LPA rounds unroll as joins; no
+    Python evaluator may appear in any plan."""
+    from deusu_spark import pipelines
+
+    for q in (
+        pipelines.q_kendall_tau,
+        pipelines.q_anova_f,
+        pipelines.q_welch_t,
+        pipelines.q_link_prediction,
+        pipelines.q_query_likelihood,
+        pipelines.q_rake_keywords,
+        pipelines.q_holt_smoothing,
+        pipelines.q_dau_wau,
+        pipelines.q_agg_refresh,
+        pipelines.q_label_propagation,
+        pipelines.q_audience_overlap,
+        pipelines.q_mmr_diversify,
+    ):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan and "BatchEvalPython" not in plan, q
+
+
 def test_ivf_assign_literal_path_no_python(spark):
     """At dim <= ANN_LITERAL_DIM_MAX the IVF assignment is whole-stage
     codegen (no shuffle, no Python): literal centroid folds + array argmax."""
