@@ -1948,6 +1948,133 @@ def _chunk_savings_sql() -> str:
     """
 
 
+def _pca_power_sql() -> str:
+    from deusu_spark.pipelines import PCA_ITERS, PCA_MAX_VEC, PCA_OUT_DIMS
+
+    ctes = [
+        f"""base AS (SELECT vec_id, embedding AS emb
+                     FROM embeddings WHERE vec_id < {PCA_MAX_VEC}),
+             x AS (SELECT vec_id, k - 1 AS i, CAST(emb[k] AS DOUBLE) AS xi
+                   FROM (SELECT vec_id, emb,
+                                unnest(range(1, len(emb) + 1)) AS k
+                         FROM base)),
+             sums AS (SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS sxy
+                      FROM x a JOIN x b ON a.vec_id = b.vec_id
+                      GROUP BY 1, 2),
+             mu AS (SELECT i, sum(xi) AS sx, count(*) AS n
+                    FROM x GROUP BY 1),
+             cov AS MATERIALIZED (SELECT s.i, s.j,
+                            s.sxy / mi.n
+                            - (mi.sx / mi.n) * (mj.sx / mj.n) AS c
+                     FROM sums s
+                     JOIN mu mi ON mi.i = s.i
+                     JOIN mu mj ON mj.i = s.j),
+             v0 AS MATERIALIZED (SELECT DISTINCT i,
+                            CAST(1.0 AS DOUBLE) AS val
+                    FROM cov)"""
+    ]
+    for r in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+                     SELECT cov.i, sum(cov.c * p.val) AS wv
+                     FROM cov JOIN v{r - 1} p ON p.i = cov.j
+                     GROUP BY 1),
+             v{r} AS MATERIALIZED (
+                      SELECT i, wv / (SELECT sqrt(sum(wv * wv))
+                                      FROM w{r}) AS val
+                      FROM w{r})"""
+        )
+    k = PCA_ITERS
+    return f"""
+        WITH {", ".join(ctes)},
+             lam AS (SELECT sum(vi.val * cov.c * vj.val) AS l
+                     FROM cov
+                     JOIN v{k} vi ON vi.i = cov.i
+                     JOIN v{k} vj ON vj.i = cov.j)
+        SELECT i AS dim, round(val, 6) AS component,
+               round((SELECT l FROM lam), 6) AS eigenvalue
+        FROM v{k} WHERE i < {PCA_OUT_DIMS} ORDER BY dim
+    """
+
+
+def _hits_scores_sql() -> str:
+    from deusu_spark.pipelines import HITS_ITERS, HITS_MAX_PART, HITS_TOPK
+
+    ctes = [
+        f"""li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                   WHERE l_partkey < {HITS_MAX_PART}),
+             e AS MATERIALIZED (
+                   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey < b.l_partkey),
+             nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+                           SELECT u AS node FROM e
+                           UNION ALL SELECT v FROM e)),
+             h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    ]
+    for r in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""ar{r} AS MATERIALIZED (
+                      SELECT e.v AS node, sum(p.h) AS a
+                      FROM e JOIN h{r - 1} p ON p.node = e.u
+                      GROUP BY 1),
+             a{r} AS MATERIALIZED (
+                      SELECT node, a / (SELECT sum(a) FROM ar{r}) AS a
+                      FROM ar{r}),
+             hr{r} AS MATERIALIZED (
+                       SELECT e.u AS node, sum(q.a) AS h
+                       FROM e JOIN a{r} q ON q.node = e.v
+                       GROUP BY 1),
+             h{r} AS MATERIALIZED (
+                      SELECT node, h / (SELECT sum(h) FROM hr{r}) AS h
+                      FROM hr{r})"""
+        )
+    k = HITS_ITERS
+    return f"""
+        WITH {", ".join(ctes)},
+             scored AS (SELECT n.node,
+                               coalesce(a.a, CAST(0 AS DOUBLE)) AS a,
+                               coalesce(h.h, CAST(0 AS DOUBLE)) AS h
+                        FROM nodes n
+                        LEFT JOIN a{k} a ON a.node = n.node
+                        LEFT JOIN h{k} h ON h.node = n.node),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY a DESC, node) AS rn
+                      FROM scored)
+        SELECT node, round(a, 6) AS authority, round(h, 6) AS hub
+        FROM pick WHERE rn <= {HITS_TOPK} ORDER BY node
+    """
+
+
+def _bellman_ford_sql() -> str:
+    from deusu_spark.pipelines import BF_ITERS, BF_MAX_PART
+
+    ctes = [
+        f"""li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                   WHERE l_partkey < {BF_MAX_PART}),
+             co AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                           count(*) AS cnt
+                    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                    WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+             e AS (SELECT u, v, greatest(1, 6 - cnt) AS w FROM co),
+             edges AS MATERIALIZED (SELECT u, v, w FROM e
+                       UNION ALL SELECT v AS u, u AS v, w FROM e),
+             d0 AS (SELECT (SELECT min(u) FROM edges) AS node, 0 AS d)"""
+    ]
+    for r in range(1, BF_ITERS + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+                         SELECT edges.v AS node, p.d + edges.w AS d
+                         FROM edges JOIN d{r - 1} p ON p.node = edges.u
+                         UNION ALL SELECT node, d FROM d{r - 1})
+                     GROUP BY 1)"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT node, d AS dist FROM d{BF_ITERS} ORDER BY node
+    """
+
+
 def _label_propagation_sql() -> str:
     from deusu_spark.pipelines import LPA_ITERS, LPA_MAX_PART
 
@@ -4240,6 +4367,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY type_a, type_b
         """,
         "mmr_diversify": _mmr_diversify_sql(),
+        "pca_power": _pca_power_sql(),
+        "hits_scores": _hits_scores_sql(),
+        "target_encoding": """
+            WITH g AS (SELECT o_orderpriority,
+                              sum(o_totalprice) AS s_g,
+                              count(*) AS n_g
+                       FROM orders GROUP BY 1),
+                 loo AS (SELECT o.o_orderpriority,
+                                (g.s_g - o.o_totalprice)
+                                / (g.n_g - 1) AS loo
+                         FROM orders o JOIN g USING (o_orderpriority))
+            SELECT o_orderpriority, count(*) AS n,
+                   round(avg(loo), 6) AS enc_mean,
+                   round(sum(loo * loo) / count(*)
+                         - avg(loo) * avg(loo), 6) AS enc_var,
+                   round(min(loo), 6) AS enc_min,
+                   round(max(loo), 6) AS enc_max
+            FROM loo GROUP BY 1 ORDER BY 1
+        """,
+        "bellman_ford": _bellman_ford_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -8883,6 +8883,254 @@ def q_mmr_diversify(spark, sf_dir):
     ).orderBy("pick")
 
 
+PCA_MAX_VEC = 500
+PCA_ITERS = 8
+PCA_OUT_DIMS = 6
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal component of the embedding table by power
+    iteration: the covariance matrix comes from ONE distributed pass
+    (cov(i,j) = Σx_i x_j/n − μ_i μ_j, raw-moment identity — no centering
+    pass), then PCA_ITERS matvec+normalize rounds unroll as joins over
+    the dim²-row cov table, which is CONSTANT-sized (64² here) no matter
+    how many vectors stream through the first pass — the whole-corpus →
+    tiny-state shape every distributed PCA uses. Deterministic: all-ones
+    init, fixed iteration count (sign is pinned by the init). Returns
+    the Rayleigh-quotient eigenvalue and the leading eigenvector
+    components. The DuckDB oracle replays the identical rounds."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < PCA_MAX_VEC
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xi")
+    ).select("vec_id", "i", F.col("xi").cast("double").alias("xi"))
+    y = x.select(
+        "vec_id", F.col("i").alias("j"), F.col("xi").alias("xj")
+    )
+    sums = (
+        x.join(y, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
+    )
+    mu = x.groupBy("i").agg(
+        F.sum("xi").alias("sx"), F.count("*").alias("n")
+    )
+    cov = (
+        sums.join(mu.select(F.col("i"), F.col("sx").alias("sxi"), "n"), "i")
+        .join(
+            mu.select(F.col("i").alias("j"), F.col("sx").alias("sxj")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy") / F.col("n")
+                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n"))
+            ).alias("c"),
+        )
+        .localCheckpoint()  # dim² rows feed every unrolled round
+    )
+    v = cov.select("i").distinct().select(
+        "i", F.lit(1.0).alias("val")
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            cov.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("wv"))
+        )
+        nrm = w.agg(
+            F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm")
+        )
+        # w feeds both the norm and the update (and v feeds the next
+        # round twice) — checkpoint the 64-row iterate each round or the
+        # final plan re-expands the chain 2^ITERS times
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", (F.col("wv") / F.col("nrm")).alias("val"))
+            .localCheckpoint()
+        )
+    lam = (
+        cov.join(v.select(F.col("i").alias("j"), F.col("val").alias("vj")), "j")
+        .join(v.select("i", F.col("val").alias("vi")), "i")
+        .agg(F.sum(F.col("vi") * F.col("c") * F.col("vj")).alias("l"))
+    )
+    return (
+        v.where(F.col("i") < PCA_OUT_DIMS)
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").alias("dim"),
+            F.round("val", 6).alias("component"),
+            F.round("l", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+HITS_MAX_PART = 300
+HITS_ITERS = 3
+HITS_TOPK = 15
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the parts
+    co-order graph directed low→high id — the second classic
+    link-analysis family next to q_pagerank: auth = Aᵀ·hub then hub =
+    A·auth, L1-normalized each half-step, HITS_ITERS rounds unrolled
+    as join+groupBy pairs (fixed plan depth, like q_label_propagation).
+    Top-K by authority, ties on node id; the oracle unrolls the same
+    rounds."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < HITS_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        asum = a_raw.agg(F.sum("a").alias("s"))
+        auth = a_raw.crossJoin(F.broadcast(asum)).select(
+            "node", (F.col("a") / F.col("s")).alias("a")
+        )
+        h_raw = (
+            e.join(
+                auth.withColumnRenamed("node", "v").withColumnRenamed("a", "av"),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("av").alias("h"))
+        )
+        hsum = h_raw.agg(F.sum("h").alias("s"))
+        hub = h_raw.crossJoin(F.broadcast(hsum)).select(
+            "node", (F.col("h") / F.col("s")).alias("h")
+        )
+    scored = nodes.join(auth, "node", "left").join(hub, "node", "left").select(
+        "node",
+        F.coalesce("a", F.lit(0.0)).alias("a"),
+        F.coalesce("h", F.lit(0.0)).alias("h"),
+    )
+    wpick = Window.orderBy(F.desc("a"), "node")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= HITS_TOPK)
+        .select(
+            "node",
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+        .orderBy("node")
+    )
+
+
+def q_target_encoding(spark, sf_dir):
+    """Leakage-free target encoding: each order's priority encoded as
+    the LEAVE-ONE-OUT mean of its group's total price ((S_g − x)/(n_g −
+    1)) — the categorical-feature trick whose naive version leaks the
+    row's own target into its feature. One grouped aggregate broadcast
+    back onto the fact table; the output audits the encoding per group
+    (mean of LOO values equals the group mean identically — the
+    invariant the oracle confirms — while min/max/variance expose the
+    leakage-driven spread a naive encoding hides)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s_g"), F.count("*").alias("n_g")
+    )
+    loo = o.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderpriority",
+        (
+            (F.col("s_g") - F.col("o_totalprice")) / (F.col("n_g") - 1)
+        ).alias("loo"),
+    )
+    return (
+        loo.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("loo"), 6).alias("enc_mean"),
+            F.round(
+                F.sum(F.col("loo") * F.col("loo")) / F.count("*")
+                - F.avg("loo") * F.avg("loo"),
+                6,
+            ).alias("enc_var"),
+            F.round(F.min("loo"), 6).alias("enc_min"),
+            F.round(F.max("loo"), 6).alias("enc_max"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BF_MAX_PART = 200
+BF_ITERS = 4
+
+
+def q_bellman_ford(spark, sf_dir):
+    """Bellman-Ford weighted shortest paths, BF_ITERS relaxation rounds
+    from the subgraph's smallest part: edge cost = max(1, 6 −
+    co-order-count) (strong ties are cheap), so distances stay EXACT
+    integers. Each round is one join + min-aggregate over the frontier
+    table (the weighted generalization of q_khop_reachability's BFS);
+    fixed unrolled depth ⇒ distances are 'within ≤4 hops', which is the
+    bounded-iteration contract every distributed SSSP ships with. The
+    oracle unrolls identical rounds."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < BF_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    co = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(
+            F.col("l_partkey").alias("u"), F.col("p2").alias("v")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    e = (
+        co.select(
+            "u", "v", F.greatest(F.lit(1), F.lit(6) - F.col("cnt")).alias("w")
+        )
+    )
+    edges = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint()
+    src = edges.agg(F.min("u").alias("s"))
+    dist = edges.crossJoin(F.broadcast(src)).where(
+        F.col("u") == F.col("s")
+    ).select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(0).alias("d")
+    )
+    for _ in range(BF_ITERS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+            .unionAll(dist)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = relaxed
+    return dist.select("node", F.col("d").alias("dist")).orderBy("node")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -9071,4 +9319,8 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "audience_overlap": q_audience_overlap,
     "mmr_diversify": q_mmr_diversify,
+    "pca_power": q_pca_power,
+    "hits_scores": q_hits_scores,
+    "target_encoding": q_target_encoding,
+    "bellman_ford": q_bellman_ford,
 }

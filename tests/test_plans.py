@@ -121,6 +121,10 @@ def test_round3_session_ops_stay_jvm_side(spark, sf_dir="/root/testdata/sf0.001"
         pipelines.q_label_propagation,
         pipelines.q_audience_overlap,
         pipelines.q_mmr_diversify,
+        pipelines.q_pca_power,
+        pipelines.q_hits_scores,
+        pipelines.q_target_encoding,
+        pipelines.q_bellman_ford,
     ):
         plan = _plan(q(spark, sf_dir))
         assert "EvalPython" not in plan and "BatchEvalPython" not in plan, q
