@@ -1948,6 +1948,119 @@ def _chunk_savings_sql() -> str:
     """
 
 
+def _dbscan_grid_sql() -> str:
+    from deusu_spark.pipelines import (
+        DBSCAN_EPS,
+        DBSCAN_MAX_KEY,
+        DBSCAN_MIN_PTS,
+        _hex15_to_long_sql,
+    )
+
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    return f"""
+        WITH RECURSIVE
+             pts AS MATERIALIZED (
+                 SELECT c_custkey AS pid,
+                        ({_hex15_to_long_sql("strpos", "h_lat")}
+                         % 180000) AS lat,
+                        ({_hex15_to_long_sql("strpos", "h_lon")}
+                         % 360000) AS lon
+                 FROM (SELECT c_custkey,
+                              md5(concat(CAST(c_custkey AS STRING),
+                                         ':lat')) AS h_lat,
+                              md5(concat(CAST(c_custkey AS STRING),
+                                         ':lon')) AS h_lon
+                       FROM customer
+                       WHERE c_custkey < {DBSCAN_MAX_KEY})),
+             nbr AS MATERIALIZED (
+                 SELECT a.pid AS a, b.pid AS b FROM pts a JOIN pts b
+                 ON (a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon) <= {eps2}),
+             cores AS MATERIALIZED (
+                 SELECT a AS pid FROM nbr GROUP BY a
+                 HAVING count(*) >= {DBSCAN_MIN_PTS}),
+             core_edges AS MATERIALIZED (
+                 SELECT n.a AS src, n.b AS dst FROM nbr n
+                 JOIN cores ca ON ca.pid = n.a
+                 JOIN cores cb ON cb.pid = n.b
+                 WHERE n.a <> n.b),
+             reach(src, dst) AS (
+                 SELECT pid, pid FROM cores
+                 UNION
+                 SELECT r.src, e.dst
+                 FROM reach r JOIN core_edges e ON r.dst = e.src),
+             labels AS MATERIALIZED (
+                 SELECT src AS node, min(dst) AS lab
+                 FROM reach GROUP BY src),
+             border AS MATERIALIZED (
+                 SELECT n.a AS pid, min(l.lab) AS lab FROM nbr n
+                 JOIN labels l ON l.node = n.b
+                 WHERE n.a NOT IN (SELECT pid FROM cores)
+                 GROUP BY 1),
+             clustered AS MATERIALIZED (
+                 SELECT lab AS cluster_id, 1 AS is_core FROM labels
+                 UNION ALL
+                 SELECT lab AS cluster_id, 0 AS is_core FROM border),
+             census AS (SELECT cluster_id,
+                               sum(is_core) AS n_core,
+                               sum(1 - is_core) AS n_border
+                        FROM clustered GROUP BY 1)
+        SELECT cluster_id, n_core, n_border FROM census
+        UNION ALL
+        SELECT -1, 0, (SELECT count(*) FROM pts)
+                      - (SELECT count(*) FROM clustered)
+        ORDER BY cluster_id
+    """
+
+
+def _time_to_convert_sql() -> str:
+    return """
+        WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+             pu AS (SELECT e.user_id,
+                           min(e.ts) AS conv_ts,
+                           min(su.signup_ts) AS s_ts
+                    FROM events e JOIN su ON su.user_id = e.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND e.ts > su.signup_ts
+                    GROUP BY 1),
+             h AS (SELECT CAST(floor(epoch(conv_ts)) AS BIGINT)
+                          - CAST(floor(epoch(s_ts)) AS BIGINT) AS secs
+                   FROM pu),
+             hh AS (SELECT CAST(secs AS DOUBLE) / 3600.0 AS h FROM h)
+        SELECT count(*) AS n_converted,
+               round(avg(h), 6) AS avg_hours,
+               round(quantile_cont(h, 0.25), 6) AS p25_hours,
+               round(quantile_cont(h, 0.5), 6) AS p50_hours,
+               round(quantile_cont(h, 0.75), 6) AS p75_hours,
+               round(quantile_cont(h, 0.9), 6) AS p90_hours
+        FROM hh
+    """
+
+
+def _decay_weighted_sql() -> str:
+    from deusu_spark.pipelines import DECAY_LAMBDA, DECAY_TOPK
+
+    return f"""
+        WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+             scored AS (SELECT user_id,
+                               value * exp(CAST(-{DECAY_LAMBDA} AS DOUBLE)
+                                   * ((CAST(floor(epoch(ref_ts)) AS BIGINT)
+                                       - CAST(floor(epoch(ts)) AS BIGINT))
+                                      / 86400.0)) AS dv
+                        FROM events CROSS JOIN ref),
+             agg AS (SELECT user_id,
+                            round(sum(dv), 6) AS decayed_score,
+                            count(*) AS n_events
+                     FROM scored GROUP BY 1),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY decayed_score DESC, user_id) AS rn
+                      FROM agg)
+        SELECT user_id, decayed_score, n_events
+        FROM pick WHERE rn <= {DECAY_TOPK} ORDER BY user_id
+    """
+
+
 def _pca_power_sql() -> str:
     from deusu_spark.pipelines import PCA_ITERS, PCA_MAX_VEC, PCA_OUT_DIMS
 
@@ -4387,6 +4500,24 @@ def oracle_sql() -> dict[str, str]:
             FROM loo GROUP BY 1 ORDER BY 1
         """,
         "bellman_ford": _bellman_ford_sql(),
+        "dbscan_grid": _dbscan_grid_sql(),
+        "seq_pattern_pairs": """
+            WITH g AS (SELECT user_id, event_type,
+                              min(ts) AS mn, max(ts) AS mx
+                       FROM events GROUP BY 1, 2),
+                 total AS (SELECT count(DISTINCT user_id) AS t
+                           FROM events)
+            SELECT a.event_type AS first_type,
+                   b.event_type AS then_type,
+                   count(*) AS n_users,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (SELECT t FROM total), 6) AS support
+            FROM g a JOIN g b ON a.user_id = b.user_id
+             AND a.event_type <> b.event_type AND a.mn < b.mx
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "time_to_convert": _time_to_convert_sql(),
+        "decay_weighted": _decay_weighted_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

@@ -9131,6 +9131,242 @@ def q_bellman_ford(spark, sf_dir):
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")
 
 
+DBSCAN_MAX_KEY = 600
+DBSCAN_EPS = 12000  # milli-degrees, = the neighbor-grid cell edge
+DBSCAN_MIN_PTS = 4  # |N_eps(p)| including p itself
+
+
+def q_dbscan_grid(spark, sf_dir):
+    """Grid-accelerated DBSCAN over the deterministic integer customer
+    coordinates: the eps-neighbor join is q_spatial_join's 3×3
+    cell-bucketed equi-join (never the quadratic theta-join the oracle
+    runs), core points have ≥ MIN_PTS neighbors, core-core edges are
+    clustered by q_dedup_clusters' convergent min-label loop
+    (localCheckpoint'ed, O(diameter) rounds), and border points attach
+    to their minimum-labeled core neighbor — the full density-based
+    clustering family member next to k-means (q_elbow_curve) and
+    centroid assignment. All-integer distances ⇒ no float boundary rows
+    can differ between engines; output is the per-cluster
+    core/border census plus a noise row (cluster_id = -1)."""
+    pts = _geo_coords(
+        _t(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < DBSCAN_MAX_KEY
+        ),
+        "c_custkey",
+    ).select(F.col("c_custkey").alias("pid"), "lat", "lon")
+    home = pts.withColumn(
+        "cell",
+        F.concat_ws(
+            ":",
+            F.expr(f"lat DIV {DBSCAN_EPS}"),
+            F.expr(f"lon DIV {DBSCAN_EPS}"),
+        ),
+    )
+    neighbors = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.expr(f"lat DIV {DBSCAN_EPS}") + dy,
+                F.expr(f"lon DIV {DBSCAN_EPS}") + dx,
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    p9 = pts.select(
+        F.col("pid").alias("qid"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        F.explode(neighbors).alias("cell"),
+    )
+    d2 = (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) + (
+        F.col("lon") - F.col("qlon")
+    ) * (F.col("lon") - F.col("qlon"))
+    nbr = (
+        home.join(p9, "cell")
+        .where(d2 <= DBSCAN_EPS * DBSCAN_EPS)
+        .select(F.col("pid").alias("a"), F.col("qid").alias("b"))
+    ).localCheckpoint()
+    deg = nbr.groupBy("a").agg(F.count("*").alias("n"))  # includes a==b
+    cores = deg.where(F.col("n") >= DBSCAN_MIN_PTS).select(
+        F.col("a").alias("pid")
+    )
+    core_edges = (
+        nbr.join(cores.withColumnRenamed("pid", "a"), "a")
+        .join(cores.withColumnRenamed("pid", "b"), "b")
+        .where(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    labels = cores.select(
+        F.col("pid").alias("node"), F.col("pid").alias("lab")
+    ).localCheckpoint()
+    for _ in range(64):
+        nb = (
+            core_edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nb_min"))
+        )
+        new = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce("nb_min", F.col("lab"))
+                ).alias("lab"),
+                (F.col("nb_min") < F.col("lab")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        labels = new.select("node", "lab")
+        if new.where(F.col("chg")).limit(1).count() == 0:
+            break
+    border = (
+        nbr.join(cores.withColumnRenamed("pid", "a"), "a", "left_anti")
+        .join(
+            labels.withColumnRenamed("node", "b"), "b"
+        )  # b must be a labeled core
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("lab").alias("lab"))
+    )
+    core_rows = labels.select(
+        F.col("lab").alias("cluster_id"), F.lit(1).alias("is_core")
+    )
+    border_rows = border.select(
+        F.col("lab").alias("cluster_id"), F.lit(0).alias("is_core")
+    )
+    clustered = core_rows.unionAll(border_rows)
+    census = clustered.groupBy("cluster_id").agg(
+        F.sum("is_core").alias("n_core"),
+        F.sum(1 - F.col("is_core")).alias("n_border"),
+    )
+    n_pts = pts.count()
+    n_clustered = clustered.count()
+    noise = spark.createDataFrame(
+        [(-1, 0, n_pts - n_clustered)],
+        "cluster_id long, n_core long, n_border long",
+    )
+    return census.unionByName(noise).orderBy("cluster_id")
+
+
+def q_seq_pattern_pairs(spark, sf_dir):
+    """Sequential-pattern support: for every ORDERED event-type pair
+    (X, Y), how many users show X somewhere before Y — subsequence
+    containment, not q_event_trigrams' adjacency. The exact
+    exists-(e1<e2) predicate collapses to min_ts(X) < max_ts(Y) per
+    user, so the corpus-sized work is ONE (user, type) min/max
+    aggregate and the pair join is users × types² with types a small
+    constant — the SPADE-style support count without ever joining
+    event rows pairwise."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    a = g.select(
+        "user_id", F.col("event_type").alias("x"), F.col("mn").alias("xmn")
+    )
+    b = g.select(
+        "user_id", F.col("event_type").alias("y"), F.col("mx").alias("ymx")
+    )
+    total = e.select("user_id").distinct().count()
+    return (
+        a.join(b, "user_id")
+        .where((F.col("x") != F.col("y")) & (F.col("xmn") < F.col("ymx")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("x").alias("first_type"),
+            F.col("y").alias("then_type"),
+            "n_users",
+            F.round(F.col("n_users") / F.lit(total), 6).alias("support"),
+        )
+        .orderBy("first_type", "then_type")
+    )
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: per user, the delay from FIRST
+    signup to the first purchase AFTER it, summarized as exact
+    interpolated percentiles (the percentile ≡ quantile_cont parity of
+    q_percentile_bands) — the activation-latency curve growth teams set
+    SLAs on. Two min-aggregates and a conditional min; the conversion
+    filter never materializes per-event state."""
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .join(su, "user_id")
+        .where(F.col("pts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("conv_ts"), F.min("signup_ts").alias("s_ts"))
+    )
+    hours = (
+        (
+            F.unix_timestamp("conv_ts") - F.unix_timestamp("s_ts")
+        ).cast("double")
+        / 3600.0
+    ).alias("h")
+    hdf = pu.select(hours)
+    p = F.expr("percentile(h, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("p")
+    agg = hdf.agg(F.count("*").alias("n_converted"), F.avg("h").alias("m"), p)
+    return agg.select(
+        "n_converted",
+        F.round("m", 6).alias("avg_hours"),
+        F.round(F.col("p")[0], 6).alias("p25_hours"),
+        F.round(F.col("p")[1], 6).alias("p50_hours"),
+        F.round(F.col("p")[2], 6).alias("p75_hours"),
+        F.round(F.col("p")[3], 6).alias("p90_hours"),
+    )
+
+
+DECAY_LAMBDA = 0.1  # per day
+DECAY_TOPK = 20
+
+
+def q_decay_weighted(spark, sf_dir):
+    """Exponential time-decay engagement score: Σ value·e^(−λ·age_days)
+    per user, age measured back from the corpus max timestamp — the
+    recency-weighted feature every feature store derives from raw
+    events (and the batch twin of a streaming decayed counter: e^-λt
+    factors, so the aggregate is mergeable by re-basing). One broadcast
+    scalar (the reference instant) + one grouped sum; top-K users by
+    decayed score."""
+    e = _t(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("ref_ts"))
+    scored = e.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(
+                F.lit(-DECAY_LAMBDA)
+                * (
+                    (
+                        F.unix_timestamp("ref_ts") - F.unix_timestamp("ts")
+                    ).cast("double")
+                    / 86400.0
+                )
+            )
+        ).alias("dv"),
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.round(F.sum("dv"), 6).alias("decayed_score"),
+        F.count("*").alias("n_events"),
+    )
+    wpick = Window.orderBy(F.desc("decayed_score"), "user_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= DECAY_TOPK)
+        .select("user_id", "decayed_score", "n_events")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -9323,4 +9559,8 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "target_encoding": q_target_encoding,
     "bellman_ford": q_bellman_ford,
+    "dbscan_grid": q_dbscan_grid,
+    "seq_pattern_pairs": q_seq_pattern_pairs,
+    "time_to_convert": q_time_to_convert,
+    "decay_weighted": q_decay_weighted,
 }

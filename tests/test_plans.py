@@ -125,6 +125,10 @@ def test_round3_session_ops_stay_jvm_side(spark, sf_dir="/root/testdata/sf0.001"
         pipelines.q_hits_scores,
         pipelines.q_target_encoding,
         pipelines.q_bellman_ford,
+        pipelines.q_dbscan_grid,
+        pipelines.q_seq_pattern_pairs,
+        pipelines.q_time_to_convert,
+        pipelines.q_decay_weighted,
     ):
         plan = _plan(q(spark, sf_dir))
         assert "EvalPython" not in plan and "BatchEvalPython" not in plan, q
