@@ -3352,6 +3352,167 @@ def _ndcg_eval_sql() -> str:
     """
 
 
+def _ridge_regression_sql() -> str:
+    from deusu_spark.pipelines import RIDGE_LAMBDA as LAM
+
+    return f"""
+        WITH agg AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+                            sum(l_quantity) AS s1, sum(l_discount) AS s2,
+                            sum(l_extendedprice) AS sy,
+                            sum(l_quantity * l_quantity) AS s11,
+                            sum(l_discount * l_discount) AS s22,
+                            sum(l_quantity * l_discount) AS s12,
+                            sum(l_quantity * l_extendedprice) AS s1y,
+                            sum(l_discount * l_extendedprice) AS s2y
+                     FROM lineitem GROUP BY 1),
+             m AS (SELECT l_returnflag, n, s1, s2, sy,
+                          s11 - s1 * s1 / n + {LAM} AS a11,
+                          s22 - s2 * s2 / n + {LAM} AS a22,
+                          s12 - s1 * s2 / n AS a12,
+                          s1y - s1 * sy / n AS b1,
+                          s2y - s2 * sy / n AS b2
+                   FROM agg),
+             sol AS (SELECT l_returnflag, n, s1, s2, sy,
+                            (b1 * a22 - b2 * a12)
+                                / (a11 * a22 - a12 * a12) AS beta1,
+                            (a11 * b2 - a12 * b1)
+                                / (a11 * a22 - a12 * a12) AS beta2
+                     FROM m)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round((sy - beta1 * s1 - beta2 * s2) / n, 3) AS beta0,
+               round(beta1, 3) AS beta_qty,
+               round(beta2, 3) AS beta_disc
+        FROM sol ORDER BY l_returnflag
+    """
+
+
+def _nb_classifier_sql() -> str:
+    from deusu_spark.pipelines import NB_ALPHA as A, NB_TEST_MOD as M
+
+    return f"""
+        WITH toks AS ({_TOKS}),
+             train AS (SELECT doc_id, lang FROM documents
+                       WHERE doc_id % {M} <> 0),
+             test AS (SELECT doc_id, lang FROM documents
+                      WHERE doc_id % {M} = 0),
+             ttok AS (SELECT tk.doc_id, tk.t, tr.lang
+                      FROM toks tk JOIN train tr USING (doc_id)),
+             cnt AS (SELECT lang, t, count(*) AS c FROM ttok GROUP BY 1, 2),
+             tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+                     FROM cnt GROUP BY 1),
+             v AS (SELECT count(DISTINCT t) AS v FROM cnt),
+             prior AS (SELECT lang,
+                              ln(count(*) * 1.0
+                                 / (SELECT count(*) FROM train)) AS lprior
+                       FROM train GROUP BY 1),
+             model AS (SELECT c.lang, c.t,
+                              ln((c.c + {A}) * 1.0
+                                 / (tot.tot + {A} * (SELECT v FROM v))) AS lp
+                       FROM cnt c JOIN tot USING (lang)),
+             flo AS (SELECT lang,
+                            ln({A} * 1.0
+                               / (tot + {A} * (SELECT v FROM v))) AS lfloor
+                     FROM tot),
+             testtok AS (SELECT doc_id, t FROM toks
+                         WHERE doc_id % {M} = 0),
+             grid AS (SELECT tt.doc_id, f.lang,
+                             coalesce(m.lp, f.lfloor) AS lp
+                      FROM testtok tt CROSS JOIN flo f
+                      LEFT JOIN model m
+                        ON m.lang = f.lang AND m.t = tt.t),
+             ssum AS (SELECT doc_id, lang, sum(lp) AS s
+                      FROM grid GROUP BY 1, 2),
+             scored AS (SELECT s.doc_id, s.lang,
+                               round(s.s + p.lprior, 5) AS score
+                        FROM ssum s JOIN prior p USING (lang)),
+             best AS (SELECT doc_id, lang AS pred, score,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang) AS rn
+                      FROM scored)
+        SELECT b.doc_id, te.lang AS actual, b.pred, b.score
+        FROM best b JOIN test te USING (doc_id)
+        WHERE b.rn = 1 ORDER BY b.doc_id
+    """
+
+
+def _logrank_test_sql() -> str:
+    from deusu_spark.pipelines import KM_HORIZON_DAYS as H
+
+    return f"""
+        WITH firsts AS (SELECT user_id, min(ts) AS first_ts
+                        FROM events GROUP BY 1),
+             purch AS (SELECT user_id, min(ts) AS p_ts FROM events
+                       WHERE event_type = 'purchase' GROUP BY 1),
+             per AS (SELECT user_id, user_id % 2 AS grp,
+                            CASE WHEN days_to_p IS NOT NULL
+                                  AND days_to_p <= {H}
+                                 THEN 1 ELSE 0 END AS event,
+                            CASE WHEN days_to_p IS NOT NULL
+                                  AND days_to_p <= {H}
+                                 THEN days_to_p ELSE {H} END AS duration
+                     FROM (SELECT f.user_id,
+                                  date_diff('day', first_ts, p_ts)
+                                      AS days_to_p
+                           FROM firsts f LEFT JOIN purch USING (user_id))),
+             tbl AS (SELECT duration, sum(event) AS d,
+                            sum(CASE WHEN grp = 1 THEN event ELSE 0 END)
+                                AS d1,
+                            count(*) AS m,
+                            sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS m1
+                     FROM per GROUP BY 1),
+             tot AS (SELECT count(*) AS ntot,
+                            sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS ntot1
+                     FROM per),
+             risk AS (SELECT duration, d, d1,
+                             (SELECT ntot FROM tot)
+                                 - coalesce(sum(m) OVER (ORDER BY duration
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n,
+                             (SELECT ntot1 FROM tot)
+                                 - coalesce(sum(m1) OVER (ORDER BY duration
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n1
+                      FROM tbl),
+             r AS (SELECT * FROM risk WHERE d > 0)
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               round(sum(d * n1 / n), 6) AS e1,
+               round(sum(d * (n1 / n) * (1.0 - n1 / n) * (n - d)
+                         / (CASE WHEN n > 1 THEN n - 1 ELSE 1 END)), 6)
+                   AS var1,
+               round(pow(sum(d1 - d * n1 / n), 2)
+                     / sum(d * (n1 / n) * (1.0 - n1 / n) * (n - d)
+                           / (CASE WHEN n > 1 THEN n - 1 ELSE 1 END)), 6)
+                   AS chi2
+        FROM r
+    """
+
+
+def _lift_gains_sql() -> str:
+    from deusu_spark.pipelines import LIFT_DECILES as D
+
+    return f"""
+        WITH u AS (SELECT user_id, count(*) AS n_ev,
+                          max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS pos
+                   FROM events GROUP BY 1),
+             dec AS (SELECT *, ntile({D}) OVER (ORDER BY n_ev DESC, user_id)
+                                AS decile
+                     FROM u),
+             per AS (SELECT decile, count(*) AS n_users,
+                            CAST(sum(pos) AS BIGINT) AS n_pos
+                     FROM dec GROUP BY 1),
+             tot AS (SELECT sum(n_users) AS tu, sum(n_pos) AS tp FROM per)
+        SELECT decile, n_users, n_pos,
+               round(n_pos * 1.0 / n_users, 6) AS pos_rate,
+               round(sum(n_pos) OVER (ORDER BY decile) * 1.0
+                     / (SELECT tp FROM tot), 6) AS cum_gain,
+               round((n_pos * 1.0 / n_users)
+                     / ((SELECT tp FROM tot) * 1.0
+                        / (SELECT tu FROM tot)), 6) AS lift
+        FROM per ORDER BY decile
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -4518,6 +4679,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_to_convert": _time_to_convert_sql(),
         "decay_weighted": _decay_weighted_sql(),
+        "ridge_regression": _ridge_regression_sql(),
+        "nb_classifier": _nb_classifier_sql(),
+        "logrank_test": _logrank_test_sql(),
+        "lift_gains": _lift_gains_sql(),
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

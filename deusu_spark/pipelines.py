@@ -9367,6 +9367,272 @@ def q_decay_weighted(spark, sf_dir):
     )
 
 
+RIDGE_LAMBDA = 10.0  # L2 penalty on slopes (intercept unpenalized)
+
+
+def q_ridge_regression(spark, sf_dir):
+    """Per-group closed-form RIDGE regression (two features + intercept):
+    l_extendedprice ~ l_quantity + l_discount per l_returnflag, solved
+    from the penalized normal equations on centered data — nine
+    map-side-combinable sums per group (n, Σx1, Σx2, Σy, Σx1², Σx2²,
+    Σx1x2, Σx1y, Σx2y), then a 2×2 Cramer solve as column expressions.
+    No per-group collect, no iteration: the whole fit is ONE aggregate
+    pass at any cardinality (the same shape regr_slope generalizes to),
+    so it scales to 10^12 rows exactly like a groupBy-sum. λ is added to
+    the centered Gram diagonal only (standard unpenalized-intercept
+    ridge). The oracle recomputes the identical algebra in SQL from the
+    same nine sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum("l_discount").alias("s2"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s11"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("s22"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("s12"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("s1y"),
+        F.sum(F.col("l_discount") * F.col("l_extendedprice")).alias("s2y"),
+    )
+    n = F.col("n")
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / n + F.lit(RIDGE_LAMBDA)
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / n + F.lit(RIDGE_LAMBDA)
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    b1 = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    b2 = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (a11 * b2 - a12 * b1) / det
+    beta0 = (F.col("sy") - beta1 * F.col("s1") - beta2 * F.col("s2")) / n
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(beta0, 3).alias("beta0"),
+        F.round(beta1, 3).alias("beta_qty"),
+        F.round(beta2, 3).alias("beta_disc"),
+    ).orderBy("l_returnflag")
+
+
+NB_ALPHA = 1  # Laplace smoothing
+NB_TEST_MOD = 5  # doc_id % 5 == 0 → test split, rest train
+
+
+def q_nb_classifier(spark, sf_dir):
+    """Multinomial naive-Bayes language classifier, trained AND applied
+    in one plan: per-(lang, token) counts with add-one smoothing over the
+    80 % train split (doc_id % 5 != 0), log-priors from class doc counts,
+    then every test doc scored against every class via a test-tokens ×
+    classes grid (tokens WITH multiplicity — multinomial, not Bernoulli)
+    left-joined onto the smoothed likelihood table; unseen tokens fall to
+    the smoothing floor ln(α/(tot_c+αV)). Train side is two
+    map-combinable aggregates; apply side is one broadcastable
+    likelihood join (|vocab|×|classes| rows) — the same shape at 10^12
+    docs, since the model table, not the corpus, is the join's small
+    side. Prediction = argmax over ROUNDED scores with lexicographic
+    tiebreak, so the decision is reproducible across engines."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = d.where(F.col("doc_id") % NB_TEST_MOD == 0)
+    ttok = _tokens(train).join(
+        train.select("doc_id", "lang"), "doc_id"
+    )
+    cnt = ttok.groupBy("lang", "t").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = cnt.select("t").distinct().count()
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(
+            F.broadcast(train.agg(F.count("*").alias("ndall")))
+        )
+        .select("lang", F.log(F.col("nd") / F.col("ndall")).alias("lprior"))
+    )
+    model = (
+        cnt.join(tot, "lang")
+        .select(
+            "lang",
+            "t",
+            F.log(
+                (F.col("c") + F.lit(NB_ALPHA))
+                / (F.col("tot") + F.lit(NB_ALPHA) * vocab)
+            ).alias("lp"),
+        )
+    )
+    floor = tot.select(
+        "lang",
+        F.log(
+            F.lit(NB_ALPHA) / (F.col("tot") + F.lit(NB_ALPHA) * vocab)
+        ).alias("lfloor"),
+    )
+    grid = (
+        _tokens(test)
+        .crossJoin(F.broadcast(tot.select("lang")))
+        .join(F.broadcast(model), ["lang", "t"], "left")
+        .join(F.broadcast(floor), "lang")
+        .select(
+            "doc_id", "lang", F.coalesce("lp", "lfloor").alias("lp")
+        )
+    )
+    scored = (
+        grid.groupBy("doc_id", "lang")
+        .agg(F.sum("lp").alias("s"))
+        .join(F.broadcast(prior), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("s") + F.col("lprior"), 5).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "score")
+    )
+    return (
+        best.join(test.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .select("doc_id", "actual", "pred", "score")
+        .orderBy("doc_id")
+    )
+
+
+def q_logrank_test(spark, sf_dir):
+    """Log-rank test comparing time-to-first-purchase survival between
+    two user cohorts (user_id parity) — the hypothesis-test companion to
+    q_kaplan_meier, same horizon/censoring construction. Per distinct
+    event time: at-risk and death counts per cohort from cumulative
+    windows over an (≤ horizon+1)-row table, then O−E and
+    hypergeometric variance summed into the chi-square statistic. The
+    heavy part stays one groupBy over events; everything after is
+    calendar-sized. All counts are exact integers, so the statistic is
+    reproducible bit-for-bit across engines."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        firsts.join(purch, "user_id", "left")
+        .withColumn("days_to_p", F.datediff("p_ts", "first_ts"))
+        .withColumn(
+            "event",
+            F.when(
+                F.col("days_to_p").isNotNull()
+                & (F.col("days_to_p") <= KM_HORIZON_DAYS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "duration",
+            F.when(F.col("event") == 1, F.col("days_to_p")).otherwise(
+                F.lit(KM_HORIZON_DAYS)
+            ),
+        )
+        .withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    )
+    tbl = per_user.groupBy("duration").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("event")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("m1"),
+    )
+    w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_user.groupBy().agg(
+        F.count("*").alias("ntot"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("ntot1"),
+    )
+    risk = (
+        tbl.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "nrisk",
+            F.col("ntot") - F.coalesce(F.sum("m").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "nrisk1",
+            F.col("ntot1") - F.coalesce(F.sum("m1").over(w), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    n, n1, dd = F.col("nrisk"), F.col("nrisk1"), F.col("d")
+    e1 = dd * n1 / n
+    v1 = (
+        dd
+        * (n1 / n)
+        * (1.0 - n1 / n)
+        * (n - dd)
+        / F.when(n > 1, n - 1).otherwise(F.lit(1))
+    )
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.round(F.sum(e1), 6).alias("e1"),
+        F.round(F.sum(v1), 6).alias("var1"),
+        F.round(
+            F.pow(F.sum(F.col("d1") - e1), 2) / F.sum(v1), 6
+        ).alias("chi2"),
+    )
+    return agg
+
+
+LIFT_DECILES = 10
+
+
+def q_lift_gains(spark, sf_dir):
+    """Decile lift / cumulative-gains table — the model-eval report every
+    targeting pipeline produces: users scored by activity (event count,
+    a deterministic stand-in for a model score), labeled by
+    purchased-or-not, split into NTILE(10) deciles over (score desc,
+    user_id) and summarized as response rate, cumulative gain (fraction
+    of all positives captured by decile k) and lift vs the base rate.
+    One groupBy over events + one bounded per-user window — at 10^12
+    events the per-user reduction is the only full-data pass; the decile
+    window runs over users, and a scale-out variant would replace NTILE
+    with a percentile-bucketed score (the exact NTILE is the oracle-able
+    contract here). Integer counts everywhere; only the final ratios are
+    floating."""
+    e = _t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("n_ev"), "user_id")
+    dec = users.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("pos").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n_users").alias("tu"), F.sum("n_pos").alias("tp")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.withColumn("cum_pos", F.sum("n_pos").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n_users"), 6).alias("pos_rate"),
+            F.round(F.col("cum_pos") / F.col("tp"), 6).alias("cum_gain"),
+            F.round(
+                (F.col("n_pos") / F.col("n_users"))
+                / (F.col("tp") / F.col("tu")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -9563,4 +9829,8 @@ QUERIES = {
     "seq_pattern_pairs": q_seq_pattern_pairs,
     "time_to_convert": q_time_to_convert,
     "decay_weighted": q_decay_weighted,
+    "ridge_regression": q_ridge_regression,
+    "nb_classifier": q_nb_classifier,
+    "logrank_test": q_logrank_test,
+    "lift_gains": q_lift_gains,
 }
