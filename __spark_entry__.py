@@ -3513,6 +3513,118 @@ def _lift_gains_sql() -> str:
     """
 
 
+_COPURCHASE_EDGES = """
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS s, b.l_partkey AS d
+            FROM items a JOIN items b USING (l_orderkey)
+            WHERE a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {minw}
+        )"""
+
+
+def _kcore_sql() -> str:
+    from deusu_spark.pipelines import KCORE_K as K
+    from deusu_spark.pipelines import KCORE_MINW, KCORE_ROUNDS
+
+    rounds = ["a0 AS (SELECT DISTINCT s AS v FROM edges)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"a{i} AS (SELECT e.s AS v FROM edges e "
+            f"JOIN a{i - 1} x ON e.s = x.v JOIN a{i - 1} y ON e.d = y.v "
+            f"GROUP BY e.s HAVING count(*) >= {K})"
+        )
+    chain = ",\n             ".join(rounds)
+    last = f"a{KCORE_ROUNDS}"
+    return f"""
+        WITH {_COPURCHASE_EDGES.format(minw=KCORE_MINW)},
+             {chain}
+        SELECT e.s AS part, count(*) AS core_deg
+        FROM edges e JOIN {last} x ON e.s = x.v JOIN {last} y ON e.d = y.v
+        GROUP BY e.s ORDER BY part
+    """
+
+
+def _closeness_harmonic_sql() -> str:
+    from deusu_spark.pipelines import (
+        CLOSE_HOPS,
+        CLOSE_SEED_MOD,
+        KCORE_MINW,
+    )
+
+    return f"""
+        WITH RECURSIVE {_COPURCHASE_EDGES.format(minw=KCORE_MINW)},
+        walk(seed, v, hop) AS (
+            SELECT s, s, 0 FROM (SELECT DISTINCT s FROM edges)
+            WHERE s % {CLOSE_SEED_MOD} = 0
+            UNION
+            SELECT w.seed, e.d, w.hop + 1
+            FROM walk w JOIN edges e ON w.v = e.s
+            WHERE w.hop < {CLOSE_HOPS}
+        ),
+        md AS (SELECT seed, v, min(hop) AS dist FROM walk GROUP BY 1, 2)
+        SELECT seed, count(*) AS n_reached,
+               round(sum(1.0 / dist), 6) AS harmonic
+        FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed
+    """
+
+
+def _consistent_hash_sql() -> str:
+    from deusu_spark.pipelines import (
+        CH_NODES_AFTER,
+        CH_NODES_BEFORE,
+        CH_VNODES,
+        _hex15_to_long_sql,
+    )
+
+    rpos = _hex15_to_long_sql(
+        "strpos",
+        "md5(concat('ring:', CAST(node AS VARCHAR), ':', "
+        "CAST(vnode AS VARCHAR)))",
+    )
+    kh = _hex15_to_long_sql(
+        "strpos", "md5(concat('key:', CAST(user_id AS VARCHAR)))"
+    )
+
+    def ring(name, n):
+        return (
+            f"{name} AS (SELECT CAST(r1.range AS INT) AS node, "
+            f"CAST(r2.range AS INT) AS vnode, {rpos} AS pos "
+            f"FROM range(0, {n}) r1, range(0, {CH_VNODES}) r2)"
+        )
+
+    def assign_ctes(tag, ringname):
+        return f"""{tag}c AS (SELECT k.user_id,
+                            min(CASE WHEN r.pos >= k.kh
+                                THEN r.pos END) AS mn
+                     FROM keys k CROSS JOIN {ringname} r GROUP BY 1),
+             {tag}w AS (SELECT min(pos) AS wrap FROM {ringname}),
+             {tag} AS (SELECT c.user_id, r.node
+                       FROM {tag}c c CROSS JOIN {tag}w w
+                       JOIN {ringname} r
+                         ON r.pos = coalesce(c.mn, w.wrap))"""
+
+    return f"""
+        WITH {ring("ring_b", CH_NODES_BEFORE)},
+             {ring("ring_a", CH_NODES_AFTER)},
+             keys AS (SELECT user_id, {kh} AS kh
+                      FROM (SELECT DISTINCT user_id FROM events)),
+             {assign_ctes("ab", "ring_b")},
+             {assign_ctes("aa", "ring_a")},
+             j AS (SELECT b.user_id, b.node AS node_b, a.node AS node_a
+                   FROM ab b JOIN aa a USING (user_id)),
+             aft AS (SELECT node_a AS node, count(*) AS n_after,
+                            CAST(sum(CASE WHEN node_b <> node_a
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_gained
+                     FROM j GROUP BY 1),
+             bef AS (SELECT node AS node, count(*) AS n_before
+                     FROM ab GROUP BY 1)
+        SELECT a.node, coalesce(b.n_before, 0) AS n_before,
+               a.n_after, a.n_gained
+        FROM aft a LEFT JOIN bef b USING (node) ORDER BY a.node
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -4683,6 +4795,24 @@ def oracle_sql() -> dict[str, str]:
         "nb_classifier": _nb_classifier_sql(),
         "logrank_test": _logrank_test_sql(),
         "lift_gains": _lift_gains_sql(),
+        "kcore": _kcore_sql(),
+        "closeness_harmonic": _closeness_harmonic_sql(),
+        "consistent_hash_rebalance": _consistent_hash_sql(),
+        "tokenizer_fertility": r"""
+            WITH agg AS (SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(
+                        regexp_split_to_array(text, '\s+'),
+                        x -> x <> ''))) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+                       AS bpe_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1)
+            SELECT lang, n_docs, ws_tokens, bpe_tokens,
+                   round(bpe_tokens * 1.0 / ws_tokens, 6) AS fertility,
+                   round(n_chars * 1.0 / bpe_tokens, 6) AS chars_per_token
+            FROM agg ORDER BY lang
+        """,
         "lexical_richness": f"""
             WITH tf AS (SELECT doc_id, t, count(*) AS tf
                         FROM ({_TOKS}) WHERE doc_id < 150 GROUP BY 1, 2)

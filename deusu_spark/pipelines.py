@@ -9633,6 +9633,240 @@ def q_lift_gains(spark, sf_dir):
     )
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 8
+KCORE_MINW = 2  # keep co-purchase edges seen in >= 2 orders
+
+
+def _copurchase_edges(spark, sf_dir, min_weight: int):
+    """Directed co-purchase edge set (parts sharing an order, kept when
+    the pair co-occurs in >= min_weight orders) — the weight-thresholded
+    variant of the q_khop_reachability graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_weight)
+        .select("s", "d")
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """Fixed-round k-core peeling over the weight-thresholded co-purchase
+    graph: each round recomputes degrees within the surviving vertex set
+    and drops vertices below K — the standard iterative-peeling core
+    decomposition, run for a FIXED round count so the contract is
+    engine-reproducible whether or not the peel has converged. Each round
+    is two semi-joins + one groupBy (the Pregel degree superstep);
+    lineage is cut per round (localCheckpoint, as in q_dedup_clusters)
+    so the plan depth stays constant — at 10^9 edges the same loop holds
+    with the vertex set as the only shrinking state. Output: survivors
+    with their within-core degree."""
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MINW)
+    edges = edges.localCheckpoint()
+    alive = edges.select(F.col("s").alias("v")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(alive.withColumnRenamed("v", "s"), "s")
+            .join(
+                alive.select(F.col("v").alias("d")), "d"
+            )
+            .groupBy("s")
+            .agg(F.count("*").alias("dg"))
+        )
+        alive = (
+            deg.where(F.col("dg") >= KCORE_K)
+            .select(F.col("s").alias("v"))
+            .localCheckpoint()
+        )
+    core = (
+        edges.join(alive.withColumnRenamed("v", "s"), "s")
+        .join(alive.select(F.col("v").alias("d")), "d")
+        .groupBy("s")
+        .agg(F.count("*").alias("core_deg"))
+    )
+    return core.select(F.col("s").alias("part"), "core_deg").orderBy("part")
+
+
+CLOSE_HOPS = 3
+CLOSE_SEED_MOD = 101  # same seed rule as q_khop_reachability
+
+
+def q_closeness_harmonic(spark, sf_dir):
+    """Harmonic closeness centrality from a fixed seed set via
+    multi-source bounded BFS: state is (seed, vertex, min-hop) — the
+    khop walk keyed by source — and the score is Σ 1/d over vertices
+    reached within CLOSE_HOPS (harmonic centrality truncates gracefully
+    on disconnected graphs, unlike classic closeness). Each round is one
+    frontier-edges join + an anti-join against the reached set, so state
+    is bounded by |seeds|×|V| and lineage by the constant hop count. The
+    oracle walks the same graph with a recursive CTE and min-hop
+    aggregation."""
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MINW).localCheckpoint()
+    seeds = (
+        edges.select("s")
+        .distinct()
+        .where(F.col("s") % CLOSE_SEED_MOD == 0)
+        .select(F.col("s").alias("seed"))
+    )
+    reached = seeds.select(
+        "seed", F.col("seed").alias("v"), F.lit(0).alias("dist")
+    )
+    frontier = reached
+    for h in range(1, CLOSE_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.v == edges.s)
+            .select("seed", F.col("d").alias("v"), F.lit(h).alias("dist"))
+            .distinct()
+            .join(reached.select("seed", "v"), ["seed", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        reached = reached.union(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        reached.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"),
+        )
+        .orderBy("seed")
+    )
+
+
+CH_VNODES = 16
+CH_NODES_BEFORE = 4
+CH_NODES_AFTER = 5
+
+
+def _ch_ring(spark, n_nodes: int):
+    ring = spark.createDataFrame(
+        [(n, j) for n in range(n_nodes) for j in range(CH_VNODES)],
+        "node int, vnode int",
+    )
+    pos = F.expr(
+        _hex15_to_long_sql(
+            "instr",
+            "md5(concat('ring:', cast(node as string), ':', "
+            "cast(vnode as string)))",
+        )
+    )
+    return ring.select("node", pos.alias("pos"))
+
+
+def _ch_assign(keys, ring):
+    """keys(user_id, kh) × broadcast ring → (user_id, node): first vnode
+    clockwise from the key's hash, wrapping to the ring minimum."""
+    cand = (
+        keys.crossJoin(F.broadcast(ring))
+        .groupBy("user_id", "kh")
+        .agg(
+            F.min(
+                F.when(F.col("pos") >= F.col("kh"), F.col("pos"))
+            ).alias("mn")
+        )
+    )
+    wrap = ring.agg(F.min("pos").alias("wrap"))
+    return (
+        cand.crossJoin(F.broadcast(wrap))
+        .select(
+            "user_id",
+            F.coalesce("mn", "wrap").alias("chosen"),
+        )
+        .join(F.broadcast(ring), F.col("chosen") == F.col("pos"))
+        .select("user_id", "node")
+    )
+
+
+def q_consistent_hash_rebalance(spark, sf_dir):
+    """Consistent-hashing ring rebalance plan — the shard-routing op
+    behind every scale-out serving tier (including this engine's own
+    doc-range sharding story): N nodes × V vnodes hashed onto a 60-bit
+    md5 ring, every user key routed to the first vnode clockwise, then
+    the SAME ring with one node added; the report shows keys per node
+    before/after and how many keys each node gained — consistent
+    hashing's guarantee being that ONLY keys adjacent to the new node's
+    vnodes move (≈1/(N+1) of them), never a full reshuffle. The ring is
+    a broadcast literal; routing is one broadcast join over the key set;
+    the hash is the engine-portable md5 digit expansion shared with
+    q_ab_test, so both engines compute bit-identical positions."""
+    e = _t(spark, sf_dir, "events")
+    kh = F.expr(
+        _hex15_to_long_sql(
+            "instr", "md5(concat('key:', cast(user_id as string)))"
+        )
+    )
+    keys = e.select("user_id").distinct().select("user_id", kh.alias("kh"))
+    before = _ch_assign(keys, _ch_ring(spark, CH_NODES_BEFORE)).select(
+        "user_id", F.col("node").alias("node_b")
+    )
+    after = _ch_assign(keys, _ch_ring(spark, CH_NODES_AFTER)).select(
+        "user_id", F.col("node").alias("node_a")
+    )
+    j = before.join(after, "user_id")
+    aft = j.groupBy(F.col("node_a").alias("node")).agg(
+        F.count("*").alias("n_after"),
+        F.sum(
+            F.when(F.col("node_b") != F.col("node_a"), 1).otherwise(0)
+        ).alias("n_gained"),
+    )
+    bef = before.groupBy(F.col("node_b").alias("node")).agg(
+        F.count("*").alias("n_before")
+    )
+    return (
+        aft.join(bef, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            "n_after",
+            "n_gained",
+        )
+        .orderBy("node")
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility — the tokenizer-evaluation stat
+    every multilingual training pipeline tracks: BPE-ish tokens per
+    whitespace word (fertility; >1 means the tokenizer fragments that
+    language) and characters per token, from corpus-level sums. One
+    map-side-combinable groupBy over documents; the segmentations are
+    the same regexes as q_token_count_bpe, so the stat composes with the
+    per-doc counts already gated."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != ""))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0)
+        )
+    )
+    agg = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars") / F.col("bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -9833,4 +10067,8 @@ QUERIES = {
     "nb_classifier": q_nb_classifier,
     "logrank_test": q_logrank_test,
     "lift_gains": q_lift_gains,
+    "kcore": q_kcore,
+    "closeness_harmonic": q_closeness_harmonic,
+    "consistent_hash_rebalance": q_consistent_hash_rebalance,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
