@@ -3625,6 +3625,155 @@ def _consistent_hash_sql() -> str:
     """
 
 
+def _holt_winters_sql() -> str:
+    from deusu_spark.pipelines import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+    )
+
+    m = HW_PERIOD
+    a = f"CAST({HW_ALPHA} AS DOUBLE)"
+    bt = f"CAST({HW_BETA} AS DOUBLE)"
+    g = f"CAST({HW_GAMMA} AS DOUBLE)"
+    # l' appears inside b' and s' — expand it textually, exactly like the
+    # Spark fold duplicates the column expression
+    lnew = f"({a} * (idx.x - h.s[1]) + (1 - {a}) * (h.l + h.b))"
+    return f"""
+        WITH RECURSIVE
+             hourly AS (SELECT date_trunc('hour', ts) AS hour,
+                               CAST(count(*) AS DOUBLE) AS x
+                        FROM events GROUP BY 1),
+             bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                               date_trunc('hour', max(ts)) AS hi
+                        FROM events),
+             grid AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 HOUR)) AS hour FROM bounds),
+             dense AS (SELECT g2.hour, coalesce(h2.x, 0.0) AS x
+                       FROM grid g2 LEFT JOIN hourly h2 USING (hour)),
+             idx AS (SELECT row_number() OVER (ORDER BY hour) AS i, x
+                     FROM dense),
+             n AS (SELECT count(*) AS t FROM idx),
+             init AS (SELECT
+                 (SELECT sum(x) FROM idx WHERE i <= {m}) / {m} AS l0,
+                 ((SELECT sum(x) FROM idx
+                   WHERE i > {m} AND i <= {2 * m}) / {m}
+                  - (SELECT sum(x) FROM idx WHERE i <= {m}) / {m})
+                     / {m} AS b0,
+                 (SELECT list(x - (SELECT sum(x) FROM idx
+                                   WHERE i <= {m}) / {m} ORDER BY i)
+                  FROM idx WHERE i <= {m}) AS s0),
+             h(i, l, b, s) AS (
+                 SELECT {m}, l0, b0, s0 FROM init
+                 UNION ALL
+                 SELECT h.i + 1,
+                        {lnew},
+                        {bt} * ({lnew} - h.l) + (1 - {bt}) * h.b,
+                        h.s[2:{m}]
+                            || [{g} * (idx.x - {lnew}) + (1 - {g}) * h.s[1]]
+                 FROM h JOIN idx ON idx.i = h.i + 1)
+        SELECT CAST((SELECT t FROM n) AS INT) AS n_hours,
+               round(l, 6) AS level, round(b, 6) AS trend,
+               round(l + b + s[1], 6) AS forecast_h1,
+               round(l + {m} * b + s[{m}], 6) AS forecast_h{m}
+        FROM h WHERE i = (SELECT t FROM n)
+    """
+
+
+def _silhouette_sql() -> str:
+    from deusu_spark.pipelines import SIL_MAX_VEC as V
+
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+                   WHERE vec_id < {V}),
+             pairs AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+                 (SELECT sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+                  FROM (SELECT unnest(a.embedding) AS x,
+                               unnest(b.embedding) AS y)) AS d2
+                 FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             per AS (SELECT i, li, lj, avg(d2) AS ad
+                     FROM pairs GROUP BY 1, 2, 3),
+             ai AS (SELECT i, li, ad AS a FROM per WHERE lj = li),
+             bi AS (SELECT i, min(ad) AS b FROM per WHERE lj <> li
+                    GROUP BY 1),
+             sil AS (SELECT ai.i, ai.li,
+                            (bi.b - ai.a) / greatest(ai.a, bi.b) AS s
+                     FROM ai JOIN bi USING (i))
+        SELECT li AS label, count(*) AS n,
+               round(avg(s), 4) AS mean_silhouette
+        FROM sil GROUP BY 1 ORDER BY 1
+    """
+
+
+def _personalized_pagerank_sql() -> str:
+    from deusu_spark.pipelines import PPR_ITERS, PPR_SEED_MOD, PR_DAMP
+
+    d = PR_DAMP
+    ctes = [
+        "pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS sn "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "edges AS (SELECT cn AS src, sn AS dst FROM pairs "
+        "UNION ALL SELECT sn, cn FROM pairs)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "seeds AS (SELECT src AS node FROM deg WHERE src LIKE 'c%' "
+        f"AND CAST(substr(src, 2) AS BIGINT) % {PPR_SEED_MOD} = 0)",
+        "kk AS (SELECT count(*) AS k FROM seeds)",
+        f"sb AS (SELECT node, (CAST(1 AS DOUBLE) - {d}) "
+        "/ (SELECT k FROM kk) AS b FROM seeds)",
+        "r0 AS (SELECT src AS node, "
+        "CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg)",
+    ]
+    for i in range(PPR_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"round(coalesce(s.b, 0) + {d} * sum(r.pr / dg.outdeg), 9) "
+            f"AS pr "
+            f"FROM edges e JOIN r{i} r ON e.src = r.node "
+            f"JOIN deg dg ON dg.src = e.src "
+            f"LEFT JOIN sb s ON s.node = e.dst "
+            f"GROUP BY e.dst, s.b)"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"\nSELECT node, round(pr, 6) AS ppr FROM r{PPR_ITERS} "
+        "ORDER BY node"
+    )
+
+
+def _pr_curve_sql() -> str:
+    from deusu_spark.pipelines import CALIB_BINS as B
+
+    return f"""
+        WITH {_ft_p_ctes()},
+             l AS (SELECT s.doc_id, p,
+                          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             per AS (SELECT least(CAST(floor(p * {B}) AS INTEGER),
+                                  {B - 1}) AS bin,
+                            count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+                     FROM l GROUP BY 1),
+             tot AS (SELECT sum(npos) AS allpos FROM per),
+             c AS (SELECT bin, n, npos,
+                          sum(n) OVER (ORDER BY bin DESC
+                              ROWS UNBOUNDED PRECEDING) AS pp,
+                          sum(npos) OVER (ORDER BY bin DESC
+                              ROWS UNBOUNDED PRECEDING) AS tp
+                   FROM per)
+        SELECT round(bin * 1.0 / {B}, 2) AS threshold,
+               CAST(pp AS BIGINT) AS n_predicted_pos,
+               CAST(tp AS BIGINT) AS n_true_pos,
+               round(tp * 1.0 / pp, 6) AS precision,
+               round(tp * 1.0 / (SELECT allpos FROM tot), 6) AS recall,
+               round(2.0 * tp / (pp + (SELECT allpos FROM tot)), 6) AS f1
+        FROM c ORDER BY threshold
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -4798,6 +4947,10 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(),
         "closeness_harmonic": _closeness_harmonic_sql(),
         "consistent_hash_rebalance": _consistent_hash_sql(),
+        "holt_winters": _holt_winters_sql(),
+        "silhouette": _silhouette_sql(),
+        "personalized_pagerank": _personalized_pagerank_sql(),
+        "pr_curve": _pr_curve_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

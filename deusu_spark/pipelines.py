@@ -9867,6 +9867,254 @@ def q_tokenizer_fertility(spark, sf_dir):
     ).orderBy("lang")
 
 
+HW_ALPHA = 0.3
+HW_BETA = 0.05
+HW_GAMMA = 0.2
+HW_PERIOD = 24  # hourly series, daily season
+
+
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (triple-exponential: level + trend +
+    PERIOD-slot seasonal) over the DENSE hourly event-count series — the
+    seasonal forecaster above q_holt_smoothing, sharing its execution
+    shape: the corpus-sized work is one groupBy to hourly counts (plus
+    the sequence() gap-fill grid, span-sized); the inherently sequential
+    recursion then runs as a single JVM higher-order fold over the
+    sorted calendar array, carrying (l, b, seasonal ring) in the fold
+    struct — the ring rolls by slice+append so s[1] is always s_{t−m}.
+    Init: l = mean of season 1, b = (mean of season 2 − mean of season
+    1)/m, s_i = x_i − l. The oracle replays the identical recursion
+    (same arithmetic order) as a recursive CTE carrying a LIST state;
+    init perturbations decay geometrically, so round-6 output matches."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    dense = grid.join(hourly, "hour", "left").select(
+        "hour", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    series = dense.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hour", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    m = HW_PERIOD
+    a, bb, g = F.lit(HW_ALPHA), F.lit(HW_BETA), F.lit(HW_GAMMA)
+    season1 = F.slice("xs", 1, m)
+    season2 = F.slice("xs", m + 1, m)
+    l0 = F.aggregate(season1, F.lit(0.0), lambda acc, v: acc + v) / m
+    l0b = (
+        F.aggregate(season2, F.lit(0.0), lambda acc, v: acc + v) / m
+    )
+    b0 = (l0b - l0) / m
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        F.transform(season1, lambda v: v - l0).alias("s"),
+    )
+
+    def step(acc, x):
+        lnew = a * (x - F.element_at(acc["s"], 1)) + (F.lit(1.0) - a) * (
+            acc["l"] + acc["b"]
+        )
+        return F.struct(
+            lnew.alias("l"),
+            (bb * (lnew - acc["l"]) + (F.lit(1.0) - bb) * acc["b"]).alias(
+                "b"
+            ),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(
+                    g * (x - lnew)
+                    + (F.lit(1.0) - g) * F.element_at(acc["s"], 1)
+                ),
+            ).alias("s"),
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), m + 1, F.size("xs") - m), init, step
+    )
+    return series.select(
+        F.size("xs").alias("n_hours"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(
+            fold["l"] + fold["b"] + F.element_at(fold["s"], 1), 6
+        ).alias("forecast_h1"),
+        F.round(
+            fold["l"] + m * fold["b"] + F.element_at(fold["s"], m), 6
+        ).alias(f"forecast_h{m}"),
+    )
+
+
+SIL_MAX_VEC = 200  # pair bound: |pairs| = SIL_MAX_VEC², test-scale only
+
+
+def q_silhouette(spark, sf_dir):
+    """Per-cluster mean silhouette of the embeddings' GIVEN labels under
+    squared-euclidean distance — the clustering-eval companion to
+    q_elbow_curve / q_centroid_assign: a(i) = mean distance to own
+    cluster, b(i) = min over other clusters of mean distance, s(i) =
+    (b−a)/max(a,b); only the final per-label mean is rounded (coarsely),
+    because every intermediate rounding is one more boundary a
+    cross-engine float wobble can straddle. The all-pairs grid is
+    explicitly bounded (SIL_MAX_VEC²) — exact silhouette IS quadratic;
+    the 100 TB path samples per cluster and uses this as its oracle,
+    like q_ngram_jaccard_pairs for MinHash. Distances are sequential
+    per-dimension folds, identical order in both engines."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < SIL_MAX_VEC)
+    lhs = e.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("li"),
+        F.col("embedding").alias("ei"),
+    )
+    rhs = e.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("lj"),
+        F.col("embedding").alias("ej"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "ei",
+            "ej",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = lhs.join(rhs, F.col("i") != F.col("j")).select(
+        "i", "li", "lj", d2.alias("d2")
+    )
+    per = pairs.groupBy("i", "li", "lj").agg(F.avg("d2").alias("ad"))
+    ai = per.where(F.col("lj") == F.col("li")).select(
+        "i", "li", F.col("ad").alias("a")
+    )
+    bi = (
+        per.where(F.col("lj") != F.col("li"))
+        .groupBy("i")
+        .agg(F.min("ad").alias("b"))
+    )
+    sil = ai.join(bi, "i").select(
+        "i",
+        "li",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s"),
+    )
+    return (
+        sil.groupBy(F.col("li").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("s"), 4).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+PPR_SEED_MOD = 50  # seed customers: custkey % 50 == 0
+PPR_ITERS = 4
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank over the customer↔supplier trading graph:
+    identical per-iteration shape to q_pagerank (one edges⋈ranks join +
+    one groupBy(dst), ranks rounded to 9 per round, localCheckpoint'ed
+    constant-depth lineage) but the (1−d) restart mass returns to a SEED
+    set instead of uniformly — the random-walk-with-restart relevance
+    that powers graph-based recommendation ("suppliers relevant to this
+    customer cohort"). Seeds get (1−d)/|S| via a broadcast left join;
+    every node still receives walk mass, so the output covers the whole
+    reachable graph."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count()
+    seeds = deg.where(
+        F.col("src").startswith("c")
+        & (F.expr("CAST(substr(src, 2) AS BIGINT)") % PPR_SEED_MOD == 0)
+    ).select(F.col("src").alias("node"))
+    k = seeds.count()
+    seed_base = seeds.withColumn("b", F.lit((1.0 - PR_DAMP) / k))
+    ew = edges.join(deg, "src").select("src", "dst", "outdeg")
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(PPR_ITERS):
+        ranks = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.col("rank") / F.col("outdeg")).alias("msum")
+            )
+            .join(F.broadcast(seed_base), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("b", F.lit(0.0))
+                    + F.lit(PR_DAMP) * F.col("msum"),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("ppr")).orderBy(
+        "node"
+    )
+
+
+def q_pr_curve(spark, sf_dir):
+    """Precision-recall curve of the hashed-unigram classifier
+    (q_classifier_score's p via the shared _ft_doc_p, y = lang='en'),
+    swept over CALIB_BINS score thresholds — the eval companion to
+    q_roc_auc (rank quality) and q_brier_calibration (calibration):
+    per threshold k/BINS, precision/recall/F1 of "predict positive iff
+    p ≥ threshold". One bounded groupBy to per-bin counts, then
+    cumulative-from-the-top windows over the BINS-row table, so every
+    number derives from exact integer counts."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = _ft_doc_p(d).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binc = F.least(
+        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    per = labeled.groupBy(binc.alias("bin")).agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    )
+    wtop = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("npos").alias("allpos"))
+    return (
+        per.withColumn("pp", F.sum("n").over(wtop))
+        .withColumn("tp", F.sum("npos").over(wtop))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("bin") / CALIB_BINS, 2).alias("threshold"),
+            F.col("pp").cast("long").alias("n_predicted_pos"),
+            F.col("tp").cast("long").alias("n_true_pos"),
+            F.round(F.col("tp") / F.col("pp"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("allpos"), 6).alias("recall"),
+            F.round(
+                2.0
+                * F.col("tp")
+                / (F.col("pp") + F.col("allpos")),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -10071,4 +10319,8 @@ QUERIES = {
     "closeness_harmonic": q_closeness_harmonic,
     "consistent_hash_rebalance": q_consistent_hash_rebalance,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "holt_winters": q_holt_winters,
+    "silhouette": q_silhouette,
+    "personalized_pagerank": q_personalized_pagerank,
+    "pr_curve": q_pr_curve,
 }
