@@ -3774,6 +3774,136 @@ def _pr_curve_sql() -> str:
     """
 
 
+def _dtw_distance_sql() -> str:
+    from deusu_spark.pipelines import DTW_A, DTW_B
+
+    return f"""
+        WITH RECURSIVE
+             daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS x
+                       FROM events GROUP BY 1, 2),
+             bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+                               CAST(max(ts) AS DATE) AS hi FROM events),
+             grid AS (SELECT CAST(unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+             sa AS (SELECT list(coalesce(d.x, 0.0) ORDER BY g.day) AS a
+                    FROM grid g LEFT JOIN daily d
+                      ON d.day = g.day AND d.event_type = '{DTW_A}'),
+             sb AS (SELECT list(coalesce(d.x, 0.0) ORDER BY g.day) AS b
+                    FROM grid g LEFT JOIN daily d
+                      ON d.day = g.day AND d.event_type = '{DTW_B}'),
+             idx AS (SELECT unnest(a) AS x, generate_subscripts(a, 1) AS i
+                     FROM sa),
+             n AS (SELECT len(a) AS t FROM sa),
+             h(i, s) AS (
+                 SELECT 0, list_prepend(0.0,
+                     list_transform((SELECT b FROM sb), v -> 1e18))
+                 UNION ALL
+                 SELECT h.i + 1,
+                        list_reduce(
+                            list_prepend([1e18]::DOUBLE[],
+                                list_transform((SELECT b FROM sb),
+                                               v -> [v])),
+                            (acc, x2) -> list_append(acc,
+                                abs(idx.x - x2[1])
+                                + least(h.s[len(acc)],
+                                        h.s[len(acc) + 1],
+                                        acc[len(acc)])))
+                 FROM h JOIN idx ON idx.i = h.i + 1)
+        SELECT CAST((SELECT t FROM n) AS INT) AS n_a,
+               CAST((SELECT len(b) FROM sb) AS INT) AS n_b,
+               s[len(s)] AS dtw,
+               round(s[len(s)] / ((SELECT t FROM n)
+                                  + (SELECT len(b) FROM sb)), 6)
+                   AS dtw_per_step
+        FROM h WHERE i = (SELECT t FROM n)
+    """
+
+
+def _ffd_bin_packing_sql() -> str:
+    from deusu_spark.pipelines import FFD_FILES, FFD_TARGET_BINS
+
+    cap = "cap.c"
+    return f"""
+        WITH items AS (SELECT o_orderkey % {FFD_FILES} AS fid,
+                              count(*) AS sz
+                       FROM orders GROUP BY 1),
+             cap AS (SELECT CAST(ceil(sum(sz) * 1.0 / {FFD_TARGET_BINS})
+                                 AS BIGINT) AS c FROM items),
+             arr AS (SELECT list(sz ORDER BY sz DESC, fid) AS a
+                     FROM items),
+             folded AS (SELECT list_reduce(
+                 list_prepend([]::BIGINT[], list_transform(a, s -> [s])),
+                 (acc, x) -> CASE
+                     WHEN coalesce(list_position(
+                             list_transform(acc, l -> l + x[1] <= {cap}),
+                             true), 0) = 0
+                     THEN list_append(acc, x[1])
+                     ELSE list_transform(acc, (l, i) -> CASE
+                         WHEN i = list_position(
+                             list_transform(acc, l2 -> l2 + x[1] <= {cap}),
+                             true)
+                         THEN l + x[1] ELSE l END)
+                     END) AS bins
+                 FROM arr CROSS JOIN cap)
+        SELECT CAST(generate_subscripts(bins, 1) AS INT) AS bin,
+               unnest(bins) AS load
+        FROM folded ORDER BY bin
+    """
+
+
+def _pl2_topk_sql() -> str:
+    from deusu_spark.pipelines import (
+        PL2_C,
+        PL2_LOG2E,
+        PL2_TOPK,
+        PL2_TWO_PI,
+        QLM_MAX_DOC,
+        QLM_TERMS,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in QLM_TERMS)
+    l2e = f"CAST({PL2_LOG2E} AS DOUBLE)"
+    twopi = f"CAST({PL2_TWO_PI} AS DOUBLE)"
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id < {QLM_MAX_DOC}),
+             tok AS (SELECT doc_id, t FROM (
+                         SELECT doc_id, unnest(regexp_split_to_array(
+                             lower(text), '[^a-z0-9]+')) AS t FROM d)
+                     WHERE t <> ''),
+             tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                    GROUP BY 1, 2),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             nn AS (SELECT count(*) AS n FROM d),
+             ad AS (SELECT sum(dl) * 1.0 / (SELECT n FROM nn) AS avgdl
+                    FROM dl),
+             q AS (SELECT unnest([{terms}]) AS t),
+             coll AS (SELECT t, count(*) AS ctf FROM tok JOIN q USING (t)
+                      GROUP BY 1),
+             base AS (SELECT tf.doc_id, tf.tf, dl.dl, coll.ctf
+                      FROM tf JOIN q USING (t) JOIN dl USING (doc_id)
+                      JOIN coll USING (t)),
+             ex AS (SELECT doc_id,
+                           tf * log2(1.0 + ({PL2_C}
+                               * (SELECT avgdl FROM ad)) / dl) AS tfn,
+                           ctf / CAST((SELECT n FROM nn) AS DOUBLE) AS lam
+                    FROM base),
+             sc AS (SELECT doc_id,
+                           round(sum((tfn * log2(tfn / lam)
+                                      + (lam - tfn) * {l2e}
+                                      + 0.5 * log2({twopi} * tfn))
+                                     / (tfn + 1.0)), 5) AS score
+                    FROM ex GROUP BY 1),
+             top AS (SELECT doc_id, score,
+                            row_number() OVER (ORDER BY score DESC, doc_id)
+                                AS rn
+                     FROM sc)
+        SELECT doc_id, score FROM top WHERE rn <= {PL2_TOPK}
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -4951,6 +5081,9 @@ def oracle_sql() -> dict[str, str]:
         "silhouette": _silhouette_sql(),
         "personalized_pagerank": _personalized_pagerank_sql(),
         "pr_curve": _pr_curve_sql(),
+        "dtw_distance": _dtw_distance_sql(),
+        "ffd_bin_packing": _ffd_bin_packing_sql(),
+        "pl2_topk": _pl2_topk_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

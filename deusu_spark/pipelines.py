@@ -10115,6 +10115,188 @@ def q_pr_curve(spark, sf_dir):
     )
 
 
+DTW_A, DTW_B = "click", "purchase"  # the two compared daily series
+
+
+def q_dtw_distance(spark, sf_dir):
+    """Dynamic-time-warping distance between two daily event-count
+    series (click vs purchase) — the elastic time-series similarity
+    behind activity-curve clustering, where euclidean-per-day breaks on
+    phase shifts. The corpus-sized work is one groupBy to daily counts;
+    the O(n·m) DP then runs as a NESTED JVM fold over the two
+    calendar-sized arrays: the outer fold carries the previous DP row,
+    the inner fold builds the next row left-to-right (the in-row
+    dependency makes it sequential by nature — new[j] needs new[j−1]).
+    Counts are integers, |a−b| + min(...) stays integer-valued, so the
+    distance is EXACT — no float-rounding contract at all. The oracle
+    replays the same DP with a recursive CTE (outer row recursion) and
+    a list_reduce inner fold."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+
+    def series(et):
+        dense = grid.join(
+            daily.where(F.col("event_type") == et), "day", "left"
+        ).select("day", F.coalesce("x", F.lit(0.0)).alias("x"))
+        return dense.agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "x"))),
+                lambda s: s["x"],
+            ).alias("arr")
+        )
+
+    both = (
+        series(DTW_A)
+        .withColumnRenamed("arr", "xs")
+        .crossJoin(series(DTW_B).withColumnRenamed("arr", "ys"))
+    )
+    big = F.lit(1e18)
+    row0 = F.concat(F.array(F.lit(0.0)), F.transform("ys", lambda v: big))
+    dtw = F.aggregate(
+        "xs",
+        row0,
+        lambda prev, a: F.aggregate(
+            "ys",
+            F.array(big),
+            lambda acc, b: F.concat(
+                acc,
+                F.array(
+                    F.abs(a - b)
+                    + F.least(
+                        F.element_at(prev, F.size(acc)),
+                        F.element_at(prev, F.size(acc) + 1),
+                        F.element_at(acc, F.size(acc)),
+                    )
+                ),
+            ),
+        ),
+    )
+    return both.select(
+        F.size("xs").alias("n_a"),
+        F.size("ys").alias("n_b"),
+        F.element_at(dtw, -1).alias("dtw"),
+        F.round(
+            F.element_at(dtw, -1) / (F.size("xs") + F.size("ys")), 6
+        ).alias("dtw_per_step"),
+    )
+
+
+FFD_FILES = 50  # synthetic "files": orders bucketed by o_orderkey % 50
+FFD_TARGET_BINS = 16
+
+
+def q_ffd_bin_packing(spark, sf_dir):
+    """First-fit-decreasing bin packing of file sizes into
+    capacity-bounded bins — the small-file compaction planner every lake
+    table maintenance job runs (this engine's own build emits per-bucket
+    segment files the same way). Items are synthetic file sizes (order
+    counts per o_orderkey bucket, exact integers), capacity =
+    ceil(total/TARGET_BINS); FFD itself is inherently sequential over
+    the sorted item list, but the ITEM list is aggregation-sized, so
+    the greedy runs as one JVM fold carrying the bin-load array: first
+    bin that fits (array_position over a predicate transform) or open a
+    new one. Guaranteed ≤ (11/9)·OPT + 1 bins — and fully integer, so
+    the oracle (same fold via list_reduce) matches exactly."""
+    o = _t(spark, sf_dir, "orders")
+    items = o.groupBy(
+        (F.col("o_orderkey") % FFD_FILES).alias("fid")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    total = items.agg(F.sum("sz")).first()[0]
+    cap = F.lit(int(-(-total * 1.0 // FFD_TARGET_BINS)))
+    sorted_items = items.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("sz")).alias("k"), "fid", "sz"))
+            ),
+            lambda s: s["sz"],
+        ).alias("arr")
+    )
+
+    def step(acc, s):
+        pos = F.array_position(
+            F.transform(acc, lambda l: l + s <= cap), True
+        )
+        return F.when(pos == 0, F.concat(acc, F.array(s))).otherwise(
+            F.transform(
+                acc, lambda l, i: F.when(i == pos - 1, l + s).otherwise(l)
+            )
+        )
+
+    bins = sorted_items.select(
+        F.aggregate("arr", F.array().cast("array<bigint>"), step).alias(
+            "bins"
+        )
+    )
+    return (
+        bins.select(F.posexplode("bins").alias("pos", "load"))
+        .select((F.col("pos") + 1).alias("bin"), "load")
+        .orderBy("bin")
+    )
+
+
+PL2_C = 1.0
+PL2_TOPK = 20
+# engine-portable constants: embed the SAME double literal on both sides
+PL2_LOG2E = 1.4426950408889634
+PL2_TWO_PI = 6.283185307179586
+
+
+def q_pl2_topk(spark, sf_dir):
+    """PL2 divergence-from-randomness ranking (Amati & van Rijsbergen) —
+    the third classical ranking family next to q_bm25_topk
+    (probabilistic) and q_query_likelihood (language model), over the
+    same bounded corpus and query terms: tfn = tf·log2(1 + c·avgdl/dl),
+    score += (tfn·log2(tfn/λ) + (λ−tfn)·log2e + 0.5·log2(2π·tfn))
+    / (tfn+1) with λ = ctf/N. Only matching postings contribute (absent
+    terms add 0), so the plan is the postings-bounded tf join — the
+    WAND-prunable shape — not the doc×term grid the LM needs. log2e and
+    2π are shared literals so both engines run identical arithmetic."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < QLM_MAX_DOC)
+    arr = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(arr).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = d.count()
+    avgdl = dl.agg(F.sum("dl")).first()[0] / n
+    qterms = spark.createDataFrame([(t,) for t in QLM_TERMS], "t string")
+    coll = tok.join(F.broadcast(qterms), "t").groupBy("t").agg(
+        F.count("*").alias("ctf")
+    )
+    tfn = F.col("tf") * F.log2(
+        1.0 + F.lit(PL2_C * avgdl) / F.col("dl")
+    )
+    lam = F.col("ctf") / F.lit(float(n))
+    contrib = (
+        tfn * F.log2(tfn / lam)
+        + (lam - tfn) * F.lit(PL2_LOG2E)
+        + 0.5 * F.log2(F.lit(PL2_TWO_PI) * tfn)
+    ) / (tfn + 1.0)
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(coll), "t")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 5).alias("score"))
+    )
+    wpick = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= PL2_TOPK)
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -10323,4 +10505,7 @@ QUERIES = {
     "silhouette": q_silhouette,
     "personalized_pagerank": q_personalized_pagerank,
     "pr_curve": q_pr_curve,
+    "dtw_distance": q_dtw_distance,
+    "ffd_bin_packing": q_ffd_bin_packing,
+    "pl2_topk": q_pl2_topk,
 }
