@@ -3904,6 +3904,146 @@ def _pl2_topk_sql() -> str:
     """
 
 
+def _maxsim_topk_sql() -> str:
+    from deusu_spark.pipelines import (
+        MAXSIM_DIMS,
+        MAXSIM_MAX_DOC,
+        MAXSIM_TOPK,
+        QLM_TERMS,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in QLM_TERMS)
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id < {MAXSIM_MAX_DOC}),
+             dv AS (SELECT DISTINCT doc_id, t FROM (
+                        SELECT doc_id, unnest(regexp_split_to_array(
+                            lower(text), '[^a-z0-9]+')) AS t FROM d)
+                    WHERE t <> ''),
+             q AS (SELECT unnest([{terms}]) AS qt),
+             vt AS (SELECT DISTINCT t FROM dv
+                    UNION SELECT qt FROM q),
+             ks AS (SELECT CAST(range AS INT) AS k
+                    FROM range(0, {MAXSIM_DIMS})),
+             comp AS (SELECT t, k,
+                 ((strpos('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h2, 2, 1)) - 1)
+                  - 127.5) / 127.5 AS c
+                 FROM (SELECT t, k, substr(md5(concat('v',
+                           CAST(k AS VARCHAR), ':', t)), 1, 2) AS h2
+                       FROM vt CROSS JOIN ks)),
+             norms AS (SELECT t, sqrt(sum(c * c)) AS nrm FROM comp
+                       GROUP BY 1),
+             qc AS (SELECT q.qt, c.k, c.c AS qc FROM comp c
+                    JOIN q ON c.t = q.qt),
+             qn AS (SELECT q.qt, n.nrm AS qn FROM norms n
+                    JOIN q ON n.t = q.qt),
+             dots AS (SELECT dv.doc_id, dv.t, qc.qt,
+                             sum(c.c * qc.qc) AS dot
+                      FROM dv JOIN comp c ON c.t = dv.t
+                      JOIN qc ON qc.k = c.k
+                      GROUP BY 1, 2, 3),
+             coss AS (SELECT dots.doc_id, dots.qt,
+                             dot / (n.nrm * qn.qn) AS cs
+                      FROM dots JOIN norms n ON n.t = dots.t
+                      JOIN qn ON qn.qt = dots.qt),
+             ms AS (SELECT doc_id, qt, max(cs) AS ms FROM coss
+                    GROUP BY 1, 2),
+             sc AS (SELECT doc_id, round(sum(ms), 5) AS score FROM ms
+                    GROUP BY 1),
+             top AS (SELECT doc_id, score,
+                            row_number() OVER (ORDER BY score DESC, doc_id)
+                                AS rn
+                     FROM sc)
+        SELECT doc_id, score FROM top WHERE rn <= {MAXSIM_TOPK}
+        ORDER BY doc_id
+    """
+
+
+def _greedy_max_coverage_sql() -> str:
+    from deusu_spark.pipelines import COV_K, COV_MAX_DOC
+
+    ctes = [
+        f"""dt AS (SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+')) AS t FROM documents
+                WHERE doc_id < {COV_MAX_DOC})
+            WHERE t <> '')"""
+    ]
+    finals = []
+    prev_sel = []
+    for r in range(1, COV_K + 1):
+        excl = ""
+        if prev_sel:
+            ins = " UNION ALL ".join(
+                f"SELECT doc_id FROM {s}" for s in prev_sel
+            )
+            excl = f"doc_id NOT IN ({ins}) AND "
+        covcond = f"AND t NOT IN (SELECT t FROM c{r - 1}) " if r > 1 else ""
+        where = f"WHERE {excl}1=1 {covcond}" if (excl or covcond) else ""
+        ctes.append(
+            f"g{r} AS (SELECT doc_id, count(*) AS gain FROM dt {where}"
+            f"GROUP BY 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT doc_id, gain FROM g{r} "
+            f"ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        newtok = (
+            f"SELECT t FROM dt WHERE doc_id = (SELECT doc_id FROM s{r})"
+        )
+        if r == 1:
+            ctes.append(f"c1 AS (SELECT DISTINCT t FROM ({newtok}))")
+        else:
+            ctes.append(
+                f"c{r} AS (SELECT t FROM c{r - 1} UNION {newtok})"
+            )
+        finals.append(
+            f"SELECT {r} AS step, doc_id, gain, "
+            f"(SELECT count(*) FROM c{r}) AS covered FROM s{r}"
+        )
+        prev_sel.append(f"s{r}")
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(finals)
+        + "\nORDER BY step"
+    )
+
+
+def _linear_threshold_sql() -> str:
+    from deusu_spark.pipelines import (
+        CLOSE_SEED_MOD,
+        KCORE_MINW,
+        LT_ROUNDS,
+        LT_THETA_DEN,
+        LT_THETA_NUM,
+    )
+
+    ctes = [
+        _COPURCHASE_EDGES.format(minw=KCORE_MINW).strip(),
+        "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY 1)",
+        "a0 AS (SELECT DISTINCT s AS v, 0 AS rnd FROM edges "
+        f"WHERE s % {CLOSE_SEED_MOD} = 0)",
+    ]
+    for r in range(1, LT_ROUNDS + 1):
+        ctes.append(
+            f"a{r} AS (SELECT * FROM a{r - 1} UNION ALL "
+            f"SELECT x.v, {r} FROM ("
+            f"SELECT e.d AS v, count(*) AS na FROM edges e "
+            f"JOIN a{r - 1} p ON e.s = p.v GROUP BY 1) x "
+            f"JOIN deg dg ON dg.s = x.v "
+            f"WHERE x.v NOT IN (SELECT v FROM a{r - 1}) "
+            f"AND x.na * {LT_THETA_DEN} >= dg.deg * {LT_THETA_NUM})"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"\nSELECT v, rnd FROM a{LT_ROUNDS} ORDER BY v"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5084,6 +5224,9 @@ def oracle_sql() -> dict[str, str]:
         "dtw_distance": _dtw_distance_sql(),
         "ffd_bin_packing": _ffd_bin_packing_sql(),
         "pl2_topk": _pl2_topk_sql(),
+        "maxsim_topk": _maxsim_topk_sql(),
+        "greedy_max_coverage": _greedy_max_coverage_sql(),
+        "linear_threshold_spread": _linear_threshold_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -10297,6 +10297,176 @@ def q_pl2_topk(spark, sf_dir):
     )
 
 
+MAXSIM_MAX_DOC = 200
+MAXSIM_DIMS = 8
+MAXSIM_TOPK = 20
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval: every token gets a
+    deterministic hashed D-dim vector (md5-derived components, the same
+    portable digit arithmetic as q_classifier_score), and a document
+    scores Σ over query terms of the MAX cosine against any of its
+    tokens — MaxSim, the retrieval family between bag-of-words BM25 and
+    single-vector ANN. Everything is component-ROW joins (t, k, c) —
+    vocabulary-sized model side, postings-sized data side, one groupBy
+    per reduction (dot → max → sum) — so the plan is the standard
+    scale shape; a real deployment swaps the hash vectors for learned
+    ones and keeps the exact same plan. Doc set is bounded for the
+    exact all-token interaction (the oracle role; at 100 TB the max is
+    taken over an ANN-pruned candidate token set)."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < MAXSIM_MAX_DOC
+    )
+    dv = _tokens(d).distinct()
+    qterms = spark.createDataFrame([(t,) for t in QLM_TERMS], "qt string")
+    vt = dv.select("t").distinct().unionByName(
+        qterms.select(F.col("qt").alias("t"))
+    ).distinct()
+    ks = spark.range(MAXSIM_DIMS).select(F.col("id").cast("int").alias("k"))
+    hex2 = (
+        "((instr('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substr(h2, 2, 1)) - 1) - 127.5) / 127.5"
+    )
+    comp = (
+        vt.crossJoin(F.broadcast(ks))
+        .withColumn(
+            "h2",
+            F.expr(
+                "substr(md5(concat('v', CAST(k AS STRING), ':', t)), 1, 2)"
+            ),
+        )
+        .withColumn("c", F.expr(hex2))
+        .select("t", "k", "c")
+    )
+    norms = comp.groupBy("t").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    qcomp = comp.join(
+        qterms, comp.t == qterms.qt
+    ).select(F.col("qt"), F.col("k"), F.col("c").alias("qc"))
+    qn = norms.join(qterms, norms.t == qterms.qt).select(
+        "qt", F.col("nrm").alias("qn")
+    )
+    dots = (
+        dv.join(comp, "t")
+        .join(F.broadcast(qcomp), "k")
+        .groupBy("doc_id", "t", "qt")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms, "t")
+        .join(F.broadcast(qn), "qt")
+        .select(
+            "doc_id",
+            "qt",
+            (F.col("dot") / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    scored = (
+        cos.groupBy("doc_id", "qt")
+        .agg(F.max("cos").alias("ms"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ms"), 5).alias("score"))
+    )
+    wpick = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= MAXSIM_TOPK)
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    )
+
+
+COV_K = 5
+COV_MAX_DOC = 100
+
+
+def q_greedy_max_coverage(spark, sf_dir):
+    """Greedy maximum-coverage document selection — the submodular
+    data-selection op behind "pick the K most informative docs"
+    (facility-location / coreset selection for training subsets): each
+    round scores every unselected doc by how many NOT-yet-covered
+    tokens it adds (one anti-join + groupBy), picks the argmax
+    (gain desc, doc_id asc — the 1−1/e greedy), and grows the covered
+    set. K is small and fixed, so the driver loop is K supersteps over
+    a distributed gain computation — the standard scale shape for
+    submodular greedy (lazy/stochastic variants keep the same plan).
+    All counts are integers; the oracle unrolls the same K rounds as
+    CTEs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < COV_MAX_DOC)
+    dt = _tokens(d).distinct().localCheckpoint()
+    covered = None
+    selected = []
+    out = []
+    for rnd in range(1, COV_K + 1):
+        cand = dt
+        if selected:
+            cand = cand.where(~F.col("doc_id").isin(selected))
+        if covered is not None:
+            cand = cand.join(covered, "t", "left_anti")
+        gains = cand.groupBy("doc_id").agg(F.count("*").alias("gain"))
+        top = gains.orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        if not top:
+            break
+        sel, gain = top[0]["doc_id"], top[0]["gain"]
+        selected.append(sel)
+        newtok = dt.where(F.col("doc_id") == sel).select("t")
+        covered = (
+            newtok
+            if covered is None
+            else covered.union(newtok).distinct()
+        ).localCheckpoint()
+        out.append((rnd, sel, gain, covered.count()))
+    return spark.createDataFrame(
+        out, "step int, doc_id long, gain long, covered long"
+    )
+
+
+LT_THETA_NUM, LT_THETA_DEN = 1, 2  # activate when active-neighbors ≥ deg/2
+LT_ROUNDS = 4
+
+
+def q_linear_threshold_spread(spark, sf_dir):
+    """Linear-threshold influence propagation over the co-purchase graph
+    (Kempe-Kleinberg-Tardos with uniform edge weights and a fixed 1/2
+    threshold): seeds activate, then each round a node joins iff at
+    least half its neighbors are active — the integer compare
+    DEN·active_neighbors ≥ NUM·degree keeps the contract float-free.
+    Each round is one semi-join + groupBy (the Pregel superstep, same
+    shape as q_kcore's peel in reverse); activation is monotone so
+    state is one growing vertex set with min activation round. Fixed
+    round count ⇒ engine-reproducible whether or not the cascade has
+    converged."""
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MINW).localCheckpoint()
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    active = (
+        edges.select("s")
+        .distinct()
+        .where(F.col("s") % CLOSE_SEED_MOD == 0)
+        .select(F.col("s").alias("v"), F.lit(0).alias("rnd"))
+        .localCheckpoint()
+    )
+    for r in range(1, LT_ROUNDS + 1):
+        acount = (
+            edges.join(
+                active.select(F.col("v").alias("s")), "s"
+            )
+            .groupBy(F.col("d").alias("v"))
+            .agg(F.count("*").alias("na"))
+        )
+        newly = (
+            acount.join(active, "v", "left_anti")
+            .join(deg, acount.v == deg.s)
+            .where(
+                F.col("na") * LT_THETA_DEN >= F.col("deg") * LT_THETA_NUM
+            )
+            .select("v", F.lit(r).alias("rnd"))
+        )
+        active = active.union(newly).localCheckpoint()
+    return active.select("v", "rnd").orderBy("v")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -10508,4 +10678,7 @@ QUERIES = {
     "dtw_distance": q_dtw_distance,
     "ffd_bin_packing": q_ffd_bin_packing,
     "pl2_topk": q_pl2_topk,
+    "maxsim_topk": q_maxsim_topk,
+    "greedy_max_coverage": q_greedy_max_coverage,
+    "linear_threshold_spread": q_linear_threshold_spread,
 }
