@@ -4044,6 +4044,95 @@ def _linear_threshold_sql() -> str:
     )
 
 
+def _cuped_sql() -> str:
+    from deusu_spark.pipelines import AB_SALT, CUPED_PRE_DAYS
+    from deusu_spark.pipelines import _hex15_to_long_sql
+
+    h = _hex15_to_long_sql(
+        "strpos", f"md5(concat(CAST(user_id AS VARCHAR), '{AB_SALT}'))"
+    )
+    return f"""
+        WITH cut AS (SELECT CAST(min(ts) AS DATE) + {CUPED_PRE_DAYS}
+                                AS cut FROM events),
+             pu AS (SELECT user_id,
+                        coalesce(sum(CASE WHEN CAST(ts AS DATE)
+                                < (SELECT cut FROM cut)
+                            THEN value END), 0.0) AS pre,
+                        coalesce(sum(CASE WHEN CAST(ts AS DATE)
+                                >= (SELECT cut FROM cut)
+                            THEN value END), 0.0) AS post
+                    FROM events GROUP BY 1),
+             pa AS (SELECT user_id,
+                           CASE WHEN ({h}) % 2 = 0 THEN 'control'
+                                ELSE 'treatment' END AS arm,
+                           pre, post
+                    FROM pu),
+             g AS (SELECT count(*) AS n, sum(pre) AS sx, sum(post) AS sy,
+                          sum(pre * pre) AS sxx, sum(pre * post) AS sxy
+                   FROM pa),
+             sc AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                               AS theta,
+                           sx / n AS mean_pre
+                    FROM g),
+             adj AS (SELECT arm, post,
+                            post - (SELECT theta FROM sc)
+                                * (pre - (SELECT mean_pre FROM sc))
+                                AS adjusted
+                     FROM pa)
+        SELECT arm, count(*) AS n_users,
+               round(avg(post), 6) AS mean_post,
+               round(avg(adjusted), 6) AS mean_adjusted,
+               round(1.0 - (avg(adjusted * adjusted)
+                            - avg(adjusted) * avg(adjusted))
+                         / (avg(post * post) - avg(post) * avg(post)), 6)
+                   AS var_reduction
+        FROM adj GROUP BY 1 ORDER BY 1
+    """
+
+
+def _sprt_sql() -> str:
+    from deusu_spark.pipelines import SPRT_BOUND, SPRT_LA, SPRT_LB
+
+    la = f"CAST({SPRT_LA!r} AS DOUBLE)"
+    lb = f"CAST({SPRT_LB!r} AS DOUBLE)"
+    bd = f"CAST({SPRT_BOUND!r} AS DOUBLE)"
+    return f"""
+        WITH ud AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                           max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS conv
+                    FROM events GROUP BY 1, 2),
+             daily AS (SELECT day, count(*) AS trials,
+                              CAST(sum(conv) AS BIGINT) AS convs
+                       FROM ud GROUP BY 1),
+             c AS (SELECT *,
+                          sum(convs * {la} + (trials - convs) * {lb})
+                              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                              AS cum_llr
+                   FROM daily)
+        SELECT day, trials, convs, round(cum_llr, 6) AS cum_llr,
+               CASE WHEN cum_llr >= {bd} THEN 'accept_h1'
+                    WHEN cum_llr <= -{bd} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM c ORDER BY day
+    """
+
+
+def _salt_plan_sql() -> str:
+    from deusu_spark.pipelines import SALT_CAP, SALT_TARGET
+
+    sf = (
+        f"least(CAST(ceil(cnt * 1.0 / {SALT_TARGET}) AS BIGINT), "
+        f"{SALT_CAP})"
+    )
+    return f"""
+        WITH h AS (SELECT l_partkey AS skey, count(*) AS cnt
+                   FROM lineitem GROUP BY 1)
+        SELECT skey, cnt, {sf} AS salt_factor,
+               CAST(ceil(cnt * 1.0 / {sf}) AS BIGINT) AS max_rows_per_salt
+        FROM h WHERE cnt > {SALT_TARGET} ORDER BY skey
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5227,6 +5316,9 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_topk": _maxsim_topk_sql(),
         "greedy_max_coverage": _greedy_max_coverage_sql(),
         "linear_threshold_spread": _linear_threshold_sql(),
+        "cuped": _cuped_sql(),
+        "sprt": _sprt_sql(),
+        "salt_plan": _salt_plan_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

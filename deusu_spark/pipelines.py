@@ -36,6 +36,8 @@ imports from a published list).
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -10467,6 +10469,173 @@ def q_linear_threshold_spread(spark, sf_dir):
     return active.select("v", "rnd").orderBy("v")
 
 
+CUPED_PRE_DAYS = 15
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al. 2013) — the
+    experimentation op on top of q_ab_test: split each user's value sum
+    into a PRE-period covariate (first CUPED_PRE_DAYS of the corpus) and
+    the POST-period metric, fit θ = cov(pre, post)/var(pre) from five
+    pooled map-combinable sums, and report each arm's mean of the
+    adjusted metric post − θ·(pre − mean_pre) plus the achieved variance
+    reduction. Two groupBys over events (user reduction, then arm
+    reduction) + one broadcast scalar row — the same shape at any event
+    count. Arms use q_ab_test's md5-parity assignment."""
+    ev = _t(spark, sf_dir, "events")
+    split = ev.agg(
+        F.date_add(F.to_date(F.min("ts")), CUPED_PRE_DAYS).alias("cut")
+    )
+    arm = F.when(
+        F.expr(
+            _hex15_to_long_sql(
+                "instr", f"md5(concat(cast(user_id AS STRING), '{AB_SALT}'))"
+            )
+        )
+        % 2
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.to_date("ts") < F.col("cut"), F.col("value"))
+            ).alias("pre0"),
+            F.sum(
+                F.when(F.to_date("ts") >= F.col("cut"), F.col("value"))
+            ).alias("post0"),
+        )
+        .select(
+            "user_id",
+            arm.alias("arm"),
+            F.coalesce("pre0", F.lit(0.0)).alias("pre"),
+            F.coalesce("post0", F.lit(0.0)).alias("post"),
+        )
+    )
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    theta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    scal = g.select(
+        theta.alias("theta"), (F.col("sx") / F.col("n")).alias("mean_pre")
+    )
+    adj = per_user.crossJoin(F.broadcast(scal)).withColumn(
+        "adjusted",
+        F.col("post")
+        - F.col("theta") * (F.col("pre") - F.col("mean_pre")),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("post"), 6).alias("mean_post"),
+            F.round(F.avg("adjusted"), 6).alias("mean_adjusted"),
+            F.round(
+                1.0
+                - (
+                    F.avg(F.col("adjusted") * F.col("adjusted"))
+                    - F.avg("adjusted") * F.avg("adjusted")
+                )
+                / (
+                    F.avg(F.col("post") * F.col("post"))
+                    - F.avg("post") * F.avg("post")
+                ),
+                6,
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+SPRT_P0, SPRT_P1 = 0.15, 0.25  # H0 vs H1 daily user-conversion rate
+# engine-portable log-likelihood constants (embed the SAME doubles both
+# sides — libm ln() may differ by an ulp between JVM and DuckDB)
+SPRT_LA = _math.log(SPRT_P1 / SPRT_P0)
+SPRT_LB = _math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+SPRT_BOUND = _math.log(19.0)  # alpha = beta = 0.05
+
+
+def q_sprt(spark, sf_dir):
+    """Sequential probability-ratio test replay over the daily
+    conversion stream — the always-valid sequential-testing companion to
+    q_ab_test's fixed-horizon z-test: per day, trials = active users,
+    conversions = users who purchased; the cumulative log-likelihood
+    ratio walks conv·ln(p1/p0) + (trials−conv)·ln((1−p1)/(1−p0)) and the
+    verdict is read against ±ln((1−β)/α). One groupBy to user-days, one
+    to days, one ordered cumulative window over the CALENDAR-sized day
+    table. The ln constants are shared double literals, the counts
+    exact integers, and the cumsum runs in day order in both engines —
+    so the walk is bit-reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    daily = ud.groupBy("day").agg(
+        F.count("*").alias("trials"), F.sum("conv").alias("convs")
+    )
+    llr = F.col("convs") * F.lit(SPRT_LA) + (
+        F.col("trials") - F.col("convs")
+    ) * F.lit(SPRT_LB)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn("cum_llr", F.sum(llr).over(w))
+    return cum.select(
+        "day",
+        "trials",
+        "convs",
+        F.round("cum_llr", 6).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= SPRT_BOUND, F.lit("accept_h1"))
+        .when(F.col("cum_llr") <= -SPRT_BOUND, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")
+
+
+SALT_TARGET = 32  # rows per (key, salt) a reducer should see
+SALT_CAP = 8
+
+
+def q_salt_plan(spark, sf_dir):
+    """Skew-salt planner: from the groupBy-key histogram, derive the
+    per-key salt factor ceil(count/TARGET) (capped) that bounds any
+    reducer's share of a hot key — the exact planning step this engine's
+    own build runs for hot terms (build.py's doc-range salts), exposed
+    as a reusable op. One map-combinable count per key; the plan output
+    is only the keys that need salting, with the residual per-salt row
+    bound the plan guarantees. Everything integer."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_partkey").alias("skey")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    salt = F.least(
+        F.ceil(F.col("cnt") / F.lit(SALT_TARGET)).cast("long"),
+        F.lit(SALT_CAP).cast("long"),
+    )
+    return (
+        hist.where(F.col("cnt") > SALT_TARGET)
+        .select(
+            "skey",
+            "cnt",
+            salt.alias("salt_factor"),
+            F.ceil(F.col("cnt") / salt).cast("long").alias(
+                "max_rows_per_salt"
+            ),
+        )
+        .orderBy("skey")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -10681,4 +10850,7 @@ QUERIES = {
     "maxsim_topk": q_maxsim_topk,
     "greedy_max_coverage": q_greedy_max_coverage,
     "linear_threshold_spread": q_linear_threshold_spread,
+    "cuped": q_cuped,
+    "sprt": q_sprt,
+    "salt_plan": q_salt_plan,
 }
