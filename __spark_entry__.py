@@ -4133,6 +4133,89 @@ def _salt_plan_sql() -> str:
     """
 
 
+def _markov_attribution_sql() -> str:
+    from deusu_spark.pipelines import MK_CHANNELS, MK_ITERS
+
+    ctes = [
+        """pr1 AS (SELECT user_id, ts AS pts, event_id AS pid FROM (
+               SELECT user_id, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prn
+               FROM events WHERE event_type = 'purchase') WHERE prn = 1)""",
+        """path AS (SELECT e.user_id, e.ts, e.event_id, e.event_type,
+                          (p.user_id IS NOT NULL) AS conv
+                   FROM events e LEFT JOIN pr1 p USING (user_id)
+                   WHERE e.event_type <> 'purchase'
+                     AND (p.user_id IS NULL
+                          OR (e.ts, e.event_id) < (p.pts, p.pid)))""",
+        """seq AS (SELECT user_id, event_type, conv,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn,
+                         lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS nxt
+                  FROM path)""",
+        """trans AS (SELECT 'start' AS f, event_type AS t2 FROM seq
+                         WHERE rn = 1
+                     UNION ALL SELECT event_type, nxt FROM seq
+                         WHERE nxt IS NOT NULL
+                     UNION ALL SELECT event_type,
+                         CASE WHEN conv THEN 'conv' ELSE 'lost' END
+                         FROM seq WHERE nxt IS NULL
+                     UNION ALL SELECT 'start', 'conv' FROM pr1
+                         WHERE user_id NOT IN
+                             (SELECT user_id FROM path))""",
+        "cnts AS (SELECT f, t2, count(*) AS c FROM trans GROUP BY 1, 2)",
+        "outs AS (SELECT f, sum(c) AS o FROM cnts GROUP BY 1)",
+        """tbase AS MATERIALIZED (SELECT f, t2, c * 1.0 / o AS p
+                     FROM cnts JOIN outs USING (f)
+                     UNION ALL SELECT 'conv', 'conv', CAST(1 AS DOUBLE)
+                     UNION ALL SELECT 'lost', 'lost', CAST(1 AS DOUBLE))""",
+    ]
+    for c in MK_CHANNELS:
+        ctes.append(
+            f"t_{c} AS MATERIALIZED (SELECT f, CASE WHEN t2 = '{c}' "
+            f"THEN 'lost' "
+            f"ELSE t2 END AS t2, sum(p) AS p FROM tbase "
+            f"WHERE f <> '{c}' GROUP BY 1, 2)"
+        )
+    for tag, tname in [("b", "tbase")] + [
+        (c, f"t_{c}") for c in MK_CHANNELS
+    ]:
+        ctes.append(
+            f"v_{tag}_0 AS (SELECT 'start' AS state, "
+            f"CAST(1 AS DOUBLE) AS p)"
+        )
+        for i in range(1, MK_ITERS + 1):
+            ctes.append(
+                f"v_{tag}_{i} AS MATERIALIZED (SELECT t.t2 AS state, "
+                f"sum(v.p * t.p) AS p FROM {tname} t "
+                f"JOIN v_{tag}_{i - 1} v ON v.state = t.f GROUP BY 1)"
+            )
+    effs = "\n UNION ALL ".join(
+        f"SELECT '{c}' AS channel, "
+        f"coalesce((SELECT p FROM v_b_{MK_ITERS} WHERE state = 'conv'), 0)"
+        f" AS pb, "
+        f"coalesce((SELECT p FROM v_{c}_{MK_ITERS} WHERE state = 'conv'),"
+        f" 0) AS pr"
+        for c in MK_CHANNELS
+    )
+    ctes.append(f"effs AS ({effs})")
+    ctes.append(
+        "fin AS (SELECT channel, pb, pr, (pb - pr) / pb AS eff FROM effs)"
+    )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + """
+        SELECT channel, round(pb, 6) AS p_conv,
+               round(pr, 6) AS p_conv_removed,
+               round(eff, 6) AS removal_effect,
+               round(eff / sum(eff) OVER (), 6) AS share
+        FROM fin ORDER BY channel
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5319,6 +5402,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped": _cuped_sql(),
         "sprt": _sprt_sql(),
         "salt_plan": _salt_plan_sql(),
+        "markov_attribution": _markov_attribution_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

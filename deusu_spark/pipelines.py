@@ -10636,6 +10636,127 @@ def q_salt_plan(spark, sf_dir):
     )
 
 
+MK_ITERS = 20
+MK_CHANNELS = ("click", "error", "signup", "view")  # non-purchase types
+
+
+def _mk_transitions(spark, sf_dir):
+    """(from, to, p) first-order Markov transition table over user
+    journeys: start → channels → conv/lost, journey = events strictly
+    before the user's FIRST purchase in (ts, event_id) order. Counts are
+    exact integers; p = cnt/out(from). Absorbing states carry explicit
+    self-loops so absorption is plain vector-matrix iteration."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("prn", F.row_number().over(w))
+        .where(F.col("prn") == 1)
+        .select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    )
+    path = (
+        ev.join(purch, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (
+                F.col("pts").isNull()
+                | (
+                    F.struct("ts", "event_id")
+                    < F.struct(F.col("pts"), F.col("pid"))
+                )
+            )
+        )
+        .withColumn("conv", F.col("pts").isNotNull())
+    )
+    seq = path.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("event_type").over(w)
+    )
+    firsts = seq.where(F.col("rn") == 1).select(
+        F.lit("start").alias("f"), F.col("event_type").alias("t2")
+    )
+    mids = seq.where(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("f"), F.col("nxt").alias("t2")
+    )
+    lasts = seq.where(F.col("nxt").isNull()).select(
+        F.col("event_type").alias("f"),
+        F.when(F.col("conv"), F.lit("conv")).otherwise(F.lit("lost")).alias(
+            "t2"
+        ),
+    )
+    # converted users whose journey has no pre-purchase events
+    empties = (
+        purch.join(
+            path.select("user_id").distinct(), "user_id", "left_anti"
+        ).select(F.lit("start").alias("f"), F.lit("conv").alias("t2"))
+    )
+    trans = firsts.unionByName(mids).unionByName(lasts).unionByName(empties)
+    cnts = trans.groupBy("f", "t2").agg(F.count(F.lit(1)).alias("c"))
+    outs = cnts.groupBy("f").agg(F.sum("c").alias("o"))
+    tbase = cnts.join(outs, "f").select(
+        "f", "t2", (F.col("c") * 1.0 / F.col("o")).alias("p")
+    )
+    loops = spark.createDataFrame(
+        [("conv", "conv", 1.0), ("lost", "lost", 1.0)], "f string, t2 string, p double"
+    )
+    return tbase.unionByName(loops)
+
+
+def _mk_absorb(rows, iters):
+    """p(conv) after `iters` vector-matrix steps from start — pure
+    Python over the STATE-SPACE-sized matrix (≤ |channels|+3 states;
+    the corpus-sized work is the distributed transition count)."""
+    v = {"start": 1.0}
+    for _ in range(iters):
+        nv = {}
+        for f, t2, p in rows:
+            if f in v:
+                nv[t2] = nv.get(t2, 0.0) + v[f] * p
+        v = nv
+    return v.get("conv", 0.0)
+
+
+def q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven alternative to q_last_touch_attribution /
+    q_position_attribution: build the first-order journey chain
+    (start → channels → conv/lost, exact integer counts, one window
+    pass + one groupBy over events), then for each channel recompute
+    the 20-step absorption probability with that channel's inbound
+    edges redirected to 'lost'; a channel's credit is its removal
+    effect (pb − p_removed)/pb, normalized to shares. The chain matrix
+    is state-space-sized (≤ 7 states), so the absorption runs
+    driver-side in Python over rows the ORACLE recomputes via generated
+    per-iteration CTEs — both engines iterate the identical ratios, and
+    sorted-order summation keeps the float drift under the round-6
+    output grid. At 100 TB only the journey extraction scales; the
+    solve is O(states²·iters) forever."""
+    rows = sorted(
+        (r["f"], r["t2"], r["p"])
+        for r in _mk_transitions(spark, sf_dir).collect()
+    )
+    pb = _mk_absorb(rows, MK_ITERS)
+    out = []
+    for c in MK_CHANNELS:
+        agg = {}
+        for f, t2, p in rows:
+            if f == c:
+                continue
+            key = (f, "lost" if t2 == c else t2)
+            agg[key] = agg.get(key, 0.0) + p
+        removed = sorted((f, t2, p) for (f, t2), p in agg.items())
+        pr = _mk_absorb(removed, MK_ITERS)
+        out.append((c, pb, pr, (pb - pr) / pb))
+    tot = sum(e for _, _, _, e in out)
+    return spark.createDataFrame(
+        [
+            (c, round(pb_, 6), round(pr_, 6), round(e, 6), round(e / tot, 6))
+            for c, pb_, pr_, e in out
+        ],
+        "channel string, p_conv double, p_conv_removed double, "
+        "removal_effect double, share double",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -10853,4 +10974,5 @@ QUERIES = {
     "cuped": q_cuped,
     "sprt": q_sprt,
     "salt_plan": q_salt_plan,
+    "markov_attribution": q_markov_attribution,
 }
