@@ -174,3 +174,180 @@ def test_knn_join_against_local_brute_force(spark):
         for r in pipelines.q_knn_join(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# round-3 late-session ops: independent references and conservation laws
+# --------------------------------------------------------------------------
+
+
+def _tmp_table(name, df):
+    d = tempfile.mkdtemp(prefix=f"{name}_golden_")
+    df.to_parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_dtw_against_local_reference(spark):
+    """q_dtw_distance vs a plain-Python DTW over the same dense daily
+    series — an implementation-independent check of the nested-fold DP
+    (the DuckDB oracle replays a similar fold, so a shared recurrence
+    bug would pass the oracle)."""
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = ev["ts"].dt.normalize()
+    grid = pd.date_range(ev["day"].min(), ev["day"].max(), freq="D")
+
+    def series(et):
+        c = ev[ev.event_type == et].groupby("day").size()
+        return c.reindex(grid, fill_value=0).to_numpy(dtype=float)
+
+    a, b = series(pipelines.DTW_A), series(pipelines.DTW_B)
+    big = 1e18
+    prev = np.concatenate(([0.0], np.full(len(b), big)))
+    for ai in a:
+        cur = [big]
+        for j, bj in enumerate(b):
+            cur.append(abs(ai - bj) + min(prev[j], prev[j + 1], cur[-1]))
+        prev = np.array(cur)
+    row = pipelines.q_dtw_distance(spark, SF_DIR).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["dtw"] == prev[-1]
+
+
+def test_ffd_against_local_reference(spark):
+    """q_ffd_bin_packing vs a plain-Python first-fit-decreasing over the
+    same item list, plus the conservation law Σ loads == Σ sizes."""
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    sizes = (
+        o.groupby(o.o_orderkey % pipelines.FFD_FILES)
+        .size()
+        .reset_index(name="sz")
+        .rename(columns={"o_orderkey": "fid"})
+    )
+    items = sizes.sort_values(["sz", "fid"], ascending=[False, True])[
+        "sz"
+    ].tolist()
+    total = sum(items)
+    cap = -(-total // pipelines.FFD_TARGET_BINS)
+    bins = []
+    for s in items:
+        for i, l in enumerate(bins):
+            if l + s <= cap:
+                bins[i] += s
+                break
+        else:
+            bins.append(s)
+    got = [
+        r["load"]
+        for r in pipelines.q_ffd_bin_packing(spark, SF_DIR)
+        .orderBy("bin")
+        .collect()
+    ]
+    assert got == bins
+    assert sum(got) == total
+    assert all(l <= cap for l in got)
+
+
+def test_consistent_hash_minimal_movement(spark):
+    """The consistent-hashing CONTRACT: when a node is added, keys only
+    move TO the new node — no old node ever gains a key — and the key
+    population is conserved."""
+    rows = pipelines.q_consistent_hash_rebalance(spark, SF_DIR).collect()
+    new_node = pipelines.CH_NODES_AFTER - 1
+    assert sum(r["n_before"] for r in rows) == sum(
+        r["n_after"] for r in rows
+    )
+    for r in rows:
+        if r["node"] == new_node:
+            assert r["n_before"] == 0 and r["n_gained"] == r["n_after"] > 0
+        else:
+            assert r["n_gained"] == 0
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """On a trivially separable corpus (each class has a disjoint
+    vocabulary), naive Bayes must classify every test doc correctly."""
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        tok = "xx" if lang == "aa" else "yy"
+        rows.append((i, f"{tok} {tok} common filler", lang))
+    d = _tmp_table(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+    )
+    out = pipelines.q_nb_classifier(spark, d).collect()
+    assert len(out) == 8  # doc_id % 5 == 0
+    assert all(r["pred"] == r["actual"] for r in out)
+
+
+def test_lift_gains_conservation(spark):
+    """Decile table conservation: users and positives each sum to their
+    totals, cumulative gain ends at exactly 1, and the user-weighted
+    mean lift is 1 (lift is base-rate-normalized by construction)."""
+    rows = pipelines.q_lift_gains(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev.user_id.nunique()
+    n_pos = ev[ev.event_type == "purchase"].user_id.nunique()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert sum(r["n_pos"] for r in rows) == n_pos
+    assert rows[-1]["cum_gain"] == 1.0
+    wmean = sum(r["lift"] * r["n_users"] for r in rows) / n_users
+    assert abs(wmean - 1.0) < 1e-4
+
+
+def test_kcore_converged_degrees(spark):
+    """At sf0.001 the K-core peel converges inside the fixed rounds, so
+    every survivor's within-core degree must be >= K (the defining
+    k-core property)."""
+    rows = pipelines.q_kcore(spark, SF_DIR).collect()
+    assert rows, "core unexpectedly empty"
+    assert all(r["core_deg"] >= pipelines.KCORE_K for r in rows)
+
+
+def test_markov_attribution_laws(spark):
+    """Removal monotonicity (removing a channel can only lose conversion
+    mass) and share normalization."""
+    rows = pipelines.q_markov_attribution(spark, SF_DIR).collect()
+    assert len(rows) == len(pipelines.MK_CHANNELS)
+    for r in rows:
+        assert 0.0 <= r["p_conv_removed"] <= r["p_conv"] <= 1.0
+        assert r["removal_effect"] >= 0.0
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_holt_winters_periodic_fixpoint(spark):
+    """On an exactly periodic series (integer counts repeating with the
+    seasonal period), Holt-Winters must learn zero trend and forecast
+    the next season exactly (the recursion's fixpoint)."""
+    m = pipelines.HW_PERIOD
+    pattern = [(h % 4) + 1 for h in range(m)]  # 1..4 cycling, period 24
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for hour in range(m * 6):
+        for _ in range(pattern[hour % m]):
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(hours=hour, minutes=30),
+                    eid % 7,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    # Spark cannot read TIMESTAMP(NANOS) parquet (see CLAUDE.md)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = _tmp_table("events", df)
+    out = pipelines.q_holt_winters(spark, d).collect()[0]
+    assert out["n_hours"] == m * 6
+    assert abs(out["trend"]) < 1e-9
+    # next hour's true value is pattern[0] (series length is a multiple of m)
+    assert abs(out["forecast_h1"] - pattern[0]) < 1e-6
