@@ -4216,6 +4216,80 @@ def _markov_attribution_sql() -> str:
     )
 
 
+def _shapley_attribution_sql() -> str:
+    from deusu_spark.pipelines import MK_CHANNELS, SHAP_W
+
+    n = len(MK_CHANNELS)
+    full = (1 << n) - 1
+    bits = " ".join(
+        f"WHEN event_type = '{c}' THEN {1 << i}"
+        for i, c in enumerate(MK_CHANNELS)
+    )
+    wcase = " ".join(
+        f"WHEN bit_count(CAST(v1.S AS BIGINT)) = {s} THEN "
+        f"CAST({SHAP_W[s]!r} AS DOUBLE)"
+        for s in range(n)
+    )
+    chan_rows = "\n UNION ALL ".join(
+        f"SELECT '{c}' AS channel, {1 << i} AS b"
+        for i, c in enumerate(MK_CHANNELS)
+    )
+    return f"""
+        WITH pr1 AS (SELECT user_id, ts AS pts, event_id AS pid FROM (
+                 SELECT user_id, ts, event_id,
+                        row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prn
+                 FROM events WHERE event_type = 'purchase') WHERE prn = 1),
+             path AS (SELECT e.user_id,
+                             CASE {bits} END AS bit
+                      FROM events e JOIN pr1 p USING (user_id)
+                      WHERE e.event_type <> 'purchase'
+                        AND (e.ts, e.event_id) < (p.pts, p.pid)),
+             masks AS (SELECT coalesce(m.mask, 0) AS mask FROM pr1
+                       LEFT JOIN (SELECT user_id, bit_or(bit) AS mask
+                                  FROM path GROUP BY 1) m USING (user_id)),
+             mcnt AS (SELECT mask, count(*) AS c FROM masks GROUP BY 1),
+             subsets AS (SELECT CAST(range AS INT) AS S
+                         FROM range(0, {full + 1})),
+             v AS (SELECT s.S,
+                          coalesce(sum(m.c), 0) AS v
+                   FROM subsets s LEFT JOIN mcnt m
+                     ON (m.mask & s.S) = m.mask
+                   GROUP BY 1),
+             ch AS ({chan_rows}),
+             shap AS (SELECT ch.channel,
+                             sum(CASE WHEN (v1.S & ch.b) = 0 THEN
+                                 (CASE {wcase} END)
+                                 * (v2.v - v1.v) END) AS shapley
+                      FROM ch
+                      JOIN v v1 ON true
+                      JOIN v v2 ON v2.S = (v1.S | ch.b)
+                      GROUP BY 1),
+             dn AS (SELECT (SELECT v FROM v WHERE S = {full})
+                           - (SELECT v FROM v WHERE S = 0) AS denom)
+        SELECT channel, round(shapley, 6) AS shapley,
+               round(shapley / (SELECT denom FROM dn), 6) AS share
+        FROM shap ORDER BY channel
+    """
+
+
+def _quantile_normalization_sql() -> str:
+    return """
+        WITH ranked AS (SELECT o_orderpriority AS grp, o_totalprice AS x,
+                               row_number() OVER (PARTITION BY
+                                   o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS r
+                        FROM orders),
+             refd AS (SELECT r, avg(x) AS ref FROM ranked GROUP BY 1)
+        SELECT grp, count(*) AS n,
+               round(avg(x), 6) AS mean_raw,
+               round(avg(ref), 6) AS mean_normalized,
+               round(max(abs(x - ref)), 6) AS max_shift
+        FROM ranked JOIN refd USING (r)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5403,6 +5477,8 @@ def oracle_sql() -> dict[str, str]:
         "sprt": _sprt_sql(),
         "salt_plan": _salt_plan_sql(),
         "markov_attribution": _markov_attribution_sql(),
+        "shapley_attribution": _shapley_attribution_sql(),
+        "quantile_normalization": _quantile_normalization_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

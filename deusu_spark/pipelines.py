@@ -10757,6 +10757,123 @@ def q_markov_attribution(spark, sf_dir):
     )
 
 
+# exact Shapley weights for n=4 coalition sizes 0..3: s!(n−1−s)!/n!
+SHAP_W = (0.25, 1.0 / 12.0, 1.0 / 12.0, 0.25)
+
+
+def q_shapley_attribution(spark, sf_dir):
+    """Exact Shapley-value channel attribution — the game-theoretic
+    member of the attribution family (last-touch → position → Markov →
+    Shapley): each converted user's journey (same pre-first-purchase
+    convention as q_markov_attribution) contributes its SET of touched
+    channels as a 4-bit mask; the coalition value v(S) counts
+    conversions whose channel set ⊆ S, and channel i's credit is the
+    exact Shapley sum Σ_{S∌i} w(|S|)·(v(S∪i) − v(S)). The corpus-sized
+    work is one bit_or groupBy to per-user masks + one 16-row subset
+    aggregation (the 2^n table is constant-sized because channels are
+    few — the practical regime for exact Shapley); the factorial
+    weights are shared double literals. Oracle: the same subset algebra
+    in SQL with bitwise containment joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("prn", F.row_number().over(w))
+        .where(F.col("prn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+        )
+    )
+    bit = F.when(F.col("event_type") == MK_CHANNELS[0], 1)
+    for i, c in enumerate(MK_CHANNELS[1:], start=1):
+        bit = bit.when(F.col("event_type") == c, 1 << i)
+    path = (
+        ev.join(purch, "user_id")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (
+                F.struct("ts", "event_id")
+                < F.struct(F.col("pts"), F.col("pid"))
+            )
+        )
+        .select("user_id", bit.alias("bit"))
+    )
+    masks = (
+        purch.select("user_id")
+        .join(
+            path.groupBy("user_id").agg(
+                F.expr("bit_or(bit)").alias("mask")
+            ),
+            "user_id",
+            "left",
+        )
+        .select(F.coalesce("mask", F.lit(0)).alias("mask"))
+    )
+    mcnt = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    subsets = spark.range(1 << len(MK_CHANNELS)).select(
+        F.col("id").cast("int").alias("S")
+    )
+    v = (
+        subsets.join(
+            F.broadcast(mcnt),
+            F.expr("(mask & S) = mask"),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    vmap = {r["S"]: r["v"] for r in v.collect()}
+    full = (1 << len(MK_CHANNELS)) - 1
+    denom = vmap[full] - vmap[0]
+    out = []
+    for i, c in enumerate(MK_CHANNELS):
+        b = 1 << i
+        shap = 0.0
+        for S in range(full + 1):
+            if S & b:
+                continue
+            shap += SHAP_W[bin(S).count("1")] * (vmap[S | b] - vmap[S])
+        out.append((c, round(shap, 6), round(shap / denom, 6)))
+    return spark.createDataFrame(
+        out, "channel string, shapley double, share double"
+    )
+
+
+def q_quantile_normalization(spark, sf_dir):
+    """Quantile normalization of order totals across priority groups —
+    the rank-based distribution equalizer (microarray lineage, now a
+    feature-prep staple): rank within each group, average the values at
+    each rank ACROSS groups, and hand every group that shared
+    distribution. Two windows + one rank-keyed groupBy + a join back —
+    all shuffle-bound on (group, rank), no collect. Reported per group:
+    n, raw mean, normalized mean (equal across groups up to ragged-tail
+    ranks) and the max |raw − normalized| shift, so the whole
+    transformation is oracle-checkable without emitting every row."""
+    o = _t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(wr).alias("r"),
+    )
+    refd = ranked.groupBy("r").agg(F.avg("x").alias("ref"))
+    j = ranked.join(refd, "r")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 6).alias("mean_raw"),
+            F.round(F.avg("ref"), 6).alias("mean_normalized"),
+            F.round(F.max(F.abs(F.col("x") - F.col("ref"))), 6).alias(
+                "max_shift"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -10975,4 +11092,6 @@ QUERIES = {
     "sprt": q_sprt,
     "salt_plan": q_salt_plan,
     "markov_attribution": q_markov_attribution,
+    "shapley_attribution": q_shapley_attribution,
+    "quantile_normalization": q_quantile_normalization,
 }
