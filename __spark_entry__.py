@@ -4290,6 +4290,93 @@ def _quantile_normalization_sql() -> str:
     """
 
 
+def _haar_wavelet_sql() -> str:
+    from deusu_spark.pipelines import HAAR_LEVELS, HAAR_N
+
+    ctes = [
+        """daily AS (SELECT CAST(ts AS DATE) AS day,
+                            CAST(count(*) AS DOUBLE) AS v
+                     FROM events GROUP BY 1)""",
+        """bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+                             CAST(max(ts) AS DATE) AS hi FROM events)""",
+        """grid AS (SELECT CAST(unnest(generate_series(lo, hi,
+                        INTERVAL 1 DAY)) AS DATE) AS day FROM bounds)""",
+        f"""l0 AS (SELECT i, v FROM (
+                SELECT row_number() OVER (ORDER BY g.day) AS i,
+                       coalesce(d.v, 0.0) AS v
+                FROM grid g LEFT JOIN daily d USING (day))
+            WHERE i <= {HAAR_N})""",
+    ]
+    for k in range(1, HAAR_LEVELS + 1):
+        ctes.append(
+            f"""p{k} AS (SELECT CAST((i + 1) // 2 AS INT) AS i,
+                    sum(CASE WHEN i % 2 = 1 THEN v END) AS v1,
+                    sum(CASE WHEN i % 2 = 0 THEN v END) AS v2
+                FROM l{k - 1} GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""l{k} AS (SELECT i, (v1 + v2) / 2.0 AS v,
+                    (v1 - v2) / 2.0 AS d FROM p{k})"""
+        )
+    finals = "\n UNION ALL ".join(
+        f"SELECT {k} AS level, i AS idx, v AS approx, d AS detail FROM l{k}"
+        for k in range(1, HAAR_LEVELS + 1)
+    )
+    return "WITH " + ",\n ".join(ctes) + finals.join(["\n", "\nORDER BY level, idx"])
+
+
+def _geo_hotspots_sql() -> str:
+    from deusu_spark.pipelines import (
+        HOT_CELL,
+        HOT_LAT_CELLS,
+        HOT_LON_CELLS,
+        _hex15_to_long_sql,
+    )
+
+    lat = _hex15_to_long_sql("strpos", "h_lat")
+    lon = _hex15_to_long_sql("strpos", "h_lon")
+    return f"""
+        WITH co AS (SELECT c_custkey,
+                           ({lat}) % 180000 AS lat,
+                           ({lon}) % 360000 AS lon
+                    FROM (SELECT c_custkey,
+                                 md5(CAST(c_custkey AS VARCHAR) || ':lat')
+                                     AS h_lat,
+                                 md5(CAST(c_custkey AS VARCHAR) || ':lon')
+                                     AS h_lon
+                          FROM customer)),
+             cells AS (SELECT lat // {HOT_CELL} AS r,
+                              lon // {HOT_CELL} AS c,
+                              count(*) AS cnt
+                       FROM co GROUP BY 1, 2),
+             rows_ AS (SELECT range AS r FROM range(0, {HOT_LAT_CELLS})),
+             cols_ AS (SELECT range AS c FROM range(0, {HOT_LON_CELLS})),
+             full_ AS (SELECT rw.r, cl.c, coalesce(ce.cnt, 0) AS cnt
+                       FROM rows_ rw CROSS JOIN cols_ cl
+                       LEFT JOIN cells ce ON ce.r = rw.r AND ce.c = cl.c),
+             offs AS (SELECT o1.range AS dr, o2.range AS dc
+                      FROM range(-1, 2) o1, range(-1, 2) o2
+                      WHERE NOT (o1.range = 0 AND o2.range = 0)),
+             nb AS (SELECT f.r + o.dr AS r, f.c + o.dc AS c,
+                           count(*) AS nn, sum(f.cnt) AS ns,
+                           sum(f.cnt * f.cnt) AS ns2
+                    FROM full_ f CROSS JOIN offs o
+                    WHERE f.r + o.dr >= 0 AND f.r + o.dr < {HOT_LAT_CELLS}
+                      AND f.c + o.dc >= 0 AND f.c + o.dc < {HOT_LON_CELLS}
+                    GROUP BY 1, 2),
+             j AS (SELECT f.r, f.c, f.cnt, nb.nn,
+                          nb.ns * 1.0 / nb.nn AS mu,
+                          nb.ns2 * 1.0 / nb.nn
+                              - (nb.ns * 1.0 / nb.nn)
+                                * (nb.ns * 1.0 / nb.nn) AS var
+                   FROM full_ f JOIN nb ON nb.r = f.r AND nb.c = f.c)
+        SELECT r, c, cnt, CAST(nn AS BIGINT) AS n_neighbors,
+               round(mu, 6) AS neighbor_mean,
+               round((cnt - mu) / sqrt(var), 4) AS z
+        FROM j WHERE var > 0 ORDER BY r, c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5479,6 +5566,8 @@ def oracle_sql() -> dict[str, str]:
         "markov_attribution": _markov_attribution_sql(),
         "shapley_attribution": _shapley_attribution_sql(),
         "quantile_normalization": _quantile_normalization_sql(),
+        "haar_wavelet": _haar_wavelet_sql(),
+        "geo_hotspots": _geo_hotspots_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -10874,6 +10874,130 @@ def q_quantile_normalization(spark, sf_dir):
     )
 
 
+HAAR_N = 16  # dyadic window: first 16 days → 4 decomposition levels
+HAAR_LEVELS = 4
+
+
+def q_haar_wavelet(spark, sf_dir):
+    """Haar wavelet decomposition of the daily event-count series (first
+    HAAR_N days, zero-filled) — the multi-resolution transform behind
+    time-series compression, burst localization and wavelet-domain
+    anomaly detection: each level halves the series into pairwise
+    approximations (v1+v2)/2 and details (v1−v2)/2. Each level is ONE
+    groupBy on the halved index (parity split inside the aggregate), so
+    the whole transform is log2(N) shuffles over a calendar-sized table.
+    Counts are integers and every coefficient is a dyadic rational —
+    exact in both engines, no rounding contract needed."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    w = Window.orderBy("day")
+    level = (
+        grid.join(daily, "day", "left")
+        .select("day", F.coalesce("v", F.lit(0.0)).alias("v"))
+        .withColumn("i", F.row_number().over(w))
+        .where(F.col("i") <= HAAR_N)
+        .select("i", "v")
+    )
+    out = None
+    for k in range(1, HAAR_LEVELS + 1):
+        paired = level.groupBy(
+            ((F.col("i") + 1) / 2).cast("int").alias("i")
+        ).agg(
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("v"))).alias("v1"),
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("v"))).alias("v2"),
+        )
+        lev = paired.select(
+            F.lit(k).alias("level"),
+            F.col("i").alias("idx"),
+            ((F.col("v1") + F.col("v2")) / 2.0).alias("approx"),
+            ((F.col("v1") - F.col("v2")) / 2.0).alias("detail"),
+        )
+        out = lev if out is None else out.unionByName(lev)
+        level = lev.select("idx", "approx").withColumnsRenamed(
+            {"idx": "i", "approx": "v"}
+        )
+    return out.orderBy("level", "idx")
+
+
+HOT_CELL = 20000  # hotspot grid edge, milli-degrees
+HOT_LAT_CELLS = 180000 // HOT_CELL
+HOT_LON_CELLS = 360000 // HOT_CELL
+
+
+def q_geo_hotspots(spark, sf_dir):
+    """Getis-Ord-style spatial hotspot scan over the customer grid: the
+    FULL fixed lat×lon cell grid (zero-filled, so empty neighborhoods
+    count as zeros, not holes), each cell z-scored against its ≤8
+    in-bounds neighbors' mean and population std — the spatial-stats
+    companion to q_spatial_join's radius join, on the same deterministic
+    integer coordinates. One count per cell + one 8-offset self-join
+    over the CONSTANT-sized grid; counts are exact integers so the z
+    arithmetic is a fixed expression over identical inputs. Cells with
+    degenerate neighborhoods (σ = 0) are excluded by contract."""
+    cust = _geo_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    cells = cust.groupBy(
+        F.expr(f"lat DIV {HOT_CELL}").alias("r"),
+        F.expr(f"lon DIV {HOT_CELL}").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rows_ = spark.range(HOT_LAT_CELLS).select(F.col("id").alias("r"))
+    cols_ = spark.range(HOT_LON_CELLS).select(F.col("id").alias("c"))
+    full = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["r", "c"], "left")
+        .select("r", "c", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    offs = spark.createDataFrame(
+        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)],
+        "dr long, dc long",
+    )
+    nb = (
+        full.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("r") + F.col("dr")).alias("r"),
+            (F.col("c") + F.col("dc")).alias("c"),
+            F.col("cnt").alias("ncnt"),
+        )
+        .where(
+            (F.col("r") >= 0)
+            & (F.col("r") < HOT_LAT_CELLS)
+            & (F.col("c") >= 0)
+            & (F.col("c") < HOT_LON_CELLS)
+        )
+        .groupBy("r", "c")
+        .agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.sum("ncnt").alias("ns"),
+            F.sum(F.col("ncnt") * F.col("ncnt")).alias("ns2"),
+        )
+    )
+    mu = F.col("ns") / F.col("nn")
+    var = F.col("ns2") / F.col("nn") - mu * mu
+    z = (F.col("cnt") - mu) / F.sqrt(var)
+    return (
+        full.join(nb, ["r", "c"])
+        .where(var > 0)
+        .select(
+            "r",
+            "c",
+            "cnt",
+            F.col("nn").cast("long").alias("n_neighbors"),
+            F.round(mu, 6).alias("neighbor_mean"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("r", "c")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -11094,4 +11218,6 @@ QUERIES = {
     "markov_attribution": q_markov_attribution,
     "shapley_attribution": q_shapley_attribution,
     "quantile_normalization": q_quantile_normalization,
+    "haar_wavelet": q_haar_wavelet,
+    "geo_hotspots": q_geo_hotspots,
 }
