@@ -2483,6 +2483,111 @@ def _link_prediction_sql() -> str:
     """
 
 
+def _adamic_adar_sql() -> str:
+    from deusu_spark.pipelines import AA_MAX_PART, AA_TOPK
+
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem WHERE l_partkey < {AA_MAX_PART}),
+             e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey < b.l_partkey),
+             adj AS (SELECT u, v FROM e
+                     UNION ALL SELECT v AS u, u AS v FROM e),
+             deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+             sc AS (SELECT w1.u AS a, w2.u AS b, count(*) AS cn,
+                           round(sum(1.0 / ln(dw.d)), 6) AS aa_score
+                    FROM adj w1 JOIN adj w2 ON w1.v = w2.v
+                    JOIN deg dw ON w1.v = dw.u
+                    WHERE w1.u < w2.u GROUP BY 1, 2),
+             cand AS (SELECT sc.* FROM sc
+                      LEFT JOIN e ON sc.a = e.u AND sc.b = e.v
+                      WHERE e.u IS NULL),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY aa_score DESC, cn DESC, a, b) AS rn
+                      FROM cand)
+        SELECT a AS part_a, b AS part_b, cn AS common_neighbors, aa_score
+        FROM pick WHERE rn <= {AA_TOPK} ORDER BY part_a, part_b
+    """
+
+
+def _g2_collocations_sql() -> str:
+    from deusu_spark.pipelines import G2_MIN_COUNT, G2_TOPK
+
+    return f"""
+        WITH arr AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                                '[^a-z0-9]+'), x -> x <> '') AS a
+                     FROM documents),
+             big AS (SELECT a[i] AS w1, a[i + 1] AS w2
+                     FROM (SELECT a, unnest(range(1, len(a))) AS i
+                           FROM arr WHERE len(a) >= 2)),
+             cab AS (SELECT w1, w2, count(*) AS k11 FROM big GROUP BY 1, 2),
+             cl AS (SELECT w1, count(*) AS ca FROM big GROUP BY 1),
+             cr AS (SELECT w2, count(*) AS cb FROM big GROUP BY 1),
+             n AS (SELECT count(*) * 1.0 AS nb FROM big),
+             j AS (SELECT w1, w2, k11, ca, cb, nb
+                   FROM cab JOIN cl USING (w1) JOIN cr USING (w2), n
+                   WHERE k11 >= {G2_MIN_COUNT}),
+             g AS (SELECT w1, w2, k11,
+                          round(2.0 * (
+                              k11 * ln(k11 / (ca * cb / nb))
+                            + CASE WHEN ca - k11 > 0
+                              THEN (ca - k11)
+                                   * ln((ca - k11) / (ca * (nb - cb) / nb))
+                              ELSE 0 END
+                            + CASE WHEN cb - k11 > 0
+                              THEN (cb - k11)
+                                   * ln((cb - k11) / ((nb - ca) * cb / nb))
+                              ELSE 0 END
+                            + CASE WHEN nb - ca - cb + k11 > 0
+                              THEN (nb - ca - cb + k11)
+                                   * ln((nb - ca - cb + k11)
+                                        / ((nb - ca) * (nb - cb) / nb))
+                              ELSE 0 END), 6) AS g2
+                   FROM j),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY g2 DESC, k11 DESC, w1, w2) AS rn
+                      FROM g)
+        SELECT w1, w2, k11 AS pair_count, g2
+        FROM pick WHERE rn <= {G2_TOPK} ORDER BY w1, w2
+    """
+
+
+def _kanonymity_sql() -> str:
+    from deusu_spark.pipelines import KANON_BAND, KANON_K, KANON_L
+
+    return f"""
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT) AS bal_band,
+               count(DISTINCT c_custkey) AS k,
+               count(DISTINCT o_orderpriority) AS l,
+               CASE WHEN count(DISTINCT c_custkey) >= {KANON_K}
+                    THEN 1 ELSE 0 END AS k_anonymous,
+               CASE WHEN count(DISTINCT o_orderpriority) >= {KANON_L}
+                    THEN 1 ELSE 0 END AS l_diverse
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+_THEIL_SQL = """
+    WITH spend AS (SELECT round(sum(o_totalprice), 2) AS x, c_nationkey
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   GROUP BY o_custkey, c_nationkey),
+         g AS (SELECT n_name, count(*) AS n_customers,
+                      sum(x) AS xg, sum(x * ln(x)) AS xlx
+               FROM spend JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY 1),
+         t AS (SELECT sum(x) AS xt, count(*) AS nt FROM spend)
+    SELECT n_name, n_customers,
+           round(xg / xt, 6) AS spend_share,
+           round(xlx / xg - ln(xg / n_customers), 6) AS theil_within,
+           round(xg / xt * ln((xg / n_customers) / (xt / nt)), 6)
+               AS between_term
+    FROM g, t ORDER BY n_name
+"""
+
+
 def _cdc_chunks_sql() -> str:
     from deusu_spark.pipelines import CDC_DIVISOR, _hex15_to_long_sql
 
@@ -5568,6 +5673,10 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalization": _quantile_normalization_sql(),
         "haar_wavelet": _haar_wavelet_sql(),
         "geo_hotspots": _geo_hotspots_sql(),
+        "adamic_adar": _adamic_adar_sql(),
+        "g2_collocations": _g2_collocations_sql(),
+        "kanonymity_audit": _kanonymity_sql(),
+        "theil_decomposition": _THEIL_SQL,
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -10998,6 +10998,244 @@ def q_geo_hotspots(spark, sf_dir):
     )
 
 
+AA_MAX_PART = 400  # same subgraph bound as LINKPRED_MAX_PART
+AA_TOPK = 20
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-ordered-parts graph — the
+    degree-weighted sibling of q_link_prediction (Jaccard): each shared
+    neighbor w contributes 1/ln(deg(w)), so rare hubs count more than
+    promiscuous ones (Adamic & Adar 2003, the standard second baseline in
+    every link-prediction benchmark). Same wedge-join shape as the
+    triangle/Jaccard ops — candidates enumerate at the shared neighbor
+    (cost Σ_w deg(w)²; a wedge center always has deg ≥ 2, so ln(deg) > 0)
+    — but the degree joins at the CENTER w before the pair aggregation,
+    not at the endpoints after it. Existing edges drop with one
+    left_anti; scores round to 6 BEFORE ranking so last-ulp libm
+    differences cannot reorder the top-K across engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < AA_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    w1 = adj.select(F.col("v").alias("w"), F.col("u").alias("a"))
+    w2 = adj.select(F.col("v").alias("w"), F.col("u").alias("b"))
+    scored = (
+        w1.join(w2, "w")
+        .where(F.col("a") < F.col("b"))
+        .join(
+            deg.withColumnRenamed("u", "w").withColumnRenamed("d", "dw"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.round(F.sum(1.0 / F.log(F.col("dw"))), 6).alias("aa_score"),
+        )
+        .join(
+            e,
+            (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+            "left_anti",
+        )
+    )
+    wpick = Window.orderBy(F.desc("aa_score"), F.desc("cn"), "a", "b")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= AA_TOPK)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "aa_score",
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+G2_MIN_COUNT = 5
+G2_TOPK = 30
+
+
+def q_g2_collocations(spark, sf_dir):
+    """Dunning log-likelihood-ratio (G²) collocation mining — the
+    significance-testing complement of q_pmi_bigrams: PMI over-ranks rare
+    pairs, G² = 2·Σ O·ln(O/E) over the full 2×2 contingency table
+    (k11=c(ab), k12=c(a·)−c(ab), k21=c(·b)−c(ab), k22=N−c(a·)−c(·b)+c(ab))
+    is the test statistic Dunning 1993 showed is valid at the low counts
+    a corpus tail actually has. Same linear bigram explode and three
+    map-side-combinable counts as PMI; the G² assembly is two vocabulary-
+    bounded joins and pure column arithmetic (zero-count cells contribute
+    0 via CASE, matching the O·ln(O/E)→0 limit). Scores round to 6 before
+    ranking so libm ulps cannot flip the cross-engine top-K."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    big = (
+        d.select(arr.alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(a, 1, size(a)-1)"),
+                    F.expr("slice(a, 2, size(a)-1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    cl = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ca"))
+    cr = big.groupBy("w2").agg(F.count(F.lit(1)).alias("cb"))
+    n_big = float(big.count())
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    j = (
+        cab.where(F.col("k11") >= G2_MIN_COUNT)
+        .join(cl, "w1")
+        .join(cr, "w2")
+    )
+    k12 = F.col("ca") - F.col("k11")
+    k21 = F.col("cb") - F.col("k11")
+    k22 = F.lit(n_big) - F.col("ca") - F.col("cb") + F.col("k11")
+    e11 = F.col("ca") * F.col("cb") / n_big
+    e12 = F.col("ca") * (n_big - F.col("cb")) / n_big
+    e21 = (n_big - F.col("ca")) * F.col("cb") / n_big
+    e22 = (n_big - F.col("ca")) * (n_big - F.col("cb")) / n_big
+    g2 = 2.0 * (
+        _term(F.col("k11").cast("double"), e11)
+        + _term(k12.cast("double"), e12)
+        + _term(k21.cast("double"), e21)
+        + _term(k22, e22)
+    )
+    scored = j.select(
+        "w1", "w2", "k11", F.round(g2, 6).alias("g2")
+    )
+    wpick = Window.orderBy(F.desc("g2"), F.desc("k11"), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= G2_TOPK)
+        .select("w1", "w2", F.col("k11").alias("pair_count"), "g2")
+        .orderBy("w1", "w2")
+    )
+
+
+KANON_K = 5  # minimum equivalence-class size
+KANON_L = 2  # minimum distinct sensitive values (l-diversity)
+KANON_BAND = 2000.0  # account-balance generalization band width
+
+
+def q_kanonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit — the privacy gate a training-data
+    release pipeline runs before publishing quasi-identifiable rows
+    (Sweeney 2002; Machanavajjhala 2007). Quasi-identifier = (nation,
+    market segment, generalized account-balance band); sensitive
+    attribute = the order priorities of the class's customers. One
+    groupBy computes each equivalence class's size k (distinct customers)
+    and diversity l (distinct sensitive values); classes failing k ≥ K or
+    l ≥ L are the rows a suppression pass would drop. Scale shape: a
+    single hash aggregation on the QI key — the same plan at 10^12 rows —
+    with two distinct-counts that Spark rewrites into one expand
+    aggregate; no joins wider than customer×orders on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    qi = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / KANON_BAND).alias("bal_band"),
+    )
+    j = qi.join(
+        o.select("o_custkey", "o_orderpriority"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    return (
+        j.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.countDistinct("c_custkey").alias("k"),
+            F.countDistinct("o_orderpriority").alias("l"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "bal_band",
+            "k",
+            "l",
+            (F.col("k") >= KANON_K).cast("int").alias("k_anonymous"),
+            (F.col("l") >= KANON_L).cast("int").alias("l_diverse"),
+        )
+        .orderBy("nationkey", "mktsegment", "bal_band")
+    )
+
+
+def q_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality decomposition of customer spend by nation — the
+    additively decomposable concentration measure (unlike q_gini_by_nation's
+    Gini, Theil splits exactly into between-group + Σ share·within-group,
+    Theil 1967), the audit behind 'is the skew across tenants or inside
+    them'. Per-group algebra avoids any join-back or per-row window:
+    T_within(g) = Σ_g x·ln(x) / X_g − ln(μ_g), so one groupBy computes
+    each nation's term from (Σx, Σx·lnx, n) alone; the global mean enters
+    by one broadcast crossJoin of a 1-row aggregate. All spends are > 0
+    (order totals), so ln is total; inputs round to 2 and outputs to 6 so
+    both engines rank and hash identically."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "x")
+    )
+    grp = spend.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("xg"),
+        F.sum(F.col("x") * F.log("x")).alias("xlx"),
+    )
+    tot = spend.agg(
+        F.sum("x").alias("xt"), F.count("*").alias("nt")
+    )
+    mu_g = F.col("xg") / F.col("n_customers")
+    mu = F.col("xt") / F.col("nt")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "n_customers",
+            F.round(F.col("xg") / F.col("xt"), 6).alias("spend_share"),
+            F.round(
+                F.col("xlx") / F.col("xg") - F.log(mu_g), 6
+            ).alias("theil_within"),
+            F.round(
+                F.col("xg") / F.col("xt") * F.log(mu_g / mu), 6
+            ).alias("between_term"),
+        )
+        .orderBy("n_name")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -11220,4 +11458,8 @@ QUERIES = {
     "quantile_normalization": q_quantile_normalization,
     "haar_wavelet": q_haar_wavelet,
     "geo_hotspots": q_geo_hotspots,
+    "adamic_adar": q_adamic_adar,
+    "g2_collocations": q_g2_collocations,
+    "kanonymity_audit": q_kanonymity_audit,
+    "theil_decomposition": q_theil_decomposition,
 }
