@@ -2588,6 +2588,117 @@ _THEIL_SQL = """
 """
 
 
+def _bh_fdr_sql() -> str:
+    from deusu_spark.pipelines import _AS_B, _AS_T, _INV_SQRT_2PI, BH_Q
+
+    b1, b2, b3, b4, b5 = _AS_B
+    return f"""
+        WITH j AS (SELECT c_nationkey AS nationkey, o_totalprice AS x
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+             grp AS (SELECT nationkey, count(*) AS n, avg(x) AS m
+                     FROM j GROUP BY 1),
+             tot AS (SELECT avg(x) AS mu0,
+                            sqrt(avg(x * x) - avg(x) * avg(x)) AS sigma
+                     FROM j),
+             zs AS (SELECT nationkey, n,
+                           (m - mu0) / (sigma / sqrt(n)) AS zr
+                    FROM grp, tot),
+             ps AS (SELECT nationkey, n, round(zr, 6) AS z,
+                           round(2.0 * ({_INV_SQRT_2PI}
+                               * exp(-abs(zr) * abs(zr) / 2.0)
+                               * ((((({b5} * tt + {b4}) * tt + {b3}) * tt
+                                    + {b2}) * tt + {b1}) * tt)), 6) AS p
+                    FROM (SELECT *, 1.0 / (1.0 + {_AS_T} * abs(zr)) AS tt
+                          FROM zs)),
+             ranked AS (SELECT *,
+                            row_number() OVER (ORDER BY p, nationkey) AS i,
+                            count(*) OVER () AS mtot
+                        FROM ps),
+             adj AS (SELECT *, min(p * mtot / i) OVER (
+                         ORDER BY p, nationkey
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         AS p_adj_raw
+                     FROM ranked)
+        SELECT nationkey, n, z, p,
+               round(least(p_adj_raw, 1.0), 6) AS p_adj,
+               CASE WHEN least(p_adj_raw, 1.0) <= {BH_Q}
+                    THEN 1 ELSE 0 END AS significant
+        FROM adj ORDER BY nationkey
+    """
+
+
+def _feature_propagation_sql() -> str:
+    from deusu_spark.pipelines import AA_MAX_PART
+
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem WHERE l_partkey < {AA_MAX_PART}),
+             e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey < b.l_partkey),
+             adj AS (SELECT u, v FROM e
+                     UNION ALL SELECT v AS u, u AS v FROM e),
+             x0 AS (SELECT p_partkey AS node, round(p_retailprice, 2) AS x0
+                    FROM part),
+             x1 AS (SELECT adj.u AS node, round(avg(x0.x0), 6) AS x1
+                    FROM adj JOIN x0 ON adj.v = x0.node GROUP BY 1),
+             x2 AS (SELECT adj.u AS node, round(avg(x1.x1), 6) AS x2
+                    FROM adj JOIN x1 ON adj.v = x1.node GROUP BY 1),
+             deg AS (SELECT u AS node, count(*) AS degree
+                     FROM adj GROUP BY 1)
+        SELECT node AS part, degree, x0, x1, x2
+        FROM x0 JOIN x1 USING (node) JOIN x2 USING (node)
+                JOIN deg USING (node)
+        ORDER BY part
+    """
+
+
+def _rolling_median_sql() -> str:
+    from deusu_spark.pipelines import ROLLMED_MAX_CUST, ROLLMED_WIN
+
+    return f"""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               round(o_totalprice, 2) AS x,
+               round(median(round(o_totalprice, 2)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN {ROLLMED_WIN - 1} PRECEDING
+                        AND CURRENT ROW), 4) AS roll_median
+        FROM orders WHERE o_custkey < {ROLLMED_MAX_CUST}
+        ORDER BY custkey, orderkey
+    """
+
+
+def _s_stemmer_sql() -> str:
+    from deusu_spark.pipelines import SSTEM_TOPK
+
+    return f"""
+        WITH tok AS (SELECT t FROM (
+                 SELECT unnest(regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+')) AS t FROM documents)
+             WHERE t <> ''),
+             st AS (SELECT CASE
+                 WHEN t LIKE '%ies' AND t NOT LIKE '%eies'
+                      AND t NOT LIKE '%aies'
+                     THEN substr(t, 1, length(t) - 3) || 'y'
+                 WHEN t LIKE '%es' AND t NOT LIKE '%aes'
+                      AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+                     THEN substr(t, 1, length(t) - 1)
+                 WHEN t LIKE '%s' AND t NOT LIKE '%us'
+                      AND t NOT LIKE '%ss'
+                     THEN substr(t, 1, length(t) - 1)
+                 ELSE t END AS stem, t
+             FROM tok),
+             agg AS (SELECT stem, count(*) AS n_tokens,
+                            count(DISTINCT t) AS n_forms
+                     FROM st GROUP BY 1),
+             pick AS (SELECT *, row_number() OVER (
+                          ORDER BY n_tokens DESC, stem) AS rn FROM agg)
+        SELECT stem, n_tokens, n_forms
+        FROM pick WHERE rn <= {SSTEM_TOPK} ORDER BY stem
+    """
+
+
 def _cdc_chunks_sql() -> str:
     from deusu_spark.pipelines import CDC_DIVISOR, _hex15_to_long_sql
 
@@ -5677,6 +5788,10 @@ def oracle_sql() -> dict[str, str]:
         "g2_collocations": _g2_collocations_sql(),
         "kanonymity_audit": _kanonymity_sql(),
         "theil_decomposition": _THEIL_SQL,
+        "bh_fdr": _bh_fdr_sql(),
+        "feature_propagation": _feature_propagation_sql(),
+        "rolling_median": _rolling_median_sql(),
+        "s_stemmer": _s_stemmer_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -11236,6 +11236,246 @@ def q_theil_decomposition(spark, sf_dir):
     )
 
 
+BH_Q = 0.10  # FDR level
+
+# Abramowitz & Stegun 26.2.17 constants (shared verbatim with the SQL twin)
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _norm_sf_col(x):
+    """Upper-tail normal probability P(Z > x) for x >= 0, Abramowitz &
+    Stegun 26.2.17 (|err| < 7.5e-8) — evaluated in Horner order so the
+    DuckDB twin computes bit-identical doubles."""
+    b1, b2, b3, b4, b5 = _AS_B
+    t = 1.0 / (1.0 + _AS_T * x)
+    poly = ((((b5 * t + b4) * t + b3) * t + b2) * t + b1) * t
+    return _INV_SQRT_2PI * F.exp(-x * x / 2.0) * poly
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over a family of simultaneous
+    group tests — the multiple-comparisons gate every metrics platform
+    needs once it tests hundreds of segments at once (BH 1995): per-nation
+    one-sample z-test of mean order price against the global mean, then
+    p_adj(i) = min_{j>=i}(p_(j)·m/j) as a reverse running min. The test
+    stage is one groupBy + one 1-row global aggregate (broadcast
+    crossJoin); the BH stage is a window over ONE row per group — m rows
+    total, never data-sized, so the single-partition window is bounded by
+    the number of hypotheses, not the corpus. The normal tail uses the
+    shared A&S 26.2.17 polynomial so both engines produce identical
+    doubles; p rounds to 6 BEFORE ranking so ulps cannot reorder ranks."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("c_nationkey").alias("nationkey"),
+             F.col("o_totalprice").alias("x"))
+    grp = j.groupBy("nationkey").agg(
+        F.count("*").alias("n"), F.avg("x").alias("m")
+    )
+    tot = j.agg(
+        F.avg("x").alias("mu0"),
+        F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+        .alias("sigma"),
+    )
+    z = (F.col("m") - F.col("mu0")) / (F.col("sigma") / F.sqrt(F.col("n")))
+    tested = grp.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "n",
+        F.round(z, 6).alias("z"),
+        F.round(2.0 * _norm_sf_col(F.abs(z)), 6).alias("p"),
+    )
+    worder = Window.orderBy("p", "nationkey")
+    wtail = worder.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked = tested.withColumn("i", F.row_number().over(worder)).withColumn(
+        "mtot", F.count("*").over(Window.partitionBy())
+    )
+    raw = F.col("p") * F.col("mtot") / F.col("i")
+    return (
+        ranked.withColumn("p_adj_raw", F.min(raw).over(wtail))
+        .select(
+            "nationkey",
+            "n",
+            "z",
+            "p",
+            F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 6)
+            .alias("p_adj"),
+            (F.least(F.col("p_adj_raw"), F.lit(1.0)) <= BH_Q)
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FPROP_ROUNDS = 2  # fixed GNN-style aggregation depth
+
+
+def q_feature_propagation(spark, sf_dir):
+    """Two-round mean feature aggregation over the co-ordered-parts graph
+    — the GraphSAGE-mean / feature-propagation preprocessing step a
+    GNN training pipeline materializes at corpus scale (Hamilton 2017;
+    'SGC' collapses it to exactly this). Each round is ONE join of the
+    edge list against the current feature table plus a groupBy mean —
+    linear in |E|, the same two shuffles at 10^12 edges — and rounds to 6
+    between rounds so both engines iterate on identical doubles. Node
+    feature x0 = retail price; x1/x2 = successive neighborhood means."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < AA_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round("p_retailprice", 2).alias("x0"),
+    )
+    feats = p
+    col = "x0"
+    for r in range(1, FPROP_ROUNDS + 1):
+        nxt = (
+            adj.join(
+                feats.select(
+                    F.col("node").alias("v"), F.col(col).alias("xv")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.round(F.avg("xv"), 6).alias(f"x{r}"))
+            .withColumnRenamed("u", "node")
+        )
+        feats = feats.join(nxt, "node")
+        col = f"x{r}"
+    deg = adj.groupBy("u").agg(F.count("*").alias("degree"))
+    return (
+        feats.join(deg.withColumnRenamed("u", "node"), "node")
+        .select(
+            F.col("node").alias("part"), "degree", "x0", "x1", "x2"
+        )
+        .orderBy("part")
+    )
+
+
+ROLLMED_WIN = 5
+ROLLMED_MAX_CUST = 500
+
+
+def q_rolling_median(spark, sf_dir):
+    """Exact rolling median over a row-bounded event window — the robust
+    trailing-baseline primitive behind anomaly flags (median absolute to
+    spikes where q_moving_average's mean is not). Spark has no exact
+    median window aggregate, so the engine composes one from built-ins:
+    collect_list over a ROWS BETWEEN frame, array_sort, closed-form
+    middle — per-row cost bounded by the CONSTANT frame width (5), so
+    the window carries O(w) state exactly like the JVM's own sliding
+    aggregates, partitions by customer (parallel, no global sort), and
+    never leaves codegen for Python. The oracle is DuckDB's native
+    median() window, pinning the composition against an independent
+    implementation (even frames interpolate the two middles in both)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < ROLLMED_MAX_CUST)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("d"),
+            F.round("o_totalprice", 2).alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("d", "orderkey")
+        .rowsBetween(-(ROLLMED_WIN - 1), Window.currentRow)
+    )
+    lst = F.array_sort(F.collect_list("x").over(w))
+    n = F.size(lst)
+    med = F.when(
+        n % 2 == 1, F.element_at(lst, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(lst, (n / 2).cast("int"))
+            + F.element_at(lst, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return o.select(
+        "custkey",
+        "orderkey",
+        "x",
+        F.round(med, 4).alias("roll_median"),
+    ).orderBy("custkey", "orderkey")
+
+
+SSTEM_TOPK = 30
+
+
+def q_s_stemmer(spark, sf_dir):
+    """Harman S-stemmer conflation (Harman 1991) — the light, rule-exact
+    plural stripper IR systems use when Porter is too aggressive: first
+    matching rule of ies→y (unless eies/aies), es→e (unless aes/ees/oes),
+    -s (unless -us/-ss). Pure nested CASE over suffixes — whole-stage
+    codegen string ops, no UDF, no dictionary — then one vocabulary-
+    bounded aggregation: occurrences + distinct surface forms per stem,
+    integer-ranked (no float ties) top-K."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("t")
+    )
+    t = F.col("t")
+    stem = (
+        F.when(
+            t.endswith("ies")
+            & ~t.endswith("eies")
+            & ~t.endswith("aies"),
+            F.concat(F.expr("substring(t, 1, length(t) - 3)"), F.lit("y")),
+        )
+        .when(
+            t.endswith("es")
+            & ~t.endswith("aes")
+            & ~t.endswith("ees")
+            & ~t.endswith("oes"),
+            F.expr("substring(t, 1, length(t) - 1)"),
+        )
+        .when(
+            t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss"),
+            F.expr("substring(t, 1, length(t) - 1)"),
+        )
+        .otherwise(t)
+    )
+    agg = (
+        tok.select(stem.alias("stem"), "t")
+        .groupBy("stem")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("t").alias("n_forms"),
+        )
+    )
+    wpick = Window.orderBy(F.desc("n_tokens"), "stem")
+    return (
+        agg.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= SSTEM_TOPK)
+        .select("stem", "n_tokens", "n_forms")
+        .orderBy("stem")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -11462,4 +11702,8 @@ QUERIES = {
     "g2_collocations": q_g2_collocations,
     "kanonymity_audit": q_kanonymity_audit,
     "theil_decomposition": q_theil_decomposition,
+    "bh_fdr": q_bh_fdr,
+    "feature_propagation": q_feature_propagation,
+    "rolling_median": q_rolling_median,
+    "s_stemmer": q_s_stemmer,
 }
