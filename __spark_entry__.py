@@ -4593,6 +4593,116 @@ def _geo_hotspots_sql() -> str:
     """
 
 
+def _kruskal_wallis_sql() -> str:
+    return """
+        WITH j AS (SELECT c_mktsegment AS seg, o_totalprice AS x
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+             hist AS (SELECT x, count(*) AS cnt FROM j GROUP BY x),
+             ranks AS (SELECT x, cnt,
+                              sum(cnt) OVER (ORDER BY x) - cnt
+                                  + (cnt + 1) / 2.0 AS r
+                       FROM hist),
+             per AS (SELECT seg, count(*) AS n, sum(r) AS rsum
+                     FROM j JOIN ranks USING (x) GROUP BY seg),
+             tot AS (SELECT sum(cnt) AS nn,
+                            sum(cnt * cnt * cnt - cnt) AS ties
+                     FROM hist),
+             s AS (SELECT sum(rsum * rsum / n) AS s_rr FROM per)
+        SELECT seg, n, round(rsum / n, 6) AS mean_rank,
+               round(12.0 / (nn * (nn + 1.0)) * s_rr - 3.0 * (nn + 1.0), 6)
+                   AS h_val,
+               round((12.0 / (nn * (nn + 1.0)) * s_rr - 3.0 * (nn + 1.0))
+                     / (1.0 - ties / (nn * nn * nn - nn)), 6) AS h_adj
+        FROM per, tot, s ORDER BY seg
+    """
+
+
+def _wasserstein_drift_sql() -> str:
+    from deusu_spark.pipelines import W1_BIN
+
+    return f"""
+        WITH j AS (SELECT c_mktsegment AS seg,
+                          CAST(floor(o_totalprice / {W1_BIN}) AS BIGINT) AS b
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+             grid AS (SELECT DISTINCT b FROM j),
+             segs AS (SELECT seg, count(*) AS n_seg FROM j GROUP BY seg),
+             sb AS (SELECT seg, b, count(*) AS c_sb FROM j GROUP BY 1, 2),
+             gb AS (SELECT b, count(*) AS c_b FROM j GROUP BY b),
+             ntot AS (SELECT count(*) AS nt FROM j),
+             full_ AS (SELECT seg, n_seg, b,
+                              coalesce(c_sb, 0) AS c_sb, c_b
+                       FROM segs CROSS JOIN grid
+                       LEFT JOIN sb USING (seg, b)
+                       JOIN gb USING (b)),
+             cdf AS (SELECT seg, n_seg,
+                            sum(c_sb) OVER (PARTITION BY seg ORDER BY b)
+                                * 1.0 / n_seg AS f_seg,
+                            sum(c_b) OVER (PARTITION BY seg ORDER BY b)
+                                * 1.0 / (SELECT nt FROM ntot) AS f_all
+                     FROM full_)
+        SELECT seg, n_seg AS n,
+               round(sum(abs(f_seg - f_all)) * {W1_BIN}, 4) AS w1
+        FROM cdf GROUP BY seg, n_seg ORDER BY seg
+    """
+
+
+def _diff_in_diff_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                          value AS v
+                   FROM events),
+             mm AS (SELECT (min(s) + max(s)) / 2.0 AS cut FROM e),
+             cells AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END
+                                  AS treated,
+                              CASE WHEN s >= (SELECT cut FROM mm)
+                                   THEN 1 ELSE 0 END AS post,
+                              count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+                       FROM e GROUP BY 1, 2),
+             agg AS (SELECT
+                 sum(CASE WHEN treated = 1 AND post = 0 THEN m END) AS t_pre,
+                 sum(CASE WHEN treated = 1 AND post = 1 THEN m END) AS t_post,
+                 sum(CASE WHEN treated = 0 AND post = 0 THEN m END) AS c_pre,
+                 sum(CASE WHEN treated = 0 AND post = 1 THEN m END) AS c_post,
+                 sum(s2 / n) AS vsum,
+                 sum(n) AS n_total FROM cells)
+        SELECT CAST(n_total AS BIGINT) AS n_total,
+               round(t_pre, 6) AS mean_t_pre,
+               round(t_post, 6) AS mean_t_post,
+               round(c_pre, 6) AS mean_c_pre,
+               round(c_post, 6) AS mean_c_post,
+               round((t_post - t_pre) - (c_post - c_pre), 6) AS did,
+               round(sqrt(vsum), 6) AS se
+        FROM agg
+    """
+
+
+def _js_divergence_sql() -> str:
+    return f"""
+        WITH tok AS ({_TOKS}),
+             st AS (SELECT source, t, count(*) AS c_st
+                    FROM tok JOIN documents USING (doc_id) GROUP BY 1, 2),
+             gt AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY t),
+             ts_ AS (SELECT source, sum(c_st) AS t_s FROM st GROUP BY 1),
+             ttot AS (SELECT sum(c_t) AS tt FROM gt),
+             rows_ AS (SELECT source, t_s,
+                              c_st * 1.0 / t_s AS p,
+                              (c_t - c_st) * 1.0
+                                  / ((SELECT tt FROM ttot) - t_s) AS q
+                       FROM st JOIN gt USING (t) JOIN ts_ USING (source)),
+             agg AS (SELECT source, t_s, count(*) AS vocab,
+                            sum(0.5 * (p * ln(2.0 * p / (p + q))
+                                + CASE WHEN q > 0
+                                       THEN q * ln(2.0 * q / (p + q))
+                                       ELSE 0.0 END)) AS obs,
+                            sum(q) AS qcov
+                     FROM rows_ GROUP BY 1, 2)
+        SELECT source, CAST(t_s AS BIGINT) AS n_tokens, vocab,
+               round(obs + 0.5 * ln(2.0) * (1.0 - qcov), 6) AS jsd
+        FROM agg ORDER BY source
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5792,6 +5902,10 @@ def oracle_sql() -> dict[str, str]:
         "feature_propagation": _feature_propagation_sql(),
         "rolling_median": _rolling_median_sql(),
         "s_stemmer": _s_stemmer_sql(),
+        "kruskal_wallis": _kruskal_wallis_sql(),
+        "wasserstein_drift": _wasserstein_drift_sql(),
+        "diff_in_diff": _diff_in_diff_sql(),
+        "js_divergence": _js_divergence_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -11476,6 +11476,280 @@ def q_s_stemmer(spark, sf_dir):
     )
 
 
+KW_BUCKETS = 64  # deterministic equal-width rank-prefix buckets
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (rank-based one-way ANOVA) of order price across
+    market segments — the nonparametric sibling of q_anova_f for skewed
+    metrics where the mean test lies. Average ranks come from a
+    DISTINCT-VALUE histogram (per-value count + running sum:
+    avg_rank = cum − cnt + (cnt+1)/2). The prefix sum is distributed
+    two-phase: distinct values land in KW_BUCKETS deterministic
+    equal-width buckets (a min/max scan fixes the edges — no sampled
+    repartitionByRange boundaries, so the bucket of a value can never
+    differ between plan executions), the cumsum window partitions BY
+    bucket (parallel, never global), and the bucket base offsets come
+    from a KW_BUCKETS-row rollup — so ranking 10^12 rows sorts nothing
+    globally. The tie correction 1 − Σ(t³−t)/(N³−N) reuses the same
+    histogram. Rows join back value→rank map-side (values are parquet
+    doubles both engines read identically). H and the tie-adjusted H'
+    are constant columns on the per-segment rows so the whole readout
+    is one table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    hist = j.groupBy("x").agg(F.count("*").alias("cnt"))
+    mm = j.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).first()
+    width = max((mm["mx"] - mm["mn"]) / KW_BUCKETS, 1e-12)
+    binned = hist.withColumn(
+        "g",
+        F.least(
+            F.floor((F.col("x") - F.lit(mm["mn"])) / F.lit(width)),
+            F.lit(KW_BUCKETS - 1),
+        ).cast("long"),
+    )
+    woff = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # KW_BUCKETS rows — bounded
+    offs = (
+        binned.groupBy("g")
+        .agg(F.sum("cnt").alias("bucket_n"))
+        .select("g", F.coalesce(F.sum("bucket_n").over(woff), F.lit(0)).alias("base"))
+    )
+    wcum = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranks = (
+        binned.withColumn("cum_in", F.sum("cnt").over(wcum))
+        .join(F.broadcast(offs), "g")
+        .select(
+            "x",
+            "cnt",
+            (
+                F.col("base") + F.col("cum_in") - F.col("cnt")
+                + (F.col("cnt") + 1) / 2.0
+            ).alias("r"),
+        )
+    )
+    per = (
+        j.join(ranks.select("x", "r"), "x")
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("r").alias("rsum"))
+    )
+    tot = hist.agg(
+        F.sum("cnt").alias("nn"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    h = 12.0 / (F.col("nn") * (F.col("nn") + 1.0)) * F.col("s_rr") - 3.0 * (
+        F.col("nn") + 1.0
+    )
+    corr = 1.0 - F.col("ties") / (
+        F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn")
+    )
+    stats = (
+        per.agg(F.sum(F.col("rsum") * F.col("rsum") / F.col("n")).alias("s_rr"))
+        .crossJoin(tot)
+        .select(
+            F.round(h, 6).alias("h_val"),
+            F.round(h / corr, 6).alias("h_adj"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "seg",
+            "n",
+            F.round(F.col("rsum") / F.col("n"), 6).alias("mean_rank"),
+            "h_val",
+            "h_adj",
+        )
+        .orderBy("seg")
+    )
+
+
+W1_BIN = 5000.0  # fixed price-bin width (engine-exact integer edges)
+
+
+def q_wasserstein_drift(spark, sf_dir):
+    """Per-segment 1-D Wasserstein-1 (earth-mover) distance between the
+    segment's order-price distribution and the pooled corpus distribution
+    — the drift metric that, unlike KS (sup-norm) or PSI (log-ratio),
+    weights HOW FAR mass moved: W1 = Σ_bins |F_seg − F_all| · bin_width
+    over a fixed integer-edge histogram grid. The grid is ~100 bins
+    regardless of corpus size (the PSI/histogram-quantile scale shape);
+    per-(segment, bin) counts reduce map-side, the CDFs are running sums
+    over the bounded grid, and the segment×grid fill-in is |segs|×|bins|
+    rows — never data-sized. Exact over the binned distributions by
+    construction (both engines bin with the same floor(x/width))."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") / W1_BIN).cast("long").alias("b"),
+    )
+    grid = j.select("b").distinct()
+    segs = j.groupBy("seg").agg(F.count("*").alias("n_seg"))
+    sb = j.groupBy("seg", "b").agg(F.count("*").alias("c_sb"))
+    gb = j.groupBy("b").agg(F.count("*").alias("c_b"))
+    ntot = j.count()
+    full = (
+        segs.crossJoin(grid)
+        .join(sb, ["seg", "b"], "left")
+        .join(gb, "b")
+        .select(
+            "seg",
+            "b",
+            "n_seg",
+            F.coalesce(F.col("c_sb"), F.lit(0)).alias("c_sb"),
+            "c_b",
+        )
+    )
+    wcdf = (
+        Window.partitionBy("seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = full.select(
+        "seg",
+        "n_seg",
+        (F.sum("c_sb").over(wcdf) / F.col("n_seg")).alias("f_seg"),
+        (F.sum("c_b").over(wcdf) / float(ntot)).alias("f_all"),
+    )
+    return (
+        cdf.groupBy("seg", "n_seg")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("f_seg") - F.col("f_all"))) * W1_BIN, 4
+            ).alias("w1")
+        )
+        .select(F.col("seg"), F.col("n_seg").alias("n"), "w1")
+        .orderBy("seg")
+    )
+
+
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator over the events stream —
+    the quasi-experimental readout (Card & Krueger shape) when a feature
+    launched mid-window without randomization: treated = odd user_id
+    (the deterministic assignment hash), post = second half of the
+    observation window (cutoff = midpoint of min/max event second),
+    DiD = (T̄_post − T̄_pre) − (C̄_post − C̄_pre) with the
+    unequal-variance SE √(Σ s²_cell/n_cell) over the four cells. Two
+    passes: a 2-row min/max scan, then ONE groupBy over four cells —
+    every moment reduces map-side; nothing is data-sized downstream.
+    Timestamps truncate to whole seconds on both sides (unix_timestamp
+    here, floor(epoch()) in the oracle) — the shared grain."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).first()
+    cut = (mm["mn"] + mm["mx"]) / 2.0
+    cells = (
+        ev.select(
+            (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+            (F.unix_timestamp("ts") >= F.lit(cut)).cast("int").alias("post"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("v").alias("m"),
+            F.var_samp("v").alias("s2"),
+        )
+    )
+    g = cells.groupBy().pivot("treated", [0, 1]).agg(
+        F.sum(F.when(F.col("post") == 0, F.col("m"))).alias("pre"),
+        F.sum(F.when(F.col("post") == 1, F.col("m"))).alias("post"),
+        F.sum(F.col("s2") / F.col("n")).alias("vsum"),
+        F.sum("n").alias("n"),
+    )
+    did = (F.col("1_post") - F.col("1_pre")) - (
+        F.col("0_post") - F.col("0_pre")
+    )
+    return g.select(
+        (F.col("0_n") + F.col("1_n")).alias("n_total"),
+        F.round("1_pre", 6).alias("mean_t_pre"),
+        F.round("1_post", 6).alias("mean_t_post"),
+        F.round("0_pre", 6).alias("mean_c_pre"),
+        F.round("0_post", 6).alias("mean_c_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(F.col("0_vsum") + F.col("1_vsum")), 6).alias("se"),
+    )
+
+
+def q_js_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence between the source's unigram
+    distribution P and the rest-of-corpus distribution Q — the symmetric,
+    bounded (≤ ln 2) drift measure a data-mixing pipeline tracks per
+    domain (cf. PSI's binned log-ratio; JSD is the information-radius
+    form). The trick that keeps it linear: only OBSERVED (source, token)
+    pairs are materialized — tokens absent from the source contribute
+    exactly 0.5·ln2·(1 − Σ_{t∈s} q_t) in closed form (p=0 ⇒ the q-side
+    integrand is q·ln2), so there is NO vocab×source grid; the plan is
+    one token reduce + one join against the global term counts, both
+    map-side combinable at 10^12 tokens. Engine-identical doubles: both
+    sides evaluate the same guarded ln expressions on count ratios."""
+    d = _t(spark, sf_dir, "documents")
+    # _tokens keeps doc_id; re-attach source via doc_id join
+    st = (
+        _tokens(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c_st"))
+    )
+    gt = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    ts_ = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    ttot = gt.agg(F.sum("c_t")).first()[0]
+    rows = (
+        st.join(gt, "t")
+        .join(F.broadcast(ts_), "source")
+        .select(
+            "source",
+            "t_s",
+            (F.col("c_st") / F.col("t_s")).alias("p"),
+            (
+                (F.col("c_t") - F.col("c_st"))
+                / (F.lit(float(ttot)) - F.col("t_s"))
+            ).alias("q"),
+        )
+    )
+    ln2 = float(_math.log(2.0))
+    term = 0.5 * (
+        F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+        + F.when(
+            F.col("q") > 0,
+            F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        rows.groupBy("source", "t_s")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.sum(term).alias("obs"),
+            F.sum("q").alias("qcov"),
+        )
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            "vocab",
+            F.round(
+                F.col("obs") + 0.5 * ln2 * (1.0 - F.col("qcov")), 6
+            ).alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -11706,4 +11980,8 @@ QUERIES = {
     "feature_propagation": q_feature_propagation,
     "rolling_median": q_rolling_median,
     "s_stemmer": q_s_stemmer,
+    "kruskal_wallis": q_kruskal_wallis,
+    "wasserstein_drift": q_wasserstein_drift,
+    "diff_in_diff": q_diff_in_diff,
+    "js_divergence": q_js_divergence,
 }
