@@ -4703,6 +4703,98 @@ def _js_divergence_sql() -> str:
     """
 
 
+def _levene_test_sql() -> str:
+    return """
+        WITH j AS (SELECT c_mktsegment AS seg, o_totalprice AS x
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+             med AS (SELECT seg, quantile_cont(x, 0.5) AS med
+                     FROM j GROUP BY seg),
+             z AS (SELECT seg, med, abs(x - med) AS z
+                   FROM j JOIN med USING (seg)),
+             g AS (SELECT seg, med, count(*) AS n, avg(z) AS mz,
+                          var_pop(z) * count(*) AS ssw
+                   FROM z GROUP BY 1, 2),
+             tot AS (SELECT sum(n) AS nn, count(*) AS k,
+                            sum(n * mz) / sum(n) AS gz,
+                            sum(ssw) AS ssw_all
+                     FROM g),
+             fs AS (SELECT round((sum(n * (mz - gz) * (mz - gz)) / (k - 1))
+                                 / (ssw_all / (nn - k)), 6) AS f_bf,
+                           CAST(k - 1 AS BIGINT) AS df1,
+                           CAST(nn - k AS BIGINT) AS df2
+                    FROM g, tot GROUP BY k, nn, ssw_all, gz)
+        SELECT seg, n, round(med, 6) AS median,
+               round(mz, 6) AS mean_absdev, f_bf, df1, df2
+        FROM g, fs ORDER BY seg
+    """
+
+
+def _hill_tail_index_sql() -> str:
+    from deusu_spark.pipelines import HILL_K
+
+    return f"""
+        WITH top AS (SELECT o_totalprice AS x FROM orders
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     LIMIT {HILL_K}),
+             a AS (SELECT count(*) AS k, min(x) AS mn,
+                          sum(ln(x)) AS sln FROM top)
+        SELECT k, round(mn, 6) AS threshold,
+               round(sln / k - ln(mn), 6) AS gamma_hat,
+               round(1.0 / (sln / k - ln(mn)), 6) AS alpha_hat
+        FROM a
+    """
+
+
+_CCF_DAILY = """SELECT CAST(ts AS DATE) AS day,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchases
+       FROM events GROUP BY 1"""
+
+
+def _chatterjee_xi_sql() -> str:
+    def side(direction: str, xc: str, yc: str) -> str:
+        return f"""
+            SELECT '{direction}' AS direction,
+                   CAST(any_value(n) AS BIGINT) AS n_days,
+                   round(1.0 - any_value(n) * sum(dr)
+                         / (2.0 * sum(l * (n - l))), 6) AS xi
+            FROM (SELECT n, l,
+                         abs(lead(r) OVER (ORDER BY x, day) - r) AS dr
+                  FROM (SELECT day, {xc} * 1.0 AS x, {yc} * 1.0 AS y,
+                               cume_dist() OVER (ORDER BY {yc})
+                                   * count(*) OVER () AS r,
+                               cume_dist() OVER (ORDER BY {yc} DESC)
+                                   * count(*) OVER () AS l,
+                               count(*) OVER () AS n
+                        FROM daily))
+        """
+
+    return f"""
+        WITH daily AS ({_CCF_DAILY})
+        SELECT * FROM ({side("click_to_purchase", "clicks", "purchases")}
+        UNION ALL {side("purchase_to_click", "purchases", "clicks")})
+        ORDER BY direction
+    """
+
+
+def _ccf_leadlag_sql() -> str:
+    from deusu_spark.pipelines import CCF_MAX_LAG
+
+    return f"""
+        WITH daily AS ({_CCF_DAILY}),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                            clicks * 1.0 AS x, purchases * 1.0 AS y
+                     FROM daily),
+             lags AS (SELECT CAST(unnest(range(-{CCF_MAX_LAG},
+                                               {CCF_MAX_LAG} + 1))
+                                  AS INTEGER) AS lag)
+        SELECT lag, count(*) AS n_pairs, round(corr(a.x, b.y), 6) AS ccf
+        FROM idx a CROSS JOIN lags JOIN idx b ON b.i = a.i + lag
+        GROUP BY lag ORDER BY lag
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -5906,6 +5998,10 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_drift": _wasserstein_drift_sql(),
         "diff_in_diff": _diff_in_diff_sql(),
         "js_divergence": _js_divergence_sql(),
+        "levene_test": _levene_test_sql(),
+        "hill_tail_index": _hill_tail_index_sql(),
+        "chatterjee_xi": _chatterjee_xi_sql(),
+        "ccf_leadlag": _ccf_leadlag_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -11750,6 +11750,202 @@ def q_js_divergence(spark, sf_dir):
     )
 
 
+def q_levene_test(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (Levene with median
+    centers — the robust default) of order price across market segments:
+    the gate run BEFORE trusting q_anova_f/q_welch_t, since classic ANOVA
+    assumes equal variances. z = |x − median_g| per row, then one-way F
+    over z: F = [Σ n_g(z̄_g − z̄)²/(k−1)] / [Σ(z − z̄_g)²/(N−k)]. Group
+    medians come from _hist_median (histogram + cumulative window — no
+    per-group value collection), the within-group SS is n·var_pop (one
+    map-side-combinable agg), and everything after the per-group rollup
+    is k rows. Same F-readout shape as q_anova_f, so the two tests are
+    directly comparable columns-for-columns."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    med = _hist_median(j, "seg", "x", "med")
+    z = j.join(F.broadcast(med), "seg").select(
+        "seg", F.col("med"), F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("seg", "med").agg(
+        F.count("*").alias("n"),
+        F.avg("z").alias("mz"),
+        (F.var_pop("z") * F.count("*")).alias("ssw"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("k"),
+        (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("gz"),
+        F.sum("ssw").alias("ssw_all"),
+    )
+    f_stat = (
+        F.sum(F.col("n") * (F.col("mz") - F.col("gz")) * (F.col("mz") - F.col("gz")))
+        / (F.col("k") - 1)
+    ) / (F.col("ssw_all") / (F.col("nn") - F.col("k")))
+    stats = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn", "ssw_all", "gz")
+        .agg(F.round(f_stat, 6).alias("f_bf"))
+        .select(
+            "f_bf",
+            (F.col("k") - 1).cast("long").alias("df1"),
+            (F.col("nn") - F.col("k")).cast("long").alias("df2"),
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(stats))
+        .select(
+            "seg",
+            "n",
+            F.round("med", 6).alias("median"),
+            F.round("mz", 6).alias("mean_absdev"),
+            "f_bf",
+            "df1",
+            "df2",
+        )
+        .orderBy("seg")
+    )
+
+
+HILL_K = 200  # top order statistics entering the Hill estimator
+
+
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the order-price tail index — the
+    extreme-value-theory readout (how heavy is the revenue tail: α < 2
+    means infinite variance, capacity planning must size for single huge
+    orders). Over the top-k order statistics x₁ ≥ … ≥ x_k:
+    γ̂ = (1/k) Σ ln(xᵢ/x_k), α̂ = 1/γ̂. The ONLY data-sized step is a
+    top-k (TakeOrdered — per-partition heaps + driver merge of k rows,
+    never a global sort); ties break on o_orderkey so the k-set is
+    deterministic in both engines. One row out."""
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(HILL_K)
+    )
+    return (
+        top.agg(
+            F.count("*").alias("k"),
+            F.min("x").alias("mn"),
+            F.sum(F.log("x")).alias("sln"),
+        )
+        .select(
+            "k",
+            F.round(F.col("mn"), 6).alias("threshold"),
+            F.round(
+                F.col("sln") / F.col("k") - F.log("mn"), 6
+            ).alias("gamma_hat"),
+            F.round(
+                1.0 / (F.col("sln") / F.col("k") - F.log("mn")), 6
+            ).alias("alpha_hat"),
+        )
+    )
+
+
+def q_chatterjee_xi(spark, sf_dir):
+    """Chatterjee's ξ rank correlation (2020) between the daily click and
+    purchase count series, both directions — the modern dependence
+    measure that, unlike Pearson/Spearman, detects NON-monotone
+    relationships (ξ→1 iff y is a measurable function of x) and is
+    asymmetric by design (ξ(x→y) ≠ ξ(y→x)). Tie-aware estimator:
+    sort by x (day as tiebreak), r_i = #{y_j ≤ y_i}, l_i = #{y_j ≥ y_i},
+    ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ l_i(n−l_i)). The series is
+    calendar-bounded (one groupBy over days), so the rank windows and the
+    lead() scan run over at most a few thousand rows forever — the
+    documented bounded-window pattern, not a data-sized global sort."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+            "purchases"
+        ),
+    )
+    out = []
+    for name, xc, yc in [
+        ("click_to_purchase", "clicks", "purchases"),
+        ("purchase_to_click", "purchases", "clicks"),
+    ]:
+        s = daily.select(
+            "day", F.col(xc).cast("double").alias("x"), F.col(yc).cast("double").alias("y")
+        )
+        n = F.count("*").over(Window.partitionBy())
+        ranked = s.select(
+            "day",
+            "x",
+            "y",
+            (F.cume_dist().over(Window.orderBy("y")) * n).alias("r"),
+            (F.cume_dist().over(Window.orderBy(F.desc("y"))) * n).alias("l"),
+            n.alias("n"),
+        )
+        wx = Window.orderBy("x", "day")
+        num = ranked.select(
+            "n",
+            "l",
+            F.abs(F.lead("r").over(wx) - F.col("r")).alias("dr"),
+        )
+        out.append(
+            num.groupBy("n")
+            .agg(
+                F.sum("dr").alias("sdr"),
+                F.sum(F.col("l") * (F.col("n") - F.col("l"))).alias("sl"),
+            )
+            .select(
+                F.lit(name).alias("direction"),
+                F.col("n").cast("long").alias("n_days"),
+                F.round(
+                    1.0 - F.col("n") * F.col("sdr") / (2.0 * F.col("sl")), 6
+                ).alias("xi"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("direction")
+
+
+CCF_MAX_LAG = 7  # lead-lag scan window (days, both directions)
+
+
+def q_ccf_leadlag(spark, sf_dir):
+    """Cross-correlation function between the daily click series x and
+    the daily purchase series y at lags −CCF_MAX_LAG..+CCF_MAX_LAG —
+    the lead-lag detector (a positive-lag peak means clicks LEAD
+    purchases by that many days; the argmax lag calibrates attribution
+    windows). Per lag: Pearson corr(x_t, y_{t+lag}) over the overlapping
+    days, via the engines' native sample-corr aggregate on the lag-joined
+    pairs. The daily series is calendar-bounded; the lag join is
+    series × (2·MAXLAG+1) on an integer index — trivially small at any
+    corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = idx.select("i", "x")
+    b = idx.select(F.col("i").alias("j"), "y")
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("j") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("x", "y"), 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -11984,4 +12180,8 @@ QUERIES = {
     "wasserstein_drift": q_wasserstein_drift,
     "diff_in_diff": q_diff_in_diff,
     "js_divergence": q_js_divergence,
+    "levene_test": q_levene_test,
+    "hill_tail_index": q_hill_tail_index,
+    "chatterjee_xi": q_chatterjee_xi,
+    "ccf_leadlag": q_ccf_leadlag,
 }
