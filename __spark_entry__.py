@@ -4795,6 +4795,130 @@ def _ccf_leadlag_sql() -> str:
     """
 
 
+def _isotonic_calibration_sql() -> str:
+    from deusu_spark.pipelines import CALIB_BINS
+
+    return f"""
+        WITH {_ft_p_ctes()},
+             l AS (SELECT s.doc_id, p,
+                          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             bins AS (SELECT least(CAST(floor(p * {CALIB_BINS}) AS INTEGER),
+                                   {CALIB_BINS - 1}) AS bin,
+                             count(*) AS n, sum(y) AS ysum, avg(p) AS mean_p
+                      FROM l GROUP BY 1),
+             pref AS (SELECT bin, n, ysum, mean_p,
+                             sum(n) OVER (ORDER BY bin) AS cn,
+                             sum(ysum) OVER (ORDER BY bin) AS cy
+                      FROM bins),
+             lo AS (SELECT bin AS a, cn - n AS cn0, cy - ysum AS cy0
+                    FROM pref),
+             hi AS (SELECT bin AS b, cn AS cn1, cy AS cy1 FROM pref),
+             grid AS (SELECT a, b,
+                             (cy1 - cy0) * 1.0 / (cn1 - cn0) AS wavg
+                      FROM lo, hi WHERE a <= b),
+             iso AS (SELECT j, max(inner_min) AS iso_p FROM (
+                        SELECT p2.bin AS j, g.a, min(g.wavg) AS inner_min
+                        FROM grid g, bins p2
+                        WHERE g.a <= p2.bin AND p2.bin <= g.b
+                        GROUP BY 1, 2)
+                     GROUP BY j)
+        SELECT bin, n, round(mean_p, 6) AS mean_p,
+               round(ysum * 1.0 / n, 6) AS obs_rate,
+               round(iso_p, 6) AS iso_p
+        FROM bins JOIN iso ON bin = j ORDER BY bin
+    """
+
+
+def _stratified_ate_sql() -> str:
+    return """
+        WITH cells AS (SELECT event_type AS stratum,
+                              CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END
+                                  AS treated,
+                              count(*) AS n, avg(value) AS m,
+                              var_samp(value) AS s2
+                       FROM events GROUP BY 1, 2),
+             s AS (SELECT stratum,
+                          sum(CASE WHEN treated = 1 THEN n END) AS n_treat,
+                          sum(CASE WHEN treated = 0 THEN n END) AS n_ctrl,
+                          sum(CASE WHEN treated = 1 THEN m END) AS m1,
+                          sum(CASE WHEN treated = 0 THEN m END) AS m0,
+                          sum(s2 / n) AS var_s
+                   FROM cells GROUP BY stratum),
+             per AS (SELECT stratum, n_treat, n_ctrl, m1, m0,
+                            m1 - m0 AS diff, n_treat + n_ctrl AS n_s, var_s
+                     FROM s),
+             tot AS (SELECT round(sum(n_s * diff) / sum(n_s), 6) AS ate,
+                            round(sqrt(sum(n_s * n_s * var_s)
+                                       / (sum(n_s) * sum(n_s))), 6)
+                                AS ate_se
+                     FROM per)
+        SELECT stratum, CAST(n_treat AS BIGINT) AS n_treat,
+               CAST(n_ctrl AS BIGINT) AS n_ctrl,
+               round(m1, 6) AS mean_treat, round(m0, 6) AS mean_ctrl,
+               round(diff, 6) AS diff, ate, ate_se
+        FROM per, tot ORDER BY stratum
+    """
+
+
+def _regression_diagnostics_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS y
+                       FROM events GROUP BY 1),
+             idx AS (SELECT day,
+                            CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                                AS x,
+                            y
+                     FROM daily),
+             st AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                           covar_pop(x, y) / var_pop(x) AS slope,
+                           var_pop(x) * count(*) AS sxx
+                    FROM idx),
+             rows_ AS (SELECT day, x, y, n, mx, sxx,
+                              (my - slope * mx) + slope * x AS fitted,
+                              y - (my - slope * mx) - slope * x AS e
+                       FROM idx, st),
+             s2 AS (SELECT sum(e * e) / (max(n) - 2) AS s2 FROM rows_),
+             d2 AS (SELECT day, x, y, fitted, e, s2,
+                           1.0 / n + (x - mx) * (x - mx) / sxx AS h
+                    FROM rows_, s2)
+        SELECT day, CAST(x AS BIGINT) AS i, CAST(y AS BIGINT) AS cnt,
+               round(fitted, 6) AS fitted,
+               round(h, 6) AS leverage,
+               round(e / sqrt(s2 * (1.0 - h)), 6) AS stud_resid,
+               round((e / sqrt(s2 * (1.0 - h)))
+                     * (e / sqrt(s2 * (1.0 - h)))
+                     * h / (2.0 * (1.0 - h)), 6) AS cooks_d
+        FROM d2 ORDER BY day
+    """
+
+
+def _page_hinkley_sql() -> str:
+    from deusu_spark.pipelines import PH_DELTA, PH_LAMBDA
+
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+                       FROM events GROUP BY 1),
+             m AS (SELECT day, x,
+                          avg(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                       PRECEDING AND CURRENT ROW) AS m
+                   FROM daily),
+             cum AS (SELECT day, x,
+                            sum(x - m - {PH_DELTA}) OVER (ORDER BY day ROWS
+                                BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                AS cum
+                     FROM m),
+             ph AS (SELECT day, x,
+                           cum - min(cum) OVER (ORDER BY day ROWS BETWEEN
+                               UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+                    FROM cum)
+        SELECT day, round(x, 6) AS daily_mean, round(ph, 6) AS ph,
+               CASE WHEN ph > {PH_LAMBDA} THEN 1 ELSE 0 END AS alarm
+        FROM ph ORDER BY day
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6002,6 +6126,10 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail_index": _hill_tail_index_sql(),
         "chatterjee_xi": _chatterjee_xi_sql(),
         "ccf_leadlag": _ccf_leadlag_sql(),
+        "isotonic_calibration": _isotonic_calibration_sql(),
+        "stratified_ate": _stratified_ate_sql(),
+        "regression_diagnostics": _regression_diagnostics_sql(),
+        "page_hinkley": _page_hinkley_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -11946,6 +11946,256 @@ def q_ccf_leadlag(spark, sf_dir):
     )
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of q_classifier_score's probabilities
+    over the CALIB_BINS reliability deciles — the nonparametric
+    recalibration that fixes what q_brier_calibration only measures:
+    the fitted curve is monotone in the score and minimizes weighted
+    squared error. Instead of the sequential pool-adjacent-violators
+    loop, the fit uses PAV's closed-form minimax characterization
+    iso_j = max_{a≤j} min_{b≥j} weightedmean(y over bins a..b) — over B
+    bins that is a B³-row bounded lattice (B=10 → 220 rows) built from
+    prefix sums, fully declarative, no iteration and no driver loop; the
+    only data-sized work is the classifier scoring itself (JVM md5
+    arithmetic) and ONE groupBy into B bins."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = _ft_doc_p(d).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binc = F.least(
+        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    bins = labeled.groupBy(binc.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("ysum"),
+        F.avg("p").alias("mean_p"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # ≤ CALIB_BINS rows — bounded
+    pref = bins.select(
+        "bin",
+        "n",
+        "ysum",
+        "mean_p",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("ysum").over(wcum).alias("cy"),
+    )
+    lo = pref.select(
+        F.col("bin").alias("a"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cy") - F.col("ysum")).alias("cy0"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("b"), F.col("cn").alias("cn1"), F.col("cy").alias("cy1")
+    )
+    grid = (
+        lo.crossJoin(hi)
+        .where(F.col("a") <= F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("cy1") - F.col("cy0"))
+                / (F.col("cn1") - F.col("cn0"))
+            ).alias("wavg"),
+        )
+    )
+    js = bins.select(F.col("bin").alias("j"))
+    iso = (
+        grid.crossJoin(js)
+        .where((F.col("a") <= F.col("j")) & (F.col("j") <= F.col("b")))
+        .groupBy("j", "a")
+        .agg(F.min("wavg").alias("inner_min"))
+        .groupBy("j")
+        .agg(F.max("inner_min").alias("iso_p"))
+    )
+    return (
+        bins.join(iso, F.col("bin") == F.col("j"))
+        .select(
+            "bin",
+            "n",
+            F.round("mean_p", 6).alias("mean_p"),
+            F.round(F.col("ysum") / F.col("n"), 6).alias("obs_rate"),
+            F.round("iso_p", 6).alias("iso_p"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_stratified_ate(spark, sf_dir):
+    """Stratified average-treatment-effect estimate over the events
+    stream — the post-stratification causal readout (q_diff_in_diff's
+    sibling when there is no pre-period): treated = odd user_id, strata =
+    event_type, ATE = Σ_s (n_s/N)·(ȳ₁ₛ − ȳ₀ₛ) with the per-stratum
+    unequal-variance SE folded in quadrature. ONE groupBy over
+    strata × arm cells — every moment reduces map-side; the stratum
+    rollup is |event_type| rows. Per-stratum rows carry the constant ATE
+    column so the whole readout is one table."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("stratum"),
+            (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("stratum", "treated")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("v").alias("m"),
+            F.var_samp("v").alias("s2"),
+        )
+    )
+    s = cells.groupBy("stratum").pivot("treated", [0, 1]).agg(
+        F.sum("n").alias("n"),
+        F.sum("m").alias("m"),
+        F.sum(F.col("s2") / F.col("n")).alias("vn"),
+    )
+    per = s.select(
+        "stratum",
+        F.col("1_n").alias("n_treat"),
+        F.col("0_n").alias("n_ctrl"),
+        F.round("1_m", 6).alias("mean_treat"),
+        F.round("0_m", 6).alias("mean_ctrl"),
+        (F.col("1_m") - F.col("0_m")).alias("diff"),
+        (F.col("0_n") + F.col("1_n")).alias("n_s"),
+        (F.col("0_vn") + F.col("1_vn")).alias("var_s"),
+    )
+    tot = per.agg(
+        F.round(
+            F.sum(F.col("n_s") * F.col("diff")) / F.sum("n_s"), 6
+        ).alias("ate"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.col("n_s") * F.col("n_s") * F.col("var_s")
+                )
+                / (F.sum("n_s") * F.sum("n_s"))
+            ),
+            6,
+        ).alias("ate_se"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_treat",
+            "n_ctrl",
+            "mean_treat",
+            "mean_ctrl",
+            F.round("diff", 6).alias("diff"),
+            "ate",
+            "ate_se",
+        )
+        .orderBy("stratum")
+    )
+
+
+def q_regression_diagnostics(spark, sf_dir):
+    """Influence diagnostics for the daily-count trend regression —
+    leverage, internally-studentized residuals and Cook's distance per
+    day, the standard audit (which days BEND the trend line?) behind
+    q_regression_trend's slope. OLS of daily count y on day index x:
+    h_i = 1/n + (x−x̄)²/Sxx, r_i = e_i/√(s²(1−h_i)),
+    D_i = r_i²·h_i/(p(1−h_i)) with p = 2. Slope/intercept come from the
+    engines' native covar_pop/var_pop aggregates; s² needs one more
+    bounded pass over the calendar-sized series. Everything after the
+    daily groupBy is calendar-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("x"),
+        "y",
+    )
+    st = idx.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+        (F.var_pop("x") * F.count("*")).alias("sxx"),
+    ).withColumn("icept", F.col("my") - F.col("slope") * F.col("mx"))
+    rows = idx.crossJoin(F.broadcast(st)).select(
+        "day",
+        "x",
+        "y",
+        "n",
+        "mx",
+        "sxx",
+        (F.col("icept") + F.col("slope") * F.col("x")).alias("fitted"),
+        (F.col("y") - F.col("icept") - F.col("slope") * F.col("x")).alias(
+            "e"
+        ),
+    )
+    s2 = rows.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.max("n") - 2)).alias("s2")
+    )
+    h = 1.0 / F.col("n") + (F.col("x") - F.col("mx")) * (
+        F.col("x") - F.col("mx")
+    ) / F.col("sxx")
+    stud = F.col("e") / F.sqrt(F.col("s2") * (1.0 - h))
+    return (
+        rows.crossJoin(F.broadcast(s2))
+        .select(
+            "day",
+            F.col("x").cast("long").alias("i"),
+            F.col("y").cast("long").alias("cnt"),
+            F.round("fitted", 6).alias("fitted"),
+            F.round(h, 6).alias("leverage"),
+            F.round(stud, 6).alias("stud_resid"),
+            F.round(stud * stud * h / (2.0 * (1.0 - h)), 6).alias(
+                "cooks_d"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+PH_DELTA = 0.05  # Page-Hinkley drift tolerance
+PH_LAMBDA = 5.0  # alarm threshold
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley sequential drift detector over the daily mean event
+    value — the ONLINE changepoint test (CUSUM's running-mean sibling:
+    q_cusum_changepoint tests against the global mean and so needs the
+    whole series; Page-Hinkley compares each point to the mean SO FAR,
+    the form a streaming monitor can maintain incrementally).
+    PH_t = Σ_{i≤t}(x_i − m_i − δ) − min_{j≤t} Σ_{i≤j}(…), alarm when
+    PH_t > λ. Three stacked running windows (mean, cumsum, running min)
+    over the calendar-bounded daily series — the documented
+    bounded-window pattern; the per-day reduce is the only data-sized
+    step. Both engines evaluate the identical double recurrence in day
+    order, so values match bit-for-bit before rounding."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.select(
+        "day", "x", F.avg("x").over(w).alias("m")
+    )
+    cum = m.select(
+        "day",
+        "x",
+        F.sum(F.col("x") - F.col("m") - PH_DELTA).over(w).alias("cum"),
+    )
+    ph = cum.select(
+        "day",
+        "x",
+        (F.col("cum") - F.min("cum").over(w)).alias("ph"),
+    )
+    return ph.select(
+        "day",
+        F.round("x", 6).alias("daily_mean"),
+        F.round("ph", 6).alias("ph"),
+        (F.col("ph") > PH_LAMBDA).cast("int").alias("alarm"),
+    ).orderBy("day")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -12184,4 +12434,8 @@ QUERIES = {
     "hill_tail_index": q_hill_tail_index,
     "chatterjee_xi": q_chatterjee_xi,
     "ccf_leadlag": q_ccf_leadlag,
+    "isotonic_calibration": q_isotonic_calibration,
+    "stratified_ate": q_stratified_ate,
+    "regression_diagnostics": q_regression_diagnostics,
+    "page_hinkley": q_page_hinkley,
 }
