@@ -4919,6 +4919,137 @@ def _page_hinkley_sql() -> str:
     """
 
 
+def _flesch_readability_sql() -> str:
+    return r"""
+        WITH rows_ AS (SELECT lang,
+                 len(list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '')) AS w,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                 greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                          1) AS y
+               FROM documents),
+             f AS (SELECT lang, w, s, y,
+                          206.835
+                          - 1.015 * greatest(w, 1) * 1.0 / s
+                          - 84.6 * y * 1.0 / greatest(w, 1) AS fre
+                   FROM rows_)
+        SELECT lang, count(*) AS n_docs,
+               round(avg(w), 6) AS avg_words,
+               round(avg(s), 6) AS avg_sentences,
+               round(avg(y * 1.0 / greatest(w, 1)), 6) AS avg_syll_per_word,
+               round(avg(fre), 6) AS avg_fre,
+               round(avg(CASE WHEN fre < 30 THEN 1 ELSE 0 END), 6)
+                   AS frac_hard
+        FROM f GROUP BY lang ORDER BY lang
+    """
+
+
+def _burrows_delta_sql() -> str:
+    from deusu_spark.pipelines import BURROWS_TOPM
+
+    return f"""
+        WITH tok AS ({_TOKS}),
+             st AS (SELECT source, t, count(*) AS c_st
+                    FROM tok JOIN documents USING (doc_id) GROUP BY 1, 2),
+             totals AS (SELECT source, sum(c_st) AS t_s FROM st GROUP BY 1),
+             top AS (SELECT t FROM (SELECT t, sum(c_st) AS c FROM st
+                                    GROUP BY t
+                                    ORDER BY c DESC, t
+                                    LIMIT {BURROWS_TOPM})),
+             grid AS (SELECT totals.source, top.t,
+                             coalesce(st.c_st, 0) * 1.0 / totals.t_s AS f
+                      FROM totals CROSS JOIN top
+                      LEFT JOIN st ON st.source = totals.source
+                                  AND st.t = top.t),
+             mus AS (SELECT t, avg(f) AS mu, stddev_pop(f) AS sd
+                     FROM grid GROUP BY t),
+             z AS (SELECT source, t, (f - mu) / sd AS z
+                   FROM grid JOIN mus USING (t) WHERE sd > 0)
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_markers,
+               round(avg(abs(a.z - b.z)), 6) AS delta
+        FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _rbo_rankings_sql() -> str:
+    from deusu_spark.pipelines import RBO_K, RBO_P
+
+    return f"""
+        WITH spend AS (SELECT o_custkey,
+                              row_number() OVER (ORDER BY v DESC, o_custkey)
+                                  AS ra
+                       FROM (SELECT o_custkey, sum(o_totalprice) AS v
+                             FROM orders GROUP BY 1
+                             ORDER BY v DESC, o_custkey LIMIT {RBO_K})),
+             freq AS (SELECT o_custkey,
+                             row_number() OVER (ORDER BY v DESC, o_custkey)
+                                 AS rb
+                      FROM (SELECT o_custkey, count(*) AS v
+                            FROM orders GROUP BY 1
+                            ORDER BY v DESC, o_custkey LIMIT {RBO_K})),
+             joint AS (SELECT greatest(ra, rb) AS m
+                       FROM spend JOIN freq USING (o_custkey)),
+             depths AS (SELECT CAST(unnest(range(1, {RBO_K} + 1))
+                                    AS INTEGER) AS d),
+             xd AS (SELECT d,
+                           sum(CASE WHEN m <= d THEN 1 ELSE 0 END) AS x
+                    FROM depths CROSS JOIN joint GROUP BY d)
+        SELECT {RBO_K} AS k,
+               CAST(max(CASE WHEN d = {RBO_K} THEN x END) AS BIGINT)
+                   AS n_common,
+               round(max(CASE WHEN d = {RBO_K} THEN x END)
+                     / CAST({RBO_K} AS DOUBLE), 6) AS overlap_at_k,
+               round({1.0 - RBO_P} * sum(pow({RBO_P}, d - 1) * x / d), 6)
+                   AS rbo
+        FROM xd
+    """
+
+
+def _hurst_exponent_sql() -> str:
+    from deusu_spark.pipelines import HURST_WINDOWS
+
+    parts = []
+    for w in HURST_WINDOWS:
+        parts.append(f"""
+            SELECT {w} AS w, count(*) AS n_blocks, avg(r / sd) AS rs_avg
+            FROM (SELECT blk, sd, max(cum) - min(cum) AS r
+                  FROM (SELECT s.blk, s.i, b.sd,
+                               sum(s.x - b.mx) OVER (PARTITION BY s.blk
+                                   ORDER BY s.i ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cum
+                        FROM (SELECT i, x,
+                                     CAST(floor((i - 1) / {w}) AS BIGINT)
+                                         AS blk
+                              FROM idx) s
+                        JOIN (SELECT CAST(floor((i - 1) / {w}) AS BIGINT)
+                                         AS blk,
+                                     count(*) AS n, avg(x) AS mx,
+                                     stddev_pop(x) AS sd
+                              FROM idx GROUP BY 1) b
+                          ON s.blk = b.blk AND b.n = {w})
+                  GROUP BY blk, sd)
+            WHERE sd > 0
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                               CAST(count(*) AS DOUBLE) AS x
+                        FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY h) AS i, x
+                     FROM hourly),
+             u AS ({union}),
+             st AS (SELECT covar_pop(ln(w), ln(rs_avg)) / var_pop(ln(w))
+                        AS hurst
+                    FROM u)
+        SELECT w, CAST(n_blocks AS BIGINT) AS n_blocks,
+               round(rs_avg, 6) AS rs_avg, round(hurst, 6) AS hurst
+        FROM u, st ORDER BY w
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6130,6 +6261,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_ate": _stratified_ate_sql(),
         "regression_diagnostics": _regression_diagnostics_sql(),
         "page_hinkley": _page_hinkley_sql(),
+        "flesch_readability": _flesch_readability_sql(),
+        "burrows_delta": _burrows_delta_sql(),
+        "rbo_rankings": _rbo_rankings_sql(),
+        "hurst_exponent": _hurst_exponent_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

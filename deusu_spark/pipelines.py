@@ -12196,6 +12196,266 @@ def q_page_hinkley(spark, sf_dir):
     ).orderBy("day")
 
 
+def q_flesch_readability(spark, sf_dir):
+    """Per-language Flesch reading-ease profile — the classic readability
+    gate (FRE = 206.835 − 1.015·words/sentences − 84.6·syllables/words)
+    that curation pipelines run alongside q_gopher_rules: very low FRE
+    flags legalese/boilerplate, implausibly high FRE flags word salad.
+    Sentences are [.!?]+ runs, syllables the standard vowel-group
+    approximation [aeiouy]+ — both via the engines' native regexp
+    counters (JVM codegen here, regexp_extract_all length in the
+    oracle), denominators clamped ≥1. Everything is a per-row expression
+    feeding ONE map-side-combinable groupBy on lang — embarrassingly
+    parallel at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    )
+    sents = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+    syll = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    wc = F.greatest(words, F.lit(1)).cast("double")
+    fre = (
+        206.835
+        - 1.015 * wc / sents.cast("double")
+        - 84.6 * syll.cast("double") / wc
+    )
+    rows = d.select(
+        "lang",
+        words.alias("w"),
+        sents.alias("s"),
+        syll.alias("y"),
+        fre.alias("fre"),
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("w"), 6).alias("avg_words"),
+            F.round(F.avg("s"), 6).alias("avg_sentences"),
+            F.round(F.avg(F.col("y") / F.greatest(F.col("w"), F.lit(1))), 6).alias(
+                "avg_syll_per_word"
+            ),
+            F.round(F.avg("fre"), 6).alias("avg_fre"),
+            F.round(F.avg((F.col("fre") < 30).cast("int")), 6).alias(
+                "frac_hard"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+BURROWS_TOPM = 20  # marker words entering the delta (corpus top-M)
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between every pair of sources
+    — the authorship/provenance fingerprint (which crawl domains write
+    alike?) built on the corpus's top-M function words: per source the
+    relative frequency of each marker word, z-scored across sources
+    (population σ), Delta(a,b) = mean |z_a − z_b| over the M markers.
+    Scale shape: marker selection is a corpus top-M (TakeOrdered, tiny,
+    broadcast), per-(source, marker) counts reduce map-side, and
+    everything after is a |sources|×M grid and its |sources|² pair
+    matrix — bounded by the domain count, never by tokens. Markers with
+    σ = 0 (identical frequency everywhere) are excluded from the mean in
+    both engines."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        _tokens(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c_st"))
+    )
+    totals = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    top = (
+        st.groupBy("t")
+        .agg(F.sum("c_st").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(BURROWS_TOPM)
+        .select("t")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(st, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (F.coalesce(F.col("c_st"), F.lit(0)) / F.col("t_s")).alias("f"),
+        )
+    )
+    mus = grid.groupBy("t").agg(
+        F.avg("f").alias("mu"), F.stddev_pop("f").alias("sd")
+    )
+    z = (
+        grid.join(F.broadcast(mus), "t")
+        .where(F.col("sd") > 0)
+        .select(
+            "source", "t", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "t", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "t", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_markers"),
+            F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias(
+                "delta"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+RBO_K = 50  # ranking depth
+RBO_P = 0.9  # top-weightedness (expected evaluation depth 1/(1-p) = 10)
+
+
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (Webber 2010, truncated lower-bound form)
+    between two customer rankings — by total spend vs by order count —
+    the top-weighted ranking-stability metric that, unlike Kendall/
+    Spearman, handles non-conjoint top-k lists: RBO@k =
+    (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d. The incremental-intersection
+    trick keeps it closed-form: an item with ranks (ra, rb) in the two
+    lists enters the overlap at depth max(ra, rb), so X_d is one bounded
+    count per depth. Both top-k lists are TakeOrdered (per-partition
+    heaps, deterministic custkey tiebreak); every later step is ≤ k
+    rows. One row out."""
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("v"))
+        .orderBy(F.desc("v"), F.asc("o_custkey"))
+        .limit(RBO_K)
+        .select(
+            "o_custkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("o_custkey")))
+            .alias("ra"),
+        )
+    )
+    freq = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("v"))
+        .orderBy(F.desc("v"), F.asc("o_custkey"))
+        .limit(RBO_K)
+        .select(
+            "o_custkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("o_custkey")))
+            .alias("rb"),
+        )
+    )
+    joint = spend.join(freq, "o_custkey").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, RBO_K + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    xd = (
+        depths.crossJoin(joint)
+        .groupBy("d")
+        .agg(F.sum((F.col("m") <= F.col("d")).cast("int")).alias("x"))
+    )
+    return xd.agg(
+        F.lit(RBO_K).alias("k"),
+        F.max(F.when(F.col("d") == RBO_K, F.col("x"))).alias("n_common"),
+        F.round(
+            F.max(F.when(F.col("d") == RBO_K, F.col("x"))) / float(RBO_K), 6
+        ).alias("overlap_at_k"),
+        F.round(
+            (1.0 - RBO_P)
+            * F.sum(
+                F.pow(F.lit(RBO_P), F.col("d") - 1) * F.col("x") / F.col("d")
+            ),
+            6,
+        ).alias("rbo"),
+    )
+
+
+HURST_WINDOWS = [8, 16, 32, 64]  # dyadic R/S block sizes (hours)
+
+
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the hourly event-count series via classic
+    rescaled-range (R/S) analysis — the long-memory diagnostic (H ≈ 0.5
+    random walk, H > 0.5 persistent/trending load, H < 0.5
+    mean-reverting) capacity planners fit before trusting short-window
+    autoscaling. Per dyadic block size w: split the observed-hour series
+    into complete blocks, R = range of the within-block cumulative
+    deviation, S = population σ, average R/S over blocks; H = the
+    log-log slope of avg(R/S) vs w via the native covar_pop/var_pop
+    aggregates. The hourly reduce is the only data-sized step; blocks,
+    windows and the 4-point regression are calendar-bounded. Per-w rows
+    carry the constant H so the readout is one table."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    idx = hourly.select(
+        F.row_number().over(Window.orderBy("h")).alias("i"), "x"
+    )
+    per_w = []
+    for w in HURST_WINDOWS:
+        s = idx.select(
+            "i", "x", F.floor((F.col("i") - 1) / w).alias("blk")
+        )
+        blk = s.groupBy("blk").agg(
+            F.count("*").alias("n"),
+            F.avg("x").alias("mx"),
+            F.stddev_pop("x").alias("sd"),
+        )
+        cum = (
+            s.join(blk.where(F.col("n") == w), "blk")
+            .withColumn(
+                "cum",
+                F.sum(F.col("x") - F.col("mx")).over(
+                    Window.partitionBy("blk")
+                    .orderBy("i")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("blk", "sd")
+            .agg((F.max("cum") - F.min("cum")).alias("r"))
+        )
+        per_w.append(
+            cum.where(F.col("sd") > 0)
+            .agg(
+                F.lit(w).alias("w"),
+                F.count("*").alias("n_blocks"),
+                F.avg(F.col("r") / F.col("sd")).alias("rs_avg"),
+            )
+        )
+    u = per_w[0]
+    for p in per_w[1:]:
+        u = u.unionByName(p)
+    st = u.agg(
+        (
+            F.covar_pop(F.log("w"), F.log("rs_avg"))
+            / F.var_pop(F.log("w"))
+        ).alias("hurst")
+    )
+    return (
+        u.crossJoin(F.broadcast(st))
+        .select(
+            "w",
+            "n_blocks",
+            F.round("rs_avg", 6).alias("rs_avg"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy("w")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -12438,4 +12698,8 @@ QUERIES = {
     "stratified_ate": q_stratified_ate,
     "regression_diagnostics": q_regression_diagnostics,
     "page_hinkley": q_page_hinkley,
+    "flesch_readability": q_flesch_readability,
+    "burrows_delta": q_burrows_delta,
+    "rbo_rankings": q_rbo_rankings,
+    "hurst_exponent": q_hurst_exponent,
 }
