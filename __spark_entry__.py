@@ -5050,6 +5050,158 @@ def _hurst_exponent_sql() -> str:
     """
 
 
+def _em_gmm_sql() -> str:
+    from deusu_spark.pipelines import _SQRT_2PI, EM_ROUNDS
+
+    def pdf(mu: str, sd: str) -> str:
+        return (
+            f"exp(-(x - {mu}) * (x - {mu}) / (2.0 * {sd} * {sd}))"
+            f" / ({sd} * {_SQRT_2PI})"
+        )
+
+    ctes = [
+        "xs AS MATERIALIZED (SELECT ln(o_totalprice) AS x FROM orders)",
+        """base AS (SELECT count(*) * 1.0 AS n, avg(x) AS m,
+                           stddev_pop(x) AS s, sum(x) AS sx,
+                           sum(x * x) AS sxx
+                    FROM xs)""",
+        """p0 AS (SELECT n, sx, sxx, 0.5 AS w1, 0.5 AS w2,
+                         m - s AS mu1, m + s AS mu2, s AS sd1, s AS sd2
+                  FROM base)""",
+    ]
+    p1, p2 = pdf("mu1", "sd1"), pdf("mu2", "sd2")
+    for i in range(1, EM_ROUNDS + 1):
+        ctes.append(f"""st{i} AS MATERIALIZED (
+            SELECT any_value(n) AS n, any_value(sx) AS sx,
+                   any_value(sxx) AS sxx,
+                   sum(r) AS s0, sum(r * x) AS s1, sum(r * x * x) AS s2
+            FROM (SELECT x, n, sx, sxx,
+                         (w2 * {p2}) / (w1 * {p1} + w2 * {p2}) AS r
+                  FROM xs, p{i - 1}))""")
+        mu1new = "(sx - s1) / (n - s0)"
+        ctes.append(f"""p{i} AS (SELECT n, sx, sxx,
+                1.0 - s0 / n AS w1, s0 / n AS w2,
+                {mu1new} AS mu1, s1 / s0 AS mu2,
+                sqrt((sxx - s2) / (n - s0) - {mu1new} * {mu1new}) AS sd1,
+                sqrt(s2 / s0 - (s1 / s0) * (s1 / s0)) AS sd2
+                FROM st{i})""")
+    last = f"p{EM_ROUNDS}"
+    ctes.append(
+        f"ll AS (SELECT sum(ln(w1 * {p1} + w2 * {p2})) AS ll "
+        f"FROM xs, {last})"
+    )
+    chain = ",\n ".join(ctes)
+    return f"""
+        WITH {chain}
+        SELECT 1 AS comp, CAST(p.n AS BIGINT) AS n,
+               round(p.w1, 6) AS weight, round(p.mu1, 6) AS mu,
+               round(p.sd1, 6) AS sigma, round(l.ll, 6) AS loglik
+        FROM {last} p, ll l
+        UNION ALL
+        SELECT 2, CAST(p.n AS BIGINT), round(p.w2, 6), round(p.mu2, 6),
+               round(p.sd2, 6), round(l.ll, 6)
+        FROM {last} p, ll l
+        ORDER BY comp
+    """
+
+
+def _granger_causality_sql() -> str:
+    def side(direction: str, y: str, z1: str, z2: str) -> str:
+        return f"""
+            SELECT '{direction}' AS direction, CAST(n AS BIGINT) AS n_days,
+                   round(sse_r, 6) AS sse_restricted,
+                   round(sse_u, 6) AS sse_unrestricted,
+                   round((sse_r - sse_u) / (sse_u / (n - 3)), 6) AS f_stat
+            FROM (SELECT n, syy * n - b * s1y * n - cc * s2y * n AS sse_u,
+                         (syy - s1y * s1y / s11) * n AS sse_r
+                  FROM (SELECT n, s11, s12, s1y, s2y, syy,
+                               (s1y * s22 - s2y * s12)
+                                   / (s11 * s22 - s12 * s12) AS b,
+                               (s2y * s11 - s1y * s12)
+                                   / (s11 * s22 - s12 * s12) AS cc
+                        FROM (SELECT count(*) AS n,
+                                     covar_pop({z1}, {z1}) AS s11,
+                                     covar_pop({z2}, {z2}) AS s22,
+                                     covar_pop({z1}, {z2}) AS s12,
+                                     covar_pop({z1}, {y}) AS s1y,
+                                     covar_pop({z2}, {y}) AS s2y,
+                                     var_pop({y}) AS syy
+                              FROM lg)))
+        """
+
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS c,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS p
+               FROM events GROUP BY 1),
+             lagged AS (SELECT day, c, p,
+                               lag(c) OVER (ORDER BY day) AS cl,
+                               lag(p) OVER (ORDER BY day) AS pl
+                        FROM daily),
+             lg AS (SELECT * FROM lagged WHERE cl IS NOT NULL)
+        SELECT * FROM ({side("click_to_purchase", "p", "pl", "cl")}
+        UNION ALL {side("purchase_to_click", "c", "cl", "pl")})
+        ORDER BY direction
+    """
+
+
+def _weibull_fit_sql() -> str:
+    import math as _m
+
+    from deusu_spark.pipelines import _EULER_GAMMA
+
+    pi, sq6, ln2 = _m.pi, _m.sqrt(6.0), _m.log(2.0)
+    k = f"{pi} / (slx * {sq6})"
+    return f"""
+        WITH gaps AS (SELECT ln(gap * 1.0) AS lx FROM (
+                 SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                        - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                            AS gap
+                 FROM events) WHERE gap > 0),
+             st AS (SELECT count(*) AS n, avg(lx) AS mlx,
+                           stddev_pop(lx) AS slx
+                    FROM gaps)
+        SELECT n, round(mlx, 6) AS mean_ln_gap, round(slx, 6) AS sd_ln_gap,
+               round({k}, 6) AS k_shape,
+               round(exp(mlx + {_EULER_GAMMA} / ({k})), 6) AS lambda_scale,
+               round(exp(mlx + {_EULER_GAMMA} / ({k}))
+                     * pow({ln2}, 1.0 / ({k})), 6) AS fitted_median
+        FROM st
+    """
+
+
+def _bayesian_ab_sql() -> str:
+    return """
+        WITH users AS (SELECT user_id,
+                              max(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS conv
+                       FROM events GROUP BY 1),
+             arms AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                             count(*) AS n, sum(conv) AS k
+                      FROM users GROUP BY 1),
+             pm AS (SELECT arm, n, k, k + 1.0 AS alpha, n - k + 1.0 AS beta,
+                           (k + 1.0) / (n + 2.0) AS pm,
+                           (k + 1.0) * (n - k + 1.0)
+                               / ((n + 2.0) * (n + 2.0) * (n + 3.0)) AS pv
+                    FROM arms),
+             cmp_ AS (SELECT round(max(CASE WHEN arm = 1 THEN pm END)
+                                   - max(CASE WHEN arm = 0 THEN pm END), 6)
+                                 AS diff_mean,
+                             round(sqrt(sum(pv)), 6) AS diff_sd,
+                             round((max(CASE WHEN arm = 1 THEN pm END)
+                                    - max(CASE WHEN arm = 0 THEN pm END))
+                                   / sqrt(sum(pv)), 6) AS z
+                      FROM pm)
+        SELECT arm, n, CAST(k AS BIGINT) AS k,
+               round(pm, 6) AS post_mean, round(sqrt(pv), 6) AS post_sd,
+               diff_mean, diff_sd, z
+        FROM pm, cmp_ ORDER BY arm
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6265,6 +6417,10 @@ def oracle_sql() -> dict[str, str]:
         "burrows_delta": _burrows_delta_sql(),
         "rbo_rankings": _rbo_rankings_sql(),
         "hurst_exponent": _hurst_exponent_sql(),
+        "em_gmm": _em_gmm_sql(),
+        "granger_causality": _granger_causality_sql(),
+        "weibull_fit": _weibull_fit_sql(),
+        "bayesian_ab": _bayesian_ab_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -12456,6 +12456,267 @@ def q_hurst_exponent(spark, sf_dir):
     )
 
 
+EM_ROUNDS = 5  # fixed EM iterations (engine-reproducible, converged-enough)
+_SQRT_2PI = 2.5066282746310002
+
+
+def q_em_gmm(spark, sf_dir):
+    """Two-component 1-D Gaussian mixture over log order price, fit with
+    EM run for a FIXED round count — the classic unsupervised
+    segmentation (consumer vs bulk order regimes) and the canonical
+    iterative-refinement workload. Deterministic moment init
+    (μ = m ∓ σ, equal weights), then each round is ONE
+    map-side-combinable aggregate: the E-step responsibilities are a
+    closed-form row expression in the previous round's scalar params, and
+    the M-step needs only the sufficient statistics (Σr, Σrx, Σrx²) plus
+    the round-invariant global sums — so EM_ROUNDS+2 data passes total,
+    no per-row state, params live on the driver as a handful of doubles
+    (the same bounded-scalar loop shape as q_markov_attribution). The
+    final log-likelihood pass stays in the returned plan."""
+    o = _t(spark, sf_dir, "orders")
+    xs = o.select(F.log("o_totalprice").alias("x"))
+    base = xs.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("m"),
+        F.stddev_pop("x").alias("s"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).first()
+    n, gsx, gsxx = float(base["n"]), base["sx"], base["sxx"]
+    w1, w2 = 0.5, 0.5
+    mu1, mu2 = base["m"] - base["s"], base["m"] + base["s"]
+    sd1, sd2 = base["s"], base["s"]
+
+    def pdf(mu, sd):
+        return F.exp(
+            -(F.col("x") - mu) * (F.col("x") - mu) / (2.0 * sd * sd)
+        ) / (sd * _SQRT_2PI)
+
+    for _ in range(EM_ROUNDS):
+        r = (w2 * pdf(mu2, sd2)) / (w1 * pdf(mu1, sd1) + w2 * pdf(mu2, sd2))
+        st = xs.select("x", r.alias("r")).agg(
+            F.sum("r").alias("s0"),
+            F.sum(F.col("r") * F.col("x")).alias("s1"),
+            F.sum(F.col("r") * F.col("x") * F.col("x")).alias("s2"),
+        ).first()
+        s0, s1, s2 = st["s0"], st["s1"], st["s2"]
+        w2 = s0 / n
+        mu2 = s1 / s0
+        sd2 = _math.sqrt(s2 / s0 - mu2 * mu2)
+        w1 = 1.0 - w2
+        mu1 = (gsx - s1) / (n - s0)
+        sd1 = _math.sqrt((gsxx - s2) / (n - s0) - mu1 * mu1)
+    ll = xs.agg(
+        F.sum(F.log(w1 * pdf(mu1, sd1) + w2 * pdf(mu2, sd2))).alias("ll")
+    )
+    comps = []
+    for comp, (w, mu, sd) in enumerate(
+        [(w1, mu1, sd1), (w2, mu2, sd2)], start=1
+    ):
+        comps.append(
+            ll.select(
+                F.lit(comp).alias("comp"),
+                F.lit(int(n)).cast("long").alias("n"),
+                F.round(F.lit(w), 6).alias("weight"),
+                F.round(F.lit(mu), 6).alias("mu"),
+                F.round(F.lit(sd), 6).alias("sigma"),
+                F.round(F.col("ll"), 6).alias("loglik"),
+            )
+        )
+    return comps[0].unionByName(comps[1]).orderBy("comp")
+
+
+def q_granger_causality(spark, sf_dir):
+    """Lag-1 Granger causality between the daily click and purchase
+    series, both directions — the significance companion to
+    q_ccf_leadlag's raw correlations: does adding x_{t−1} to an AR(1)
+    model of y reduce SSE more than chance? F = (SSE_r − SSE_u)/1 ÷
+    SSE_u/(n−3), with the restricted (y on y_lag) and unrestricted
+    (y on y_lag + x_lag) OLS fits both in closed form from ONE aggregate
+    of centered cross-moments over the lagged series (2×2 normal
+    equations by Cramer's rule). The daily reduce is the only data-sized
+    step; the lagged join and the moment algebra are calendar-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("double")
+        .alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("p"),
+    )
+    w = Window.orderBy("day")  # calendar-bounded
+    lagged = daily.select(
+        "day",
+        "c",
+        "p",
+        F.lag("c").over(w).alias("cl"),
+        F.lag("p").over(w).alias("pl"),
+    ).where(F.col("cl").isNotNull())
+    out = []
+    for name, ycol, z1col, z2col in [
+        ("click_to_purchase", "p", "pl", "cl"),
+        ("purchase_to_click", "c", "cl", "pl"),
+    ]:
+        y, z1, z2 = F.col(ycol), F.col(z1col), F.col(z2col)
+        st = lagged.agg(
+            F.count("*").alias("n"),
+            F.covar_pop(z1, z1).alias("s11"),
+            F.covar_pop(z2, z2).alias("s22"),
+            F.covar_pop(z1, z2).alias("s12"),
+            F.covar_pop(z1, y).alias("s1y"),
+            F.covar_pop(z2, y).alias("s2y"),
+            F.var_pop(y).alias("syy"),
+        )
+        det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+        b = (
+            F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")
+        ) / det
+        cfc = (
+            F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")
+        ) / det
+        sse_u = (
+            F.col("syy") - b * F.col("s1y") - cfc * F.col("s2y")
+        ) * F.col("n")
+        sse_r = (
+            F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11")
+        ) * F.col("n")
+        out.append(
+            st.select(
+                F.lit(name).alias("direction"),
+                F.col("n").alias("n_days"),
+                F.round(sse_r, 6).alias("sse_restricted"),
+                F.round(sse_u, 6).alias("sse_unrestricted"),
+                F.round(
+                    (sse_r - sse_u) / (sse_u / (F.col("n") - 3)), 6
+                ).alias("f_stat"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("direction")
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def q_weibull_fit(spark, sf_dir):
+    """Closed-form Weibull fit of per-user event interarrival times —
+    the parametric generalization of q_interarrival_fit's exponential
+    check (shape k < 1 = bursty/clustered arrivals, k ≈ 1 = Poisson,
+    k > 1 = regularizing): if X ~ Weibull(k, λ) then ln X is Gumbel with
+    Var = π²/(6k²) and E = ln λ − γ/k, so k = π/(σ_lnx·√6) and
+    λ = exp(μ_lnx + γ/k) — method-of-moments in LOG space, no iterative
+    MLE. Interarrivals come from a lag window PARTITIONED by user (never
+    a global sort); the fit is one map-side-combinable aggregate over
+    ln x. One row out, with the fitted median λ(ln2)^{1/k} as the
+    plausibility readout."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).cast("double").alias("gap"),
+        )
+        .where(F.col("gap") > 0)
+        .select(F.log("gap").alias("lx"))
+    )
+    st = gaps.agg(
+        F.count("*").alias("n"),
+        F.avg("lx").alias("mlx"),
+        F.stddev_pop("lx").alias("slx"),
+    )
+    k = float(_math.pi) / (F.col("slx") * _math.sqrt(6.0))
+    lam = F.exp(F.col("mlx") + _EULER_GAMMA / k)
+    return st.select(
+        "n",
+        F.round("mlx", 6).alias("mean_ln_gap"),
+        F.round("slx", 6).alias("sd_ln_gap"),
+        F.round(k, 6).alias("k_shape"),
+        F.round(lam, 6).alias("lambda_scale"),
+        F.round(lam * F.pow(F.lit(_math.log(2.0)), 1.0 / k), 6).alias(
+            "fitted_median"
+        ),
+    )
+
+
+def q_bayesian_ab(spark, sf_dir):
+    """Bayesian A/B readout with Beta-Binomial conjugate posteriors —
+    the decision-ready companion to q_ab_test's frequentist z: per arm
+    (odd/even user_id) the unit is the USER, converted = has ≥1
+    purchase; with a uniform Beta(1,1) prior the posterior is
+    Beta(1+k, 1+n−k), and the arms are compared by the posterior-normal
+    z = (E[p_B] − E[p_A]) / √(Var[p_A] + Var[p_B]) (the standard
+    large-n approximation — exact P(B>A) needs a Beta integral no SQL
+    engine exposes). Per-user conversion is one groupBy, arm rollup is
+    two rows; every moment is closed-form in (n, k). Arm rows carry the
+    constant comparison columns."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arms = (
+        users.groupBy((F.col("user_id") % 2).cast("int").alias("arm"))
+        .agg(F.count("*").alias("n"), F.sum("conv").alias("k"))
+        .select(
+            "arm",
+            "n",
+            "k",
+            (F.col("k") + 1.0).alias("alpha"),
+            (F.col("n") - F.col("k") + 1.0).alias("beta"),
+        )
+        .select(
+            "arm",
+            "n",
+            "k",
+            "alpha",
+            "beta",
+            (F.col("alpha") / (F.col("alpha") + F.col("beta"))).alias("pm"),
+            (
+                F.col("alpha") * F.col("beta")
+                / (
+                    (F.col("alpha") + F.col("beta"))
+                    * (F.col("alpha") + F.col("beta"))
+                    * (F.col("alpha") + F.col("beta") + 1.0)
+                )
+            ).alias("pv"),
+        )
+    )
+    cmpr = arms.agg(
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("pm")))
+            - F.max(F.when(F.col("arm") == 0, F.col("pm"))),
+            6,
+        ).alias("diff_mean"),
+        F.round(F.sqrt(F.sum("pv")), 6).alias("diff_sd"),
+        F.round(
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("pm")))
+                - F.max(F.when(F.col("arm") == 0, F.col("pm")))
+            )
+            / F.sqrt(F.sum("pv")),
+            6,
+        ).alias("z"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(cmpr))
+        .select(
+            "arm",
+            "n",
+            "k",
+            F.round("pm", 6).alias("post_mean"),
+            F.round(F.sqrt("pv"), 6).alias("post_sd"),
+            "diff_mean",
+            "diff_sd",
+            "z",
+        )
+        .orderBy("arm")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -12702,4 +12963,8 @@ QUERIES = {
     "burrows_delta": q_burrows_delta,
     "rbo_rankings": q_rbo_rankings,
     "hurst_exponent": q_hurst_exponent,
+    "em_gmm": q_em_gmm,
+    "granger_causality": q_granger_causality,
+    "weibull_fit": q_weibull_fit,
+    "bayesian_ab": q_bayesian_ab,
 }
