@@ -5202,6 +5202,125 @@ def _bayesian_ab_sql() -> str:
     """
 
 
+def _eb_shrinkage_sql() -> str:
+    from deusu_spark.pipelines import EB_MIN_EVENTS, EB_SHOW_USERS
+
+    return f"""
+        WITH users AS (SELECT user_id, count(*) AS n,
+                              sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS k
+                       FROM events GROUP BY 1
+                       HAVING count(*) >= {EB_MIN_EVENTS}),
+             st AS (SELECT count(*) AS nu, avg(k * 1.0 / n) AS m,
+                           var_samp(k * 1.0 / n) AS v
+                    FROM users),
+             pr AS (SELECT nu, m, m * (1.0 - m) / v - 1.0 AS ab FROM st)
+        SELECT user_id, n, CAST(k AS BIGINT) AS k,
+               round(k * 1.0 / n, 6) AS raw_rate,
+               round((k + m * ab) / (n + ab), 6) AS shrunk_rate,
+               round(m * ab, 6) AS prior_alpha,
+               round((1.0 - m) * ab, 6) AS prior_beta,
+               CAST(nu AS BIGINT) AS nu
+        FROM users, pr WHERE user_id < {EB_SHOW_USERS} ORDER BY user_id
+    """
+
+
+def _gumbel_maxima_sql() -> str:
+    import math as _m
+
+    from deusu_spark.pipelines import _EULER_GAMMA, GUMBEL_RET_T
+
+    beta = f"(s * {_m.sqrt(6.0)} / {_m.pi})"
+    mu = f"(m - {_EULER_GAMMA} * {beta})"
+    lnl = _m.log(-_m.log(1.0 - 1.0 / GUMBEL_RET_T))
+    return f"""
+        WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c
+                        FROM events GROUP BY 1),
+             dmax AS (SELECT CAST(h AS DATE) AS day,
+                             CAST(max(c) AS DOUBLE) AS mx
+                      FROM hourly GROUP BY 1),
+             st AS (SELECT count(*) AS n_blocks, avg(mx) AS m,
+                           stddev_pop(mx) AS s
+                    FROM dmax)
+        SELECT n_blocks, round(m, 6) AS mean_max, round(s, 6) AS sd_max,
+               round({mu}, 6) AS mu_loc, round({beta}, 6) AS beta_scale,
+               round({mu} - {beta} * {lnl}, 6) AS ret_{GUMBEL_RET_T}d
+        FROM st
+    """
+
+
+def _qte_sql() -> str:
+    from deusu_spark.pipelines import QTE_B
+
+    est = (
+        f"lo + (bin + (p * n - (cum - cnt)) / cnt) "
+        f"* ((hi - lo) / {float(QTE_B)})"
+    )
+    return f"""
+        WITH rows_ AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                              value AS v
+                       FROM events),
+             st AS (SELECT min(v) AS lo, max(v) AS hi FROM rows_),
+             b AS (SELECT arm,
+                          least({QTE_B - 1},
+                                CAST(floor((v - lo) / (hi - lo) * {QTE_B})
+                                     AS INTEGER)) AS bin,
+                          lo, hi
+                   FROM rows_, st),
+             hist AS (SELECT arm, bin, lo, hi, count(*) AS cnt
+                      FROM b GROUP BY 1, 2, 3, 4),
+             h2 AS (SELECT arm, bin, cnt, lo, hi,
+                           sum(cnt) OVER (PARTITION BY arm ORDER BY bin)
+                               AS cum,
+                           sum(cnt) OVER (PARTITION BY arm) AS n
+                    FROM hist),
+             ps AS (SELECT unnest(range(1, 10)) / 10.0 AS p),
+             q AS (SELECT arm, p,
+                          max(CASE WHEN cum >= p * n
+                                    AND (cum - cnt) < p * n
+                                   THEN {est} END) AS q
+                   FROM h2, ps GROUP BY 1, 2)
+        SELECT p,
+               round(sum(CASE WHEN arm = 0 THEN q END), 6) AS q_control,
+               round(sum(CASE WHEN arm = 1 THEN q END), 6) AS q_treated,
+               round(sum(CASE WHEN arm = 1 THEN q END)
+                     - sum(CASE WHEN arm = 0 THEN q END), 6) AS qte
+        FROM q GROUP BY p ORDER BY p
+    """
+
+
+def _pettitt_test_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+                       FROM events GROUP BY 1),
+             ranked AS (SELECT day, x,
+                               (cume_dist() OVER (ORDER BY x)
+                                    * count(*) OVER ()
+                                + count(*) OVER ()
+                                - cume_dist() OVER (ORDER BY x DESC)
+                                    * count(*) OVER ()
+                                + 1) / 2.0 AS r,
+                               count(*) OVER () AS n
+                        FROM daily),
+             u AS (SELECT day, n,
+                          2.0 * sum(r) OVER (ORDER BY day ROWS BETWEEN
+                              UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - row_number() OVER (ORDER BY day) * (n + 1.0)
+                              AS u,
+                          row_number() OVER (ORDER BY day) AS t
+                   FROM ranked),
+             uf AS (SELECT * FROM u WHERE t < n),
+             u2 AS (SELECT day, n, u, max(abs(u)) OVER () AS k FROM uf)
+        SELECT CAST(max(n) AS BIGINT) AS n_days,
+               round(max(k), 6) AS k_stat,
+               min(CASE WHEN abs(u) = k THEN day END) AS cp_day,
+               round(2.0 * exp(-6.0 * max(k) * max(k)
+                               / (max(n) * max(n) * max(n)
+                                  + max(n) * max(n))), 6) AS p_approx
+        FROM u2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6421,6 +6540,10 @@ def oracle_sql() -> dict[str, str]:
         "granger_causality": _granger_causality_sql(),
         "weibull_fit": _weibull_fit_sql(),
         "bayesian_ab": _bayesian_ab_sql(),
+        "eb_shrinkage": _eb_shrinkage_sql(),
+        "gumbel_maxima": _gumbel_maxima_sql(),
+        "quantile_treatment_effects": _qte_sql(),
+        "pettitt_test": _pettitt_test_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -12717,6 +12717,243 @@ def q_bayesian_ab(spark, sf_dir):
     )
 
 
+EB_MIN_EVENTS = 3  # users entering the prior fit and the readout
+EB_SHOW_USERS = 40  # bounded per-user slice emitted
+
+
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    rates — the estimator every per-entity rate dashboard needs once
+    entities have wildly different sample sizes: fit a Beta(α₀, β₀)
+    prior to the observed rate distribution by method of moments
+    (α₀+β₀ = m(1−m)/v − 1), then shrink each user toward it:
+    p̂ = (k+α₀)/(n+α₀+β₀) — small-n users move most, the James-Stein
+    behavior. Per-user reduce and the two prior moments are both ONE
+    map-side-combinable aggregate each; the emitted slice is bounded by
+    user_id < EB_SHOW_USERS, with the prior params as constant columns
+    (the full shrunk table is the same select without the slice)."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("k"),
+    ).where(F.col("n") >= EB_MIN_EVENTS)
+    st = users.agg(
+        F.count("*").alias("nu"),
+        F.avg(F.col("k") / F.col("n")).alias("m"),
+        F.var_samp(F.col("k") / F.col("n")).alias("v"),
+    ).select(
+        "nu",
+        "m",
+        (F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0).alias("ab"),
+    )
+    return (
+        users.where(F.col("user_id") < EB_SHOW_USERS)
+        .crossJoin(F.broadcast(st))
+        .select(
+            "user_id",
+            "n",
+            "k",
+            F.round(F.col("k") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("m") * F.col("ab"))
+                / (F.col("n") + F.col("ab")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round(F.col("m") * F.col("ab"), 6).alias("prior_alpha"),
+            F.round((1.0 - F.col("m")) * F.col("ab"), 6).alias("prior_beta"),
+            "nu",
+        )
+        .orderBy("user_id")
+    )
+
+
+GUMBEL_RET_T = 100  # return period (days) for the emitted return level
+
+
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel (EV-I) fit of the DAILY MAXIMUM hourly event rate via block
+    maxima — the other half of extreme-value theory next to
+    q_hill_tail_index's peaks-over-threshold: method-of-moments
+    β = σ√6/π, μ = m − γβ, and the T-day return level
+    μ − β·ln(−ln(1−1/T)) — the 'provision for the worst hour in 100
+    days' number capacity planning actually consumes. Hourly reduce →
+    per-day max → three moments: every step map-side-combinable or
+    calendar-bounded. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    dmax = hourly.groupBy(F.to_date("h").alias("day")).agg(
+        F.max("c").cast("double").alias("mx")
+    )
+    st = dmax.agg(
+        F.count("*").alias("n_blocks"),
+        F.avg("mx").alias("m"),
+        F.stddev_pop("mx").alias("s"),
+    )
+    beta = F.col("s") * _math.sqrt(6.0) / float(_math.pi)
+    mu = F.col("m") - _EULER_GAMMA * beta
+    ret = mu - beta * _math.log(-_math.log(1.0 - 1.0 / GUMBEL_RET_T))
+    return st.select(
+        "n_blocks",
+        F.round("m", 6).alias("mean_max"),
+        F.round("s", 6).alias("sd_max"),
+        F.round(mu, 6).alias("mu_loc"),
+        F.round(beta, 6).alias("beta_scale"),
+        F.round(ret, 6).alias(f"ret_{GUMBEL_RET_T}d"),
+    )
+
+
+QTE_B = 64  # equi-width quantile-sketch bins (mergeable at any scale)
+
+
+def q_quantile_treatment_effects(spark, sf_dir):
+    """Quantile treatment effects over the event-value distribution —
+    the distributional A/B readout (did the treatment move the MEDIAN
+    user or only the tail?) that a mean-only q_ab_test hides: per decile
+    p ∈ {0.1..0.9}, QTE(p) = Q_treated(p) − Q_control(p). Quantiles come
+    from the same mergeable QTE_B-bin equi-width sketch as
+    q_histogram_quantile (shared global min/max pass, per-arm CDF walk
+    with within-bin interpolation) — fixed-size state per arm, element-
+    wise mergeable across partitions/corpora, no per-arm sort at any
+    scale. Exact over the binned distributions by construction."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value").alias("v"),
+    )
+    st = rows.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = rows.crossJoin(F.broadcast(st)).select(
+        "arm",
+        F.least(
+            F.lit(QTE_B - 1),
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * QTE_B
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    hist = b.groupBy("arm", "bin", "lo", "hi").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h2 = hist.select(
+        "arm",
+        "bin",
+        "cnt",
+        "lo",
+        "hi",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("arm")).alias("n"),
+    )
+    deciles = spark.range(1, 10).select((F.col("id") / 10.0).alias("p"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(QTE_B))
+    t = F.col("p") * F.col("n")
+    in_bin = (F.col("cum") >= t) & ((F.col("cum") - F.col("cnt")) < t)
+    e = (
+        F.col("lo")
+        + (F.col("bin") + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+        * width
+    )
+    q = (
+        h2.crossJoin(F.broadcast(deciles))
+        .groupBy("arm", "p")
+        .agg(F.max(F.when(in_bin, e)).alias("q"))
+    )
+    return (
+        q.groupBy("p")
+        .agg(
+            F.round(F.sum(F.when(F.col("arm") == 0, F.col("q"))), 6).alias(
+                "q_control"
+            ),
+            F.round(F.sum(F.when(F.col("arm") == 1, F.col("q"))), 6).alias(
+                "q_treated"
+            ),
+            F.round(
+                F.sum(F.when(F.col("arm") == 1, F.col("q")))
+                - F.sum(F.when(F.col("arm") == 0, F.col("q"))),
+                6,
+            ).alias("qte"),
+        )
+        .orderBy("p")
+    )
+
+
+def q_pettitt_test(spark, sf_dir):
+    """Pettitt rank-based changepoint test on the daily mean event value
+    — the NONPARAMETRIC member of the changepoint family (q_cusum tests
+    mean shifts against the global mean, q_page_hinkley online; Pettitt
+    needs no distributional assumption): with average ranks r_i,
+    U_t = 2·Σ_{i≤t} r_i − t(n+1), K = max|U_t| over t < n, changepoint =
+    the first day attaining K, approximate significance
+    p ≈ 2·exp(−6K²/(n³+n²)). Average ranks come from two cume_dist
+    windows ((#≤x) + (#<x) + 1)/2 — no self-join — and every window runs
+    over the calendar-bounded daily series. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    n = F.count("*").over(Window.partitionBy())
+    ranked = daily.select(
+        "day",
+        "x",
+        (
+            (
+                F.cume_dist().over(Window.orderBy("x")) * n
+                + n
+                - F.cume_dist().over(Window.orderBy(F.desc("x"))) * n
+                + 1
+            )
+            / 2.0
+        ).alias("r"),
+        n.alias("n"),
+    )
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("day")
+    u = ranked.select(
+        "day",
+        "n",
+        (
+            2.0 * F.sum("r").over(wday)
+            - F.row_number().over(wt) * (F.col("n") + 1.0)
+        ).alias("u"),
+        F.row_number().over(wt).alias("t"),
+    ).where(F.col("t") < F.col("n"))
+    u2 = u.select(
+        "day",
+        "n",
+        "u",
+        F.max(F.abs("u")).over(Window.partitionBy()).alias("k"),
+    )
+    return u2.agg(
+        F.max("n").alias("n_days"),
+        F.round(F.max("k"), 6).alias("k_stat"),
+        F.min(F.when(F.abs("u") == F.col("k"), F.col("day"))).alias(
+            "cp_day"
+        ),
+        F.round(
+            2.0
+            * F.exp(
+                -6.0
+                * F.max("k")
+                * F.max("k")
+                / (
+                    F.max("n") * F.max("n") * F.max("n")
+                    + F.max("n") * F.max("n")
+                )
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -12967,4 +13204,8 @@ QUERIES = {
     "granger_causality": q_granger_causality,
     "weibull_fit": q_weibull_fit,
     "bayesian_ab": q_bayesian_ab,
+    "eb_shrinkage": q_eb_shrinkage,
+    "gumbel_maxima": q_gumbel_maxima,
+    "quantile_treatment_effects": q_quantile_treatment_effects,
+    "pettitt_test": q_pettitt_test,
 }
