@@ -5321,6 +5321,139 @@ def _pettitt_test_sql() -> str:
     """
 
 
+def _t_closeness_sql() -> str:
+    from deusu_spark.pipelines import KANON_BAND, TCLOSE_T
+
+    return f"""
+        WITH j AS (SELECT c_nationkey AS nationkey,
+                          c_mktsegment AS mktsegment,
+                          CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT)
+                              AS bal_band,
+                          o_orderpriority AS v
+                   FROM customer JOIN orders ON c_custkey = o_custkey),
+             cv AS (SELECT nationkey, mktsegment, bal_band, v,
+                           count(*) AS c_cv
+                    FROM j GROUP BY 1, 2, 3, 4),
+             cls AS (SELECT nationkey, mktsegment, bal_band,
+                            sum(c_cv) AS n_cls
+                     FROM cv GROUP BY 1, 2, 3),
+             ntot AS (SELECT count(*) AS nt FROM j),
+             gv AS (SELECT v, count(*) * 1.0 / (SELECT nt FROM ntot) AS p_g
+                    FROM j GROUP BY v),
+             grid AS (SELECT cls.nationkey, cls.mktsegment, cls.bal_band,
+                             cls.n_cls, gv.p_g,
+                             coalesce(cv.c_cv, 0) * 1.0 / cls.n_cls AS p_c
+                      FROM cls CROSS JOIN gv
+                      LEFT JOIN cv ON cv.nationkey = cls.nationkey
+                                  AND cv.mktsegment = cls.mktsegment
+                                  AND cv.bal_band = cls.bal_band
+                                  AND cv.v = gv.v),
+             agg AS (SELECT nationkey, mktsegment, bal_band,
+                            CAST(n_cls AS BIGINT) AS n_orders,
+                            round(0.5 * sum(abs(p_c - p_g)), 6) AS tvd
+                     FROM grid GROUP BY 1, 2, 3, n_cls)
+        SELECT nationkey, mktsegment, bal_band, n_orders, tvd,
+               CASE WHEN tvd <= {TCLOSE_T} THEN 1 ELSE 0 END AS t_close
+        FROM agg ORDER BY 1, 2, 3
+    """
+
+
+def _entropy_rate_sql() -> str:
+    return """
+        WITH tr AS (SELECT s, t, count(*) AS c FROM (
+                 SELECT event_type AS s,
+                        lead(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t
+                 FROM events)
+             WHERE t IS NOT NULL GROUP BY 1, 2),
+             outs AS (SELECT s, sum(c) AS o FROM tr GROUP BY s),
+             ntr AS (SELECT sum(c) AS nt FROM tr),
+             hs AS (SELECT s, o,
+                           sum(-(c * 1.0 / o) * ln(c * 1.0 / o)) AS h_s
+                    FROM tr JOIN outs USING (s) GROUP BY s, o),
+             rate AS (SELECT round(sum((o * 1.0 / (SELECT nt FROM ntr))
+                                       * h_s), 6) AS h_rate
+                      FROM hs)
+        SELECT s, CAST(o AS BIGINT) AS n_out,
+               round(o * 1.0 / (SELECT nt FROM ntr), 6) AS pi,
+               round(h_s, 6) AS h_state, h_rate
+        FROM hs, rate ORDER BY s
+    """
+
+
+def _rich_club_sql() -> str:
+    from deusu_spark.pipelines import KCORE_MINW, RICH_KS
+
+    klist = ", ".join(str(k) for k in RICH_KS)
+    return f"""
+        WITH {_COPURCHASE_EDGES.format(minw=KCORE_MINW)},
+             deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
+             node_hist AS (SELECT dg, count(*) AS nn FROM deg GROUP BY dg),
+             e2 AS (SELECT least(a.dg, b.dg) AS mindeg
+                    FROM edges e JOIN deg a ON e.s = a.s
+                                 JOIN deg b ON e.d = b.s),
+             edge_hist AS (SELECT mindeg, count(*) AS ne
+                           FROM e2 GROUP BY mindeg),
+             ks AS (SELECT CAST(unnest([{klist}]) AS INTEGER) AS k),
+             nodes_k AS (SELECT k, sum(nn) AS n_nodes
+                         FROM ks JOIN node_hist ON dg > k GROUP BY k),
+             edges_k AS (SELECT k, sum(ne) AS n_edges
+                         FROM ks JOIN edge_hist ON mindeg > k GROUP BY k),
+             filled AS (SELECT ks.k,
+                               CAST(coalesce(n_nodes, 0) AS BIGINT)
+                                   AS n_nodes,
+                               CAST(coalesce(n_edges, 0) AS BIGINT)
+                                   AS n_edges
+                        FROM ks LEFT JOIN nodes_k USING (k)
+                                LEFT JOIN edges_k USING (k))
+        SELECT k, n_nodes, n_edges,
+               round(CASE WHEN n_nodes >= 2
+                          THEN n_edges / (n_nodes * (n_nodes - 1.0))
+                     END, 6) AS phi
+        FROM filled ORDER BY k
+    """
+
+
+def _conformal_interval_sql() -> str:
+    from deusu_spark.pipelines import CONF_ALPHA
+
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS y
+                       FROM events GROUP BY 1),
+             idx AS (SELECT day,
+                            CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                                AS x,
+                            y
+                     FROM daily),
+             ic AS (SELECT day, x, y,
+                           CASE WHEN CAST(x AS BIGINT) % 2 = 1
+                                THEN 1 ELSE 0 END AS calib
+                    FROM idx),
+             st AS (SELECT count(*) AS nc, avg(x) AS mx, avg(y) AS my,
+                           covar_pop(x, y) / var_pop(x) AS slope
+                    FROM ic WHERE calib = 1),
+             r AS (SELECT day, x, calib, nc,
+                          abs(y - (my - slope * mx) - slope * x) AS ar
+                   FROM ic, st),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY calib
+                                  ORDER BY ar, day) AS rn
+                        FROM r),
+             q AS (SELECT min(ar) AS q FROM ranked
+                   WHERE calib = 1
+                     AND rn >= ceil((nc + 1.0) * {1.0 - CONF_ALPHA}))
+        SELECT CAST(max(CASE WHEN calib = 1 THEN nc END) AS BIGINT)
+                   AS n_calib,
+               CAST(sum(1 - calib) AS BIGINT) AS n_test,
+               round(max(q), 6) AS q_radius,
+               round(sum(CASE WHEN calib = 0 AND ar <= q
+                         THEN 1 ELSE 0 END) * 1.0
+                     / sum(1 - calib), 6) AS coverage,
+               CAST({CONF_ALPHA} AS DOUBLE) AS alpha
+        FROM r, q
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6544,6 +6677,10 @@ def oracle_sql() -> dict[str, str]:
         "gumbel_maxima": _gumbel_maxima_sql(),
         "quantile_treatment_effects": _qte_sql(),
         "pettitt_test": _pettitt_test_sql(),
+        "t_closeness": _t_closeness_sql(),
+        "entropy_rate": _entropy_rate_sql(),
+        "rich_club": _rich_club_sql(),
+        "conformal_interval": _conformal_interval_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

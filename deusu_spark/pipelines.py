@@ -12954,6 +12954,277 @@ def q_pettitt_test(spark, sf_dir):
     )
 
 
+TCLOSE_T = 0.2  # max allowed class-vs-global total-variation distance
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li 2007) — the third member of the privacy
+    family after q_kanonymity_audit's k/l: an equivalence class can be
+    k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs from the corpus (skewness attack). Same QI
+    classes (nation, segment, balance band), sensitive = order priority;
+    for a categorical attribute the earth-mover distance degenerates to
+    total variation: TVD = ½·Σ_v |P_class(v) − P_global(v)|. Plan: one
+    (class, value) count, one class rollup, one broadcast global
+    distribution, and a classes×|values| fill-in grid — linear in the
+    class count, never in orders²."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / KANON_BAND).alias("bal_band"),
+        )
+        .join(
+            o.select("o_custkey", "o_orderpriority"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "bal_band",
+            F.col("o_orderpriority").alias("v"),
+        )
+    )
+    cv = j.groupBy("nationkey", "mktsegment", "bal_band", "v").agg(
+        F.count("*").alias("c_cv")
+    )
+    cls = cv.groupBy("nationkey", "mktsegment", "bal_band").agg(
+        F.sum("c_cv").alias("n_cls")
+    )
+    ntot = j.count()
+    gv = j.groupBy("v").agg((F.count("*") / float(ntot)).alias("p_g"))
+    grid = (
+        cls.crossJoin(F.broadcast(gv))
+        .join(cv, ["nationkey", "mktsegment", "bal_band", "v"], "left")
+        .select(
+            "nationkey",
+            "mktsegment",
+            "bal_band",
+            "n_cls",
+            "p_g",
+            (F.coalesce(F.col("c_cv"), F.lit(0)) / F.col("n_cls")).alias(
+                "p_c"
+            ),
+        )
+    )
+    return (
+        grid.groupBy("nationkey", "mktsegment", "bal_band", "n_cls")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.abs(F.col("p_c") - F.col("p_g"))), 6
+            ).alias("tvd")
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "bal_band",
+            F.col("n_cls").alias("n_orders"),
+            "tvd",
+            (F.col("tvd") <= TCLOSE_T).cast("int").alias("t_close"),
+        )
+        .orderBy("nationkey", "mktsegment", "bal_band")
+    )
+
+
+def q_entropy_rate(spark, sf_dir):
+    """Entropy rate of the per-user event-type Markov chain —
+    H = −Σ_s π_s Σ_t p(t|s)·ln p(t|s) with π the empirical source-state
+    distribution over observed transitions: the single number that says
+    how PREDICTABLE user behavior is one step ahead (0 = deterministic
+    flows, ln|states| = uniform chaos), the info-theoretic complement of
+    q_event_trigrams' pattern list and q_user_entropy's marginal (IID)
+    entropy, which ignores sequence structure. Transitions come from one
+    per-user lag window (partitioned — never a global sort); both the
+    transition matrix and the rollup are |states|²-bounded. Per-state
+    rows carry the constant rate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    outs = tr.groupBy("s").agg(F.sum("c").alias("o"))
+    ntr = tr.agg(F.sum("c")).first()[0]
+    hs = (
+        tr.join(F.broadcast(outs), "s")
+        .select(
+            "s",
+            "o",
+            (
+                -(F.col("c") / F.col("o"))
+                * F.log(F.col("c") / F.col("o"))
+            ).alias("term"),
+        )
+        .groupBy("s", "o")
+        .agg(F.sum("term").alias("h_s"))
+        .select(
+            "s",
+            F.col("o").alias("n_out"),
+            (F.col("o") / float(ntr)).alias("pi"),
+            "h_s",
+        )
+    )
+    rate = hs.agg(
+        F.round(F.sum(F.col("pi") * F.col("h_s")), 6).alias("h_rate")
+    )
+    return (
+        hs.crossJoin(F.broadcast(rate))
+        .select(
+            "s",
+            "n_out",
+            F.round("pi", 6).alias("pi"),
+            F.round("h_s", 6).alias("h_state"),
+            "h_rate",
+        )
+        .orderBy("s")
+    )
+
+
+RICH_KS = [2, 4, 8, 16]  # degree thresholds audited
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the co-purchase graph — φ(k) = realized
+    edge density among nodes of degree > k (Zhou & Mondragón 2004): do
+    the hubs preferentially interconnect (φ→1, a core the skew planner
+    must respect) or spread (φ low)? Computed WITHOUT per-k passes:
+    histogram the node degrees and each edge's min-endpoint degree once,
+    then every φ(k) is a suffix sum over the two bounded histograms —
+    one scan of the edge list total, |histogram|×|ks| trivially small
+    downstream. Directed-edge convention (both orientations present), so
+    density normalizes by n(n−1)."""
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MINW)
+    deg = edges.groupBy("s").agg(F.count("*").alias("dg"))
+    node_hist = deg.groupBy("dg").agg(F.count("*").alias("nn"))
+    e2 = (
+        edges.join(deg.withColumnRenamed("s", "s2"), F.col("s") == F.col("s2"))
+        .select("s", "d", F.col("dg").alias("dg_s"))
+        .join(
+            deg.select(F.col("s").alias("d2"), F.col("dg").alias("dg_d")),
+            F.col("d") == F.col("d2"),
+        )
+        .select(F.least("dg_s", "dg_d").alias("mindeg"))
+    )
+    edge_hist = e2.groupBy("mindeg").agg(F.count("*").alias("ne"))
+    ks = spark.createDataFrame(
+        [(k,) for k in RICH_KS], "k int"
+    )
+    nodes_k = (
+        ks.crossJoin(F.broadcast(node_hist))
+        .where(F.col("dg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("nn").alias("n_nodes"))
+    )
+    edges_k = (
+        ks.crossJoin(F.broadcast(edge_hist))
+        .where(F.col("mindeg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("ne").alias("n_edges"))
+    )
+    filled = (
+        ks.join(nodes_k, "k", "left")
+        .join(edges_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_nodes"), F.lit(0)).alias("n_nodes"),
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+        )
+    )
+    return filled.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1.0)),
+            ),
+            6,
+        ).alias("phi"),
+    ).orderBy("k")
+
+
+CONF_ALPHA = 0.1  # miscoverage target for the split-conformal interval
+
+
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval for the daily-count trend
+    model — the distribution-free uncertainty wrapper (Vovk; Lei 2018)
+    modern forecast pipelines ship instead of Gaussian ±2σ: fit OLS on
+    the CALIBRATION half (odd day indices), take the
+    ⌈(n_c+1)(1−α)⌉-th smallest absolute residual as the radius q, and
+    report empirical coverage of ŷ ± q on the held-out even days —
+    guaranteed ≥ 1−α in expectation under exchangeability, regardless of
+    the model being wrong. The fit is closed-form from calibration
+    moments; ranking |residuals| is a window over the calendar-bounded
+    series. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("x"),
+        "y",
+    ).withColumn("calib", (F.col("x") % 2 == 1).cast("int"))
+    st = idx.where(F.col("calib") == 1).agg(
+        F.count("*").alias("nc"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+    )
+    r = idx.crossJoin(F.broadcast(st)).select(
+        "day",
+        "x",
+        "calib",
+        "nc",
+        F.abs(
+            F.col("y")
+            - (F.col("my") - F.col("slope") * F.col("mx"))
+            - F.col("slope") * F.col("x")
+        ).alias("ar"),
+    )
+    wr = Window.partitionBy("calib").orderBy("ar", "day")
+    ranked = r.withColumn("rn", F.row_number().over(wr))
+    rank_needed = F.ceil((F.col("nc") + 1.0) * (1.0 - CONF_ALPHA))
+    q = (
+        ranked.where(
+            (F.col("calib") == 1) & (F.col("rn") >= rank_needed)
+        )
+        .agg(F.min("ar").alias("q"))
+    )
+    return (
+        r.crossJoin(F.broadcast(q))
+        .agg(
+            F.max(F.when(F.col("calib") == 1, F.col("nc")))
+            .cast("long")
+            .alias("n_calib"),
+            F.sum(1 - F.col("calib")).cast("long").alias("n_test"),
+            F.round(F.max("q"), 6).alias("q_radius"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("calib") == 0) & (F.col("ar") <= F.col("q")),
+                        1,
+                    ).otherwise(0)
+                )
+                / F.sum(1 - F.col("calib")),
+                6,
+            ).alias("coverage"),
+            F.lit(CONF_ALPHA).alias("alpha"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -13208,4 +13479,8 @@ QUERIES = {
     "gumbel_maxima": q_gumbel_maxima,
     "quantile_treatment_effects": q_quantile_treatment_effects,
     "pettitt_test": q_pettitt_test,
+    "t_closeness": q_t_closeness,
+    "entropy_rate": q_entropy_rate,
+    "rich_club": q_rich_club,
+    "conformal_interval": q_conformal_interval,
 }
