@@ -5454,6 +5454,165 @@ def _conformal_interval_sql() -> str:
     """
 
 
+def _fwl_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS c,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS p
+               FROM events GROUP BY 1),
+             idx AS (SELECT CAST(row_number() OVER (ORDER BY day)
+                                 AS DOUBLE) AS x, c, p
+                     FROM daily),
+             st AS (SELECT count(*) AS n,
+                           covar_pop(x, c) AS sxc, covar_pop(x, p) AS sxp,
+                           covar_pop(c, p) AS scp, var_pop(x) AS sxx,
+                           var_pop(c) AS scc, var_pop(p) AS spp
+                    FROM idx)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(scp / scc, 6) AS beta_naive,
+               round((scp - sxc * sxp / sxx)
+                     / (scc - sxc * sxc / sxx), 6) AS beta_controlled,
+               round(scp / sqrt(scc * spp), 6) AS corr_raw,
+               round((scp - sxc * sxp / sxx)
+                     / sqrt((scc - sxc * sxc / sxx)
+                            * (spp - sxp * sxp / sxx)), 6) AS corr_partial
+        FROM st
+    """
+
+
+def _croston_sql() -> str:
+    from deusu_spark.pipelines import CROSTON_ALPHA, CROSTON_USER_MOD
+
+    a = f"CAST({CROSTON_ALPHA} AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE
+             rare AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(count(*) AS DOUBLE) AS d
+                      FROM events
+                      WHERE event_type = 'error'
+                        AND user_id % {CROSTON_USER_MOD} = 0
+                      GROUP BY 1),
+             bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+                               CAST(max(ts) AS DATE) AS hi
+                        FROM events),
+             grid AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                  INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM bounds),
+             filled AS (SELECT g.day, coalesce(r.d, 0.0) AS d
+                        FROM grid g LEFT JOIN rare r USING (day)),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i, d
+                     FROM filled),
+             n AS (SELECT count(*) AS t FROM idx),
+             cr(i, z, p, q) AS (
+                 SELECT 0, CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE),
+                        CAST(1 AS DOUBLE)
+                 UNION ALL
+                 SELECT cr.i + 1,
+                        CASE WHEN idx.d > 0 THEN
+                            CASE WHEN cr.z < 0 THEN idx.d
+                                 ELSE {a} * idx.d + (1 - {a}) * cr.z END
+                        ELSE cr.z END,
+                        CASE WHEN idx.d > 0 THEN
+                            CASE WHEN cr.z < 0 THEN cr.q
+                                 ELSE {a} * cr.q + (1 - {a}) * cr.p END
+                        ELSE cr.p END,
+                        CASE WHEN idx.d > 0 THEN 1.0 ELSE cr.q + 1.0 END
+                 FROM cr JOIN idx ON idx.i = cr.i + 1)
+        SELECT (SELECT t FROM n) AS n_days,
+               (SELECT count(*) FROM idx WHERE d > 0) AS n_demand_days,
+               round(z, 6) AS smoothed_size,
+               round(p, 6) AS smoothed_interval,
+               round(z / p, 6) AS forecast_rate
+        FROM cr WHERE i = (SELECT t FROM n)
+    """
+
+
+def _stl_anomalies_sql() -> str:
+    from deusu_spark.pipelines import STL_MAD_K
+
+    return f"""
+        WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+             wt AS (SELECT event_type, h, cnt,
+                           avg(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY epoch(h)
+                                          RANGE BETWEEN 86399 PRECEDING
+                                                    AND CURRENT ROW)
+                               AS trend
+                    FROM hourly),
+             hm AS (SELECT event_type, hour(h) AS hod, avg(cnt) AS hod_mean
+                    FROM hourly GROUP BY 1, 2),
+             om AS (SELECT event_type, avg(cnt) AS type_mean
+                    FROM hourly GROUP BY 1),
+             dev AS (SELECT wt.event_type, wt.h,
+                            abs(cnt - trend - (hod_mean - type_mean)) AS ar
+                     FROM wt
+                     JOIN hm ON hm.event_type = wt.event_type
+                            AND hm.hod = hour(wt.h)
+                     JOIN om ON om.event_type = wt.event_type),
+             mad AS (SELECT event_type, quantile_cont(ar, 0.5) AS mad
+                     FROM dev GROUP BY 1),
+             mx AS (SELECT event_type, max(ar) AS maxar
+                    FROM dev GROUP BY 1)
+        SELECT d.event_type, count(*) AS n_hours,
+               round(any_value(m.mad), 6) AS mad,
+               CAST(sum(CASE WHEN d.ar > {STL_MAD_K} * m.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               round(max(d.ar), 6) AS max_abs_resid,
+               min(CASE WHEN d.ar = x.maxar THEN d.h END) AS worst_hour
+        FROM dev d JOIN mad m USING (event_type) JOIN mx x USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type
+    """
+
+
+def _err_eval_sql() -> str:
+    from deusu_spark.pipelines import ERR_K, ERR_MAXREL
+
+    denom = float(2**ERR_MAXREL)
+    return f"""
+        WITH tok AS ({_TOKS}),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             ad AS (SELECT avg(dl) AS avgdl FROM dl),
+             nn AS (SELECT count(*) AS n FROM documents),
+             qt AS (SELECT DISTINCT doc_id, t FROM tok
+                    WHERE t IN ('spark', 'join')),
+             dfs AS (SELECT t, count(*) AS df FROM qt GROUP BY t),
+             scored AS (
+                 SELECT doc_id,
+                        round(sum(ln(1.0 + (nn.n - dfs.df + 0.5)
+                                           / (dfs.df + 0.5))
+                              * (1.2 + 1.0) * 1.0
+                              / (1.0 + 1.2 * (1 - 0.75
+                                              + 0.75 * dl.dl / ad.avgdl))),
+                              5) AS score
+                 FROM qt JOIN dfs USING (t) JOIN dl USING (doc_id), nn, ad
+                 GROUP BY doc_id
+                 ORDER BY score DESC, doc_id LIMIT {ERR_K}),
+             ranked AS (SELECT doc_id,
+                               row_number() OVER (ORDER BY score DESC,
+                                                  doc_id) AS i
+                        FROM scored),
+             rel AS (SELECT doc_id, count(*) AS rel FROM qt GROUP BY doc_id),
+             rows_ AS (SELECT i,
+                              (pow(2.0, coalesce(rel, 0)) - 1.0) / {denom}
+                                  AS r
+                       FROM ranked LEFT JOIN rel USING (doc_id)),
+             pr AS (SELECT i, r,
+                           coalesce(exp(sum(ln(1.0 - r)) OVER (
+                               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)), 1.0) AS stopfree
+                    FROM rows_)
+        SELECT {ERR_K} AS k,
+               CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel_in_k,
+               round(sum(r * stopfree / i), 6) AS err
+        FROM pr
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6681,6 +6840,10 @@ def oracle_sql() -> dict[str, str]:
         "entropy_rate": _entropy_rate_sql(),
         "rich_club": _rich_club_sql(),
         "conformal_interval": _conformal_interval_sql(),
+        "fwl_partial_regression": _fwl_sql(),
+        "croston_forecast": _croston_sql(),
+        "stl_anomalies": _stl_anomalies_sql(),
+        "err_eval": _err_eval_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -13225,6 +13225,275 @@ def q_conformal_interval(spark, sf_dir):
     )
 
 
+def q_fwl_partial_regression(spark, sf_dir):
+    """Frisch-Waugh-Lovell partial regression — the double-ML primitive:
+    the effect of daily clicks on daily purchases CONTROLLING for the
+    shared time trend, computed by residualizing both series on the day
+    index and regressing residual on residual (FWL: equals the multiple-
+    regression coefficient). Reported next to the naive (confounded)
+    slope so the readout shows how much of the raw association the trend
+    explained. All four OLS fits are closed-form in ONE aggregate of
+    centered cross-moments (covar_pop/var_pop) over the calendar-bounded
+    daily table; nothing data-sized follows the daily reduce."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("double")
+        .alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("p"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("x"),
+        "c",
+        "p",
+    )
+    st = idx.agg(
+        F.count("*").alias("n"),
+        F.covar_pop("x", "c").alias("sxc"),
+        F.covar_pop("x", "p").alias("sxp"),
+        F.covar_pop("c", "p").alias("scp"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("c").alias("scc"),
+        F.var_pop("p").alias("spp"),
+    )
+    beta_naive = F.col("scp") / F.col("scc")
+    # residual covariances after partialling x out (all from the moments)
+    r_cp = F.col("scp") - F.col("sxc") * F.col("sxp") / F.col("sxx")
+    r_cc = F.col("scc") - F.col("sxc") * F.col("sxc") / F.col("sxx")
+    r_pp = F.col("spp") - F.col("sxp") * F.col("sxp") / F.col("sxx")
+    beta_fwl = r_cp / r_cc
+    return st.select(
+        "n",
+        F.round(beta_naive, 6).alias("beta_naive"),
+        F.round(beta_fwl, 6).alias("beta_controlled"),
+        F.round(
+            F.col("scp") / F.sqrt(F.col("scc") * F.col("spp")), 6
+        ).alias("corr_raw"),
+        F.round(r_cp / F.sqrt(r_cc * r_pp), 6).alias("corr_partial"),
+    )
+
+
+CROSTON_ALPHA = 0.2  # demand/interval smoothing constant
+CROSTON_USER_MOD = 97  # rare deterministic demand slice (~1% of users)
+
+
+def q_croston_forecast(spark, sf_dir):
+    """Croston's method for INTERMITTENT demand — the forecaster for
+    series that are mostly zero (spare parts, rare errors), where plain
+    EWMA/Holt systematically lag: smooth the nonzero demand sizes z and
+    the inter-demand intervals p with separate EWMAs, forecast rate =
+    z/p̂ (Croston 1972). Demand = daily count of the rare deterministic
+    event slice (error events of user_id % CROSTON_USER_MOD == 0),
+    zero-filled over the full observed calendar so intervals are real.
+    The inherently sequential recursion runs as ONE JVM higher-order
+    fold over the calendar-sized day array (q_holt_smoothing's shape) —
+    the corpus-sized work is a single filtered groupBy. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    rare = ev.where(
+        (F.col("event_type") == "error")
+        & (F.col("user_id") % CROSTON_USER_MOD == 0)
+    ).groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    filled = grid.join(rare, "day", "left").select(
+        "day", F.coalesce("d", F.lit(0.0)).alias("d")
+    )
+    series = filled.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "d"))),
+            lambda s: s["d"],
+        ).alias("ds")
+    )
+    a = F.lit(CROSTON_ALPHA)
+    # state: z (smoothed size), p (smoothed interval), q (days since last)
+    init = F.struct(
+        F.lit(-1.0).alias("z"), F.lit(-1.0).alias("p"), F.lit(1.0).alias("q")
+    )
+    fold = F.aggregate(
+        F.col("ds"),
+        init,
+        lambda acc, d: F.when(
+            d > 0,
+            F.when(
+                acc["z"] < 0,  # first demand: initialize
+                F.struct(
+                    d.alias("z"), acc["q"].alias("p"), F.lit(1.0).alias("q")
+                ),
+            ).otherwise(
+                F.struct(
+                    (a * d + (F.lit(1.0) - a) * acc["z"]).alias("z"),
+                    (a * acc["q"] + (F.lit(1.0) - a) * acc["p"]).alias("p"),
+                    F.lit(1.0).alias("q"),
+                )
+            ),
+        ).otherwise(
+            F.struct(
+                acc["z"].alias("z"),
+                acc["p"].alias("p"),
+                (acc["q"] + 1.0).alias("q"),
+            )
+        ),
+    )
+    nz = F.size(F.filter("ds", lambda v: v > 0))
+    return series.select(
+        F.size("ds").alias("n_days"),
+        nz.alias("n_demand_days"),
+        F.round(fold["z"], 6).alias("smoothed_size"),
+        F.round(fold["p"], 6).alias("smoothed_interval"),
+        F.round(fold["z"] / fold["p"], 6).alias("forecast_rate"),
+    )
+
+
+STL_MAD_K = 3.0  # anomaly gate: |resid| > K × MAD
+
+
+def q_stl_anomalies(spark, sf_dir):
+    """Residual-based anomaly counts on top of the additive seasonal
+    decomposition — the alerting op q_seasonal_decompose feeds: per
+    event type, residual = observed − trailing-24h trend − hour-of-day
+    seasonal, and an hour is anomalous when |resid| > K × MAD(resid)
+    (the robust gate, immune to the anomalies inflating their own
+    threshold). The decomposition is the same range-window + broadcast
+    group-mean plan; MAD reuses _hist_median over the calendar-bounded
+    hourly residuals. Output is the per-type summary (n_hours, MAD,
+    anomaly count, worst hour) — never the data-sized hourly table."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-86399, 0)
+    )
+    with_trend = hourly.withColumn("trend", F.avg("cnt").over(wtr))
+    hod_mean = hourly.groupBy(
+        "event_type", F.hour("h").alias("hod")
+    ).agg(F.avg("cnt").alias("hod_mean"))
+    overall = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("type_mean")
+    )
+    r = (
+        with_trend.withColumn("hod", F.hour("h"))
+        .join(hod_mean, ["event_type", "hod"])
+        .join(overall, "event_type")
+        .select(
+            "event_type",
+            "h",
+            (
+                F.col("cnt")
+                - F.col("trend")
+                - (F.col("hod_mean") - F.col("type_mean"))
+            ).alias("resid"),
+        )
+    )
+    dev = r.select(
+        "event_type", "h", "resid", F.abs("resid").alias("ar")
+    )
+    mad = _hist_median(
+        dev.select("event_type", "ar"), "event_type", "ar", "mad"
+    )
+    j = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "maxar", F.max("ar").over(Window.partitionBy("event_type"))
+    )
+    return (
+        j.groupBy("event_type", "mad")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(
+                (F.col("ar") > STL_MAD_K * F.col("mad")).cast("int")
+            ).alias("n_anomalies"),
+            F.round(F.max("ar"), 6).alias("max_abs_resid"),
+            F.min(
+                F.when(F.col("ar") == F.col("maxar"), F.col("h"))
+            ).alias("worst_hour"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.round("mad", 6).alias("mad"),
+            "n_anomalies",
+            "max_abs_resid",
+            "worst_hour",
+        )
+        .orderBy("event_type")
+    )
+
+
+ERR_K = 20  # evaluation depth
+ERR_MAXREL = 2  # graded-relevance ceiling (same judge set as nDCG)
+
+
+def q_err_eval(spark, sf_dir):
+    """Expected Reciprocal Rank (Chapelle 2009) of the BM25 ranking on
+    the same label-derived graded judge set as q_ndcg_eval — the cascade
+    metric (user scans down, stops at the first satisfying doc):
+    ERR = Σᵢ (1/i)·Rᵢ·Π_{j<i}(1−Rⱼ) with R = (2^rel−1)/2^maxrel, which
+    punishes a single bad top result far harder than nDCG's positional
+    discount. The ranking is the exact q_bm25_topk arithmetic (bounded
+    top-k); the sequential stop-probability product is a prefix window
+    over the K ranked rows via exp∘Σ∘ln. One row out."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = (
+        qt.join(dfs, "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (1.2 + 1.0)
+            * 1.0
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 5).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(ERR_K)
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+        )
+    )
+    rel = qt.groupBy("doc_id").agg(F.count("*").alias("rel"))
+    rprob = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / float(2**ERR_MAXREL)
+    wpre = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ERR_K rows — bounded
+    rows = (
+        ranked.join(rel, "doc_id", "left")
+        .na.fill({"rel": 0})
+        .select("i", rprob.alias("r"))
+        .withColumn(
+            "stopfree",
+            F.coalesce(
+                F.exp(F.sum(F.log(1.0 - F.col("r"))).over(wpre)), F.lit(1.0)
+            ),
+        )
+    )
+    return rows.agg(
+        F.lit(ERR_K).alias("k"),
+        F.sum((F.col("r") > 0).cast("int")).alias("n_rel_in_k"),
+        F.round(
+            F.sum(F.col("r") * F.col("stopfree") / F.col("i")), 6
+        ).alias("err"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -13483,4 +13752,8 @@ QUERIES = {
     "entropy_rate": q_entropy_rate,
     "rich_club": q_rich_club,
     "conformal_interval": q_conformal_interval,
+    "fwl_partial_regression": q_fwl_partial_regression,
+    "croston_forecast": q_croston_forecast,
+    "stl_anomalies": q_stl_anomalies,
+    "err_eval": q_err_eval,
 }
