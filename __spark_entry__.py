@@ -2188,7 +2188,9 @@ def _bellman_ford_sql() -> str:
     """
 
 
-def _label_propagation_sql() -> str:
+def _lpa_ctes() -> tuple[str, str]:
+    """(CTE chain, final label table name) for the unrolled deterministic
+    LPA rounds — shared by label_propagation and newman_modularity."""
     from deusu_spark.pipelines import LPA_ITERS, LPA_MAX_PART
 
     ctes = [
@@ -2212,10 +2214,15 @@ def _label_propagation_sql() -> str:
                               ORDER BY c DESC, lab) AS rn
                           FROM c{r}) WHERE rn = 1)"""
         )
+    return ", ".join(ctes), f"l{LPA_ITERS}"
+
+
+def _label_propagation_sql() -> str:
+    ctes, last = _lpa_ctes()
     return f"""
-        WITH {", ".join(ctes)}
+        WITH {ctes}
         SELECT lab AS community, count(*) AS size
-        FROM l{LPA_ITERS} GROUP BY 1 ORDER BY 1
+        FROM {last} GROUP BY 1 ORDER BY 1
     """
 
 
@@ -5613,6 +5620,113 @@ def _err_eval_sql() -> str:
     """
 
 
+def _newman_modularity_sql() -> str:
+    ctes, last = _lpa_ctes()
+    return f"""
+        WITH {ctes},
+             deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY u),
+             mm AS (SELECT count(*) AS m FROM e),
+             ec AS (SELECT a.lab AS lab, count(*) AS e_c
+                    FROM e JOIN {last} a ON a.node = e.u
+                           JOIN {last} b ON b.node = e.v
+                    WHERE a.lab = b.lab GROUP BY 1),
+             dc AS (SELECT lab, sum(dg) AS d_c, count(*) AS size
+                    FROM {last} JOIN deg ON node = u GROUP BY lab),
+             terms AS (SELECT dc.lab, size,
+                              coalesce(e_c, 0) AS e_in, d_c,
+                              coalesce(e_c, 0) * 1.0 / (SELECT m FROM mm)
+                              - (d_c / (2.0 * (SELECT m FROM mm)))
+                                * (d_c / (2.0 * (SELECT m FROM mm)))
+                                  AS contrib
+                       FROM dc LEFT JOIN ec USING (lab)),
+             qq AS (SELECT round(sum(contrib), 6) AS q_modularity
+                    FROM terms)
+        SELECT lab AS community, CAST(size AS BIGINT) AS size,
+               CAST(e_in AS BIGINT) AS e_in, CAST(d_c AS BIGINT) AS d_c,
+               round(contrib, 6) AS contrib, q_modularity
+        FROM terms, qq ORDER BY community
+    """
+
+
+def _hodges_lehmann_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+                       FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i, x
+                     FROM daily),
+             pairs AS (SELECT (a.x + b.x) / 2.0 AS w
+                       FROM idx a JOIN idx b ON a.i <= b.i),
+             st AS (SELECT count(*) AS n_pairs,
+                           quantile_cont(w, 0.5) AS hl
+                    FROM pairs),
+             base AS (SELECT count(*) AS n_days,
+                             quantile_cont(x, 0.5) AS med
+                      FROM idx)
+        SELECT n_days, n_pairs, round(med, 6) AS plain_median,
+               round(hl, 6) AS hl_estimate
+        FROM base, st
+    """
+
+
+def _nb_dispersion_fit_sql() -> str:
+    return """
+        WITH active AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+             st AS (SELECT count(*) AS cells_active, sum(c) AS total,
+                           sum(c * c) AS total2
+                    FROM active),
+             u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+             d2 AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS nd
+                    FROM events),
+             mo AS (SELECT cells_active, nu, nd,
+                           total / (nu * nd * 1.0) AS m,
+                           total2 / (nu * nd * 1.0)
+                           - (total / (nu * nd * 1.0))
+                             * (total / (nu * nd * 1.0)) AS v
+                    FROM st, u, d2)
+        SELECT CAST(nu AS INTEGER) AS n_users,
+               CAST(nd AS INTEGER) AS n_days,
+               CAST(cells_active AS BIGINT) AS cells_active,
+               round(m, 6) AS mean_per_cell,
+               round(v, 6) AS var_per_cell,
+               round(v / m, 6) AS dispersion,
+               round(m * m / (v - m), 6) AS nb_r,
+               round(m / v, 6) AS nb_p,
+               round(1.0 - cells_active / (nu * nd * 1.0), 6)
+                   AS obs_zero_frac,
+               round(pow(m / v, m * m / (v - m)), 6) AS nb_zero_frac
+        FROM mo
+    """
+
+
+def _power_analysis_sql() -> str:
+    from deusu_spark.pipelines import (
+        PWR_MDE_FRAC,
+        PWR_Z_ALPHA,
+        PWR_Z_BETA,
+    )
+
+    zz = repr((PWR_Z_ALPHA + PWR_Z_BETA) ** 2)
+    f = repr(PWR_MDE_FRAC)
+    narm = f"ceil(2.0 * s2 * {zz} / ((m * {f}) * (m * {f})))"
+    return f"""
+        WITH st AS (SELECT avg(value) AS m, var_samp(value) AS s2
+                    FROM events),
+             dau AS (SELECT avg(u) AS avg_dau FROM (
+                        SELECT CAST(ts AS DATE) AS day,
+                               count(DISTINCT user_id) AS u
+                        FROM events GROUP BY 1))
+        SELECT round(m, 6) AS mean_value, round(s2, 6) AS var_value,
+               round(m * {f}, 6) AS mde,
+               CAST({narm} AS BIGINT) AS n_per_arm,
+               round(avg_dau, 6) AS avg_daily_users,
+               CAST(ceil(2.0 * {narm} / avg_dau) AS BIGINT)
+                   AS days_required
+        FROM st, dau
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6844,6 +6958,10 @@ def oracle_sql() -> dict[str, str]:
         "croston_forecast": _croston_sql(),
         "stl_anomalies": _stl_anomalies_sql(),
         "err_eval": _err_eval_sql(),
+        "newman_modularity": _newman_modularity_sql(),
+        "hodges_lehmann": _hodges_lehmann_sql(),
+        "nb_dispersion_fit": _nb_dispersion_fit_sql(),
+        "power_analysis": _power_analysis_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

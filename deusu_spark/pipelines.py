@@ -8688,18 +8688,10 @@ LPA_MAX_PART = 300
 LPA_ITERS = 3
 
 
-def q_label_propagation(spark, sf_dir):
-    """Synchronous label-propagation communities over the
-    parts-co-ordered graph: every node starts as its own label, and for
-    LPA_ITERS rounds each node adopts the most frequent label among its
-    neighbors (ties to the smallest label — fully deterministic, unlike
-    textbook random-order LPA). Finds denser-than-component communities
-    that q_dedup_clusters' connected components can't separate. Each
-    round is one join + one grouped count + one argmax window — the plan
-    unrolls LPA_ITERS rounds, so depth is fixed and known (the bounded
-    twin of the converge-loop in q_pagerank/q_dedup_clusters); the
-    DuckDB oracle unrolls the identical rounds as CTEs. Output is the
-    community-size histogram."""
+def _lpa_state(spark, sf_dir):
+    """(labels, undirected edges, directed adj) after LPA_ITERS rounds of
+    deterministic synchronous label propagation — shared by
+    q_label_propagation and q_newman_modularity."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_partkey") < LPA_MAX_PART)
@@ -8729,6 +8721,22 @@ def q_label_propagation(spark, sf_dir):
             .where(F.col("rn") == 1)
             .select("node", "lab")
         )
+    return lbl, e, adj
+
+
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the
+    parts-co-ordered graph: every node starts as its own label, and for
+    LPA_ITERS rounds each node adopts the most frequent label among its
+    neighbors (ties to the smallest label — fully deterministic, unlike
+    textbook random-order LPA). Finds denser-than-component communities
+    that q_dedup_clusters' connected components can't separate. Each
+    round is one join + one grouped count + one argmax window — the plan
+    unrolls LPA_ITERS rounds, so depth is fixed and known (the bounded
+    twin of the converge-loop in q_pagerank/q_dedup_clusters); the
+    DuckDB oracle unrolls the identical rounds as CTEs. Output is the
+    community-size histogram."""
+    lbl, _e, _adj = _lpa_state(spark, sf_dir)
     return (
         lbl.groupBy("lab")
         .agg(F.count("*").alias("size"))
@@ -13494,6 +13502,186 @@ def q_err_eval(spark, sf_dir):
     )
 
 
+def q_newman_modularity(spark, sf_dir):
+    """Newman modularity Q of q_label_propagation's communities — the
+    number that says whether the propagation found real structure
+    (Q ≳ 0.3) or noise (Q ≈ 0): Q = Σ_c [e_c/m − (d_c/2m)²] over the
+    undirected co-purchase graph, where e_c counts within-community
+    edges and d_c sums member degrees. The labels are the SAME
+    deterministic LPA fixture (shared _lpa_state helper, identical
+    unrolled rounds), so the two queries stay consistent by
+    construction; the modularity accounting is two joins of the edge
+    list against the label map plus a per-community rollup — linear in
+    edges, bounded by communities downstream. Per-community rows carry
+    the constant Q."""
+    lbl, e, adj = _lpa_state(spark, sf_dir)
+    m = e.count()
+    deg = adj.groupBy("u").agg(F.count("*").alias("dg"))
+    ec = (
+        e.join(lbl.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("lab", "lab_u")
+        .join(
+            lbl.select(
+                F.col("node").alias("v"), F.col("lab").alias("lab_v")
+            ),
+            "v",
+        )
+        .where(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("lab"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    dc = (
+        lbl.join(deg, F.col("node") == F.col("u"))
+        .groupBy("lab")
+        .agg(F.sum("dg").alias("d_c"), F.count("*").alias("size"))
+    )
+    terms = dc.join(ec, "lab", "left").select(
+        "lab",
+        "size",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_in"),
+        "d_c",
+        (
+            F.coalesce(F.col("e_c"), F.lit(0)) / float(m)
+            - (F.col("d_c") / (2.0 * m)) * (F.col("d_c") / (2.0 * m))
+        ).alias("contrib"),
+    )
+    q = terms.agg(F.round(F.sum("contrib"), 6).alias("q_modularity"))
+    return (
+        terms.crossJoin(F.broadcast(q))
+        .select(
+            F.col("lab").alias("community"),
+            "size",
+            "e_in",
+            "d_c",
+            F.round("contrib", 6).alias("contrib"),
+            "q_modularity",
+        )
+        .orderBy("community")
+    )
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann location estimate of the daily mean event value —
+    the median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j: the estimator the
+    Wilcoxon signed-rank test inverts, ~95% Gaussian efficiency yet a
+    29% breakdown point (the robust 'typical level' between mean and
+    median). The daily series is calendar-bounded, so the O(n²) Walsh
+    pair set stays a few hundred thousand rows forever and its exact
+    interpolated median is the engines' native percentile. Reported next
+    to the plain median so the readout shows what pairing buys. One row
+    out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "x"
+    )
+    pairs = (
+        idx.crossJoin(
+            idx.select(F.col("i").alias("j"), F.col("x").alias("y"))
+        )
+        .where(F.col("i") <= F.col("j"))
+        .select(((F.col("x") + F.col("y")) / 2.0).alias("w"))
+    )
+    st = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(w, 0.5D)").alias("hl"),
+    )
+    base = idx.agg(
+        F.count("*").alias("n_days"),
+        F.expr("percentile(x, 0.5D)").alias("med"),
+    )
+    return base.crossJoin(st).select(
+        "n_days",
+        "n_pairs",
+        F.round("med", 6).alias("plain_median"),
+        F.round("hl", 6).alias("hl_estimate"),
+    )
+
+
+def q_nb_dispersion_fit(spark, sf_dir):
+    """Negative-binomial method-of-moments fit of per-(user, day) event
+    counts INCLUDING the structural zeros — the overdispersion model
+    behind burst-aware capacity planning (Poisson says var = mean; real
+    activity has var ≫ mean): over the full user×day grid, r = m²/(v−m),
+    p = m/v, and the zero-inflation check compares the OBSERVED empty-
+    cell fraction with the NB prediction P(0) = pʳ (no special functions
+    needed). The grid is never materialized: zeros enter every moment in
+    closed form from the active-cell aggregate plus the two distinct
+    counts, so the plan is one groupBy + three scalars at any scale. One
+    row out."""
+    ev = _t(spark, sf_dir, "events")
+    active = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    st = active.agg(
+        F.count("*").alias("cells_active"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("total2"),
+    )
+    nu = ev.select("user_id").distinct().count()
+    nd = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    cells = float(nu * nd)
+    m = F.col("total") / cells
+    ex2 = F.col("total2") / cells
+    v = ex2 - m * m
+    r = m * m / (v - m)
+    p = m / v
+    return st.select(
+        F.lit(nu).alias("n_users"),
+        F.lit(nd).alias("n_days"),
+        "cells_active",
+        F.round(m, 6).alias("mean_per_cell"),
+        F.round(v, 6).alias("var_per_cell"),
+        F.round(v / m, 6).alias("dispersion"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+        F.round(1.0 - F.col("cells_active") / cells, 6).alias(
+            "obs_zero_frac"
+        ),
+        F.round(F.pow(p, r), 6).alias("nb_zero_frac"),
+    )
+
+
+PWR_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+PWR_Z_BETA = 0.8416212335729143  # power = 0.80
+PWR_MDE_FRAC = 0.05  # minimum detectable effect: 5% of the mean
+
+
+def q_power_analysis(spark, sf_dir):
+    """A/B experiment power analysis from OBSERVED variance — the design
+    readout every experiment review asks for before launch: to detect a
+    PWR_MDE_FRAC relative lift of the mean event value at α = 0.05
+    (two-sided) with 80% power, n per arm = 2σ²(z_{α/2}+z_β)²/δ², and
+    the calendar cost divides by the observed average daily active
+    users. Every input (mean, variance, daily actives) is one map-side-
+    combinable aggregate; the z constants are inlined doubles in both
+    engines. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    st = ev.agg(
+        F.avg("value").alias("m"), F.var_samp("value").alias("s2")
+    )
+    dau = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .agg(F.avg("u").alias("avg_dau"))
+    )
+    delta = F.col("m") * PWR_MDE_FRAC
+    zz = (PWR_Z_ALPHA + PWR_Z_BETA) ** 2
+    n_arm = F.ceil(2.0 * F.col("s2") * zz / (delta * delta))
+    return st.crossJoin(dau).select(
+        F.round("m", 6).alias("mean_value"),
+        F.round("s2", 6).alias("var_value"),
+        F.round(delta, 6).alias("mde"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.round("avg_dau", 6).alias("avg_daily_users"),
+        F.ceil(2.0 * n_arm / F.col("avg_dau")).cast("long").alias(
+            "days_required"
+        ),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -13756,4 +13944,8 @@ QUERIES = {
     "croston_forecast": q_croston_forecast,
     "stl_anomalies": q_stl_anomalies,
     "err_eval": q_err_eval,
+    "newman_modularity": q_newman_modularity,
+    "hodges_lehmann": q_hodges_lehmann,
+    "nb_dispersion_fit": q_nb_dispersion_fit,
+    "power_analysis": q_power_analysis,
 }
