@@ -5727,6 +5727,144 @@ def _power_analysis_sql() -> str:
     """
 
 
+def _clustering_coefficient_sql() -> str:
+    from deusu_spark.pipelines import CC_MAX_PART
+
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey < {CC_MAX_PART}),
+             e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   WHERE a.l_partkey < b.l_partkey),
+             deg AS (SELECT n, count(*) AS dg FROM (
+                        SELECT u AS n FROM e
+                        UNION ALL SELECT v FROM e) GROUP BY n),
+             tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                     FROM e e1 JOIN e e2 ON e2.u = e1.v
+                              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             corners AS (SELECT n, count(*) AS t_v FROM (
+                            SELECT a AS n FROM tri
+                            UNION ALL SELECT b FROM tri
+                            UNION ALL SELECT c FROM tri) GROUP BY n),
+             per AS (SELECT deg.n, dg, coalesce(t_v, 0) AS t_v,
+                            dg * (dg - 1) / 2.0 AS wedges_v
+                     FROM deg LEFT JOIN corners USING (n))
+        SELECT count(*) AS n_nodes,
+               CAST(sum(dg) / 2 AS BIGINT) AS n_edges,
+               CAST(sum(t_v) / 3 AS BIGINT) AS n_triangles,
+               round(sum(t_v) / sum(wedges_v), 6) AS transitivity,
+               round(avg(CASE WHEN dg >= 2 THEN t_v / wedges_v END), 6)
+                   AS avg_local_cc
+        FROM per
+    """
+
+
+def _cramers_v_sql() -> str:
+    return """
+        WITH j AS (SELECT c_mktsegment AS r, o_orderpriority AS col
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+             obs AS (SELECT r, col, count(*) AS o FROM j GROUP BY 1, 2),
+             rm AS (SELECT r, sum(o) AS nr2 FROM obs GROUP BY r),
+             cm AS (SELECT col, sum(o) AS nc2 FROM obs GROUP BY col),
+             nn AS (SELECT count(*) AS n FROM j),
+             grid AS (SELECT rm.r, cm.col, coalesce(obs.o, 0) AS o,
+                             nr2 * nc2 * 1.0 / (SELECT n FROM nn) AS e
+                      FROM rm CROSS JOIN cm
+                      LEFT JOIN obs ON obs.r = rm.r AND obs.col = cm.col),
+             c2 AS (SELECT sum((o - e) * (o - e) / e) AS chi2,
+                           count(DISTINCT r) AS nr2,
+                           count(DISTINCT col) AS nc2
+                    FROM grid)
+        SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+               CAST(nr2 AS BIGINT) AS n_rows,
+               CAST(nc2 AS BIGINT) AS n_cols,
+               round(chi2, 6) AS chi2,
+               round(sqrt(chi2 / ((SELECT n FROM nn)
+                                  * (least(nr2, nc2) - 1))), 6)
+                   AS cramers_v
+        FROM c2
+    """
+
+
+def _ece_calibration_sql() -> str:
+    from deusu_spark.pipelines import CALIB_BINS
+
+    return f"""
+        WITH {_ft_p_ctes()},
+             l AS (SELECT s.doc_id, p,
+                          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             b AS (SELECT least(CAST(floor(p * {CALIB_BINS}) AS INTEGER),
+                                {CALIB_BINS - 1}) AS bin,
+                          count(*) AS n, avg(p) AS mean_p, avg(y) AS obs
+                   FROM l GROUP BY 1)
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_bins,
+               round(sum(n * abs(mean_p - obs)) / sum(n), 6) AS ece,
+               round(max(abs(mean_p - obs)), 6) AS mce
+        FROM b
+    """
+
+
+def _taylor_law_sql() -> str:
+    return """
+        WITH nd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS nd
+                    FROM events),
+             per0 AS (SELECT user_id, sum(c) AS s1, sum(c * c) AS s2
+                      FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+                                   count(*) AS c
+                            FROM events GROUP BY 1, 2)
+                      GROUP BY user_id),
+             pts AS (SELECT ln(m) AS lm, ln(v) AS lv FROM (
+                        SELECT s1 / (SELECT nd * 1.0 FROM nd) AS m,
+                               s2 / (SELECT nd * 1.0 FROM nd)
+                               - (s1 / (SELECT nd * 1.0 FROM nd))
+                                 * (s1 / (SELECT nd * 1.0 FROM nd)) AS v
+                        FROM per0)
+                     WHERE v > 0 AND m > 0),
+             st AS (SELECT count(*) AS n_users,
+                           covar_pop(lm, lv) / var_pop(lm) AS b,
+                           avg(lm) AS mlm, avg(lv) AS mlv,
+                           covar_pop(lm, lv)
+                               / sqrt(var_pop(lm) * var_pop(lv)) AS r
+                    FROM pts)
+        SELECT CAST(n_users AS BIGINT) AS n_users,
+               round(b, 6) AS taylor_b,
+               round(mlv - b * mlm, 6) AS ln_a,
+               round(r * r, 6) AS r2
+        FROM st
+    """
+
+
+def _burstiness_index_sql() -> str:
+    from deusu_spark.pipelines import BURST_MIN_GAPS
+
+    return f"""
+        WITH gaps AS (SELECT user_id, g * 1.0 AS g FROM (
+                 SELECT user_id,
+                        CAST(floor(epoch(ts)) AS BIGINT)
+                        - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                            AS g
+                 FROM events) WHERE g > 0),
+             per AS (SELECT (s - m) / (s + m) AS b FROM (
+                        SELECT count(*) AS n, avg(g) AS m,
+                               stddev_pop(g) AS s
+                        FROM gaps GROUP BY user_id)
+                     WHERE n >= {BURST_MIN_GAPS}),
+             stats AS (SELECT round(avg(b), 6) AS mean_b,
+                              count(*) AS n_users
+                       FROM per)
+        SELECT CASE WHEN b < -1.0 / 3 THEN 'regular'
+                    WHEN b < 0 THEN 'near_regular'
+                    WHEN b < 1.0 / 3 THEN 'near_poisson'
+                    ELSE 'bursty' END AS band,
+               count(*) AS n,
+               CAST(any_value(n_users) AS BIGINT) AS n_users,
+               any_value(mean_b) AS mean_b
+        FROM per, stats GROUP BY 1 ORDER BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -6962,6 +7100,11 @@ def oracle_sql() -> dict[str, str]:
         "hodges_lehmann": _hodges_lehmann_sql(),
         "nb_dispersion_fit": _nb_dispersion_fit_sql(),
         "power_analysis": _power_analysis_sql(),
+        "clustering_coefficient": _clustering_coefficient_sql(),
+        "cramers_v": _cramers_v_sql(),
+        "ece_calibration": _ece_calibration_sql(),
+        "taylor_law": _taylor_law_sql(),
+        "burstiness_index": _burstiness_index_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -13682,6 +13682,266 @@ def q_power_analysis(spark, sf_dir):
     )
 
 
+CC_MAX_PART = 300  # same bounded subgraph as the LPA fixture
+
+
+def q_clustering_coefficient(spark, sf_dir):
+    """Global transitivity and average local clustering coefficient of
+    the co-purchase subgraph — the 'how cliquish is the neighborhood'
+    pair (Watts-Strogatz): transitivity = 3·triangles / wedges, local
+    CC(v) = triangles(v) / C(deg v, 2) averaged over deg ≥ 2 nodes.
+    Triangles are enumerated once at their ordered apex (a<b<c: join the
+    a<b and b<c edge lists, verify the closing a<c edge — the
+    compact-forward shape of q_triangle_count), then exploded to credit
+    all three corners; wedges come from the degree table in closed form.
+    The subgraph is the bounded LPA fixture so the naive-join oracle
+    stays cheap. One row out."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < CC_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    lj = li.withColumnRenamed("l_partkey", "p2")
+    e = (
+        li.join(lj, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("t_v"))
+    )
+    per = deg.join(corners, "n", "left").select(
+        "n",
+        "dg",
+        F.coalesce(F.col("t_v"), F.lit(0)).alias("t_v"),
+        (F.col("dg") * (F.col("dg") - 1) / 2.0).alias("wedges_v"),
+    )
+    return per.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("dg") / 2).cast("long").alias("n_edges"),
+        (F.sum("t_v") / 3).cast("long").alias("n_triangles"),
+        F.round(F.sum("t_v") / F.sum("wedges_v"), 6).alias(
+            "transitivity"
+        ),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("dg") >= 2, F.col("t_v") / F.col("wedges_v")
+                )
+            ),
+            6,
+        ).alias("avg_local_cc"),
+    )
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the market-segment × order-priority
+    association — the 0..1 normalization of chi-square that, unlike the
+    raw statistic (q_chi2_independence's readout on lang × source),
+    compares across table shapes and corpus sizes:
+    V = √(χ² / (N·(min(r,c)−1))). One contingency groupBy, two marginal
+    rollups broadcast back onto the r×c grid — every step bounded by the
+    category cardinalities. One row out."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("r"),
+        F.col("o_orderpriority").alias("col"),
+    )
+    obs = j.groupBy("r", "col").agg(F.count("*").alias("o"))
+    rm = obs.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = obs.groupBy("col").agg(F.sum("o").alias("nc"))
+    n = j.count()
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(obs, ["r", "col"], "left")
+        .select(
+            "r",
+            "col",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("nr") * F.col("nc") / float(n)).alias("e"),
+        )
+    )
+    chi2 = grid.agg(
+        F.sum(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e")
+        ).alias("chi2"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("col").alias("nc"),
+    )
+    return chi2.select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (n * (F.least("nr", "nc") - F.lit(1)))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def q_ece_calibration(spark, sf_dir):
+    """Expected / maximum calibration error of q_classifier_score — the
+    one-number summaries leaderboards quote where
+    q_brier_calibration shows the full reliability table:
+    ECE = Σ_b (n_b/N)·|mean_p − obs_rate|, MCE = max_b |…|. Same
+    classifier scoring (JVM md5 arithmetic), same CALIB_BINS decile
+    binning, one more bounded rollup. One row out."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = _ft_doc_p(d).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binc = F.least(
+        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    bins = labeled.groupBy(binc.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.avg("p").alias("mean_p"),
+        F.avg("y").alias("obs"),
+    )
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").alias("n_bins"),
+        F.round(
+            F.sum(
+                F.col("n") * F.abs(F.col("mean_p") - F.col("obs"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.round(F.max(F.abs(F.col("mean_p") - F.col("obs"))), 6).alias(
+            "mce"
+        ),
+    )
+
+
+def q_taylor_law(spark, sf_dir):
+    """Taylor's power law across users — var(daily count) ≈ a·mean^b,
+    the ecological fluctuation-scaling exponent (b ≈ 1 Poisson-like
+    independence, b → 2 fully synchronized bursts) that tells a capacity
+    planner whether heavy users are proportionally or
+    disproportionately spiky. Per-user mean/variance over the full day
+    span come CLOSED-FORM from (Σc, Σc², active days) + the global day
+    count — structural zero days are never materialized (the
+    q_nb_dispersion_fit trick, per user); the log-log fit is the native
+    covar/var moment pair over the per-user points. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    nd = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    per = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2"))
+        .select(
+            (F.col("s1") / float(nd)).alias("m"),
+            (
+                F.col("s2") / float(nd)
+                - (F.col("s1") / float(nd)) * (F.col("s1") / float(nd))
+            ).alias("v"),
+        )
+        .where((F.col("v") > 0) & (F.col("m") > 0))
+        .select(F.log("m").alias("lm"), F.log("v").alias("lv"))
+    )
+    st = per.agg(
+        F.count("*").alias("n_users"),
+        (F.covar_pop("lm", "lv") / F.var_pop("lm")).alias("b"),
+        F.avg("lm").alias("mlm"),
+        F.avg("lv").alias("mlv"),
+        (
+            F.covar_pop("lm", "lv")
+            / F.sqrt(F.var_pop("lm") * F.var_pop("lv"))
+        ).alias("r"),
+    )
+    return st.select(
+        "n_users",
+        F.round("b", 6).alias("taylor_b"),
+        F.round(F.col("mlv") - F.col("b") * F.col("mlm"), 6).alias(
+            "ln_a"
+        ),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+    )
+
+
+BURST_MIN_GAPS = 5  # users entering the burstiness readout
+
+
+def q_burstiness_index(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of per-user interarrival
+    times — the −1..1 index separating metronomic (B→−1), Poisson
+    (B≈0) and bursty (B→1) behavior, the distributional companion to
+    q_weibull_fit's shape parameter. Interarrivals via the per-user lag
+    window (never a global sort), one per-user moment aggregate, then a
+    four-band corpus histogram with the mean B as a constant column —
+    bounded output at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).cast("double").alias("g"),
+        )
+        .where(F.col("g") > 0)
+    )
+    per = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("g").alias("m"),
+            F.stddev_pop("g").alias("s"),
+        )
+        .where(F.col("n") >= BURST_MIN_GAPS)
+        .select(
+            ((F.col("s") - F.col("m")) / (F.col("s") + F.col("m"))).alias(
+                "b"
+            )
+        )
+    )
+    band = (
+        F.when(F.col("b") < -1.0 / 3, F.lit("regular"))
+        .when(F.col("b") < 0, F.lit("near_regular"))
+        .when(F.col("b") < 1.0 / 3, F.lit("near_poisson"))
+        .otherwise(F.lit("bursty"))
+    )
+    stats = per.agg(
+        F.round(F.avg("b"), 6).alias("mean_b"),
+        F.count("*").alias("n_users"),
+    )
+    return (
+        per.groupBy(band.alias("band"))
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(stats))
+        .select("band", "n", "n_users", "mean_b")
+        .orderBy("band")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -13948,4 +14208,9 @@ QUERIES = {
     "hodges_lehmann": q_hodges_lehmann,
     "nb_dispersion_fit": q_nb_dispersion_fit,
     "power_analysis": q_power_analysis,
+    "clustering_coefficient": q_clustering_coefficient,
+    "cramers_v": q_cramers_v,
+    "ece_calibration": q_ece_calibration,
+    "taylor_law": q_taylor_law,
+    "burstiness_index": q_burstiness_index,
 }
