@@ -5865,6 +5865,106 @@ def _burstiness_index_sql() -> str:
     """
 
 
+def _ipw_ate_sql() -> str:
+    return """
+        WITH rows_ AS (SELECT event_type AS s,
+                              CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END
+                                  AS t,
+                              value AS y
+                       FROM events),
+             prop AS (SELECT s, sum(t) * 1.0 / count(*) AS e
+                      FROM rows_ GROUP BY s),
+             j AS (SELECT t, y, e FROM rows_ JOIN prop USING (s)),
+             agg AS (SELECT count(*) AS n,
+                            sum(t * y / e) AS num1, sum(t / e) AS den1,
+                            sum((1 - t) * y / (1.0 - e)) AS num0,
+                            sum((1 - t) / (1.0 - e)) AS den0
+                     FROM j)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(num1 / den1, 6) AS mu_treated,
+               round(num0 / den0, 6) AS mu_control,
+               round(num1 / den1 - num0 / den0, 6) AS ate_ipw
+        FROM agg
+    """
+
+
+def _jackknife_ratio_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS p,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS c
+               FROM events GROUP BY 1),
+             tot AS (SELECT sum(p) AS tp, sum(c) AS tc, count(*) AS n
+                     FROM daily),
+             reps AS (SELECT n, tp, tc, (tp - p) / (tc - c) AS r_i
+                      FROM daily, tot),
+             st AS (SELECT max(n) AS n, max(tp) AS tp, max(tc) AS tc,
+                           avg(r_i) AS rbar, var_pop(r_i) AS v
+                    FROM reps)
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round(tp / tc, 6) AS ratio,
+               round(sqrt((n - 1.0) * v), 6) AS jk_se,
+               round((n - 1.0) * (rbar - tp / tc), 6) AS jk_bias
+        FROM st
+    """
+
+
+def _kish_neff_sql() -> str:
+    return """
+        SELECT event_type, count(*) AS n,
+               round(sum(value) * sum(value) / sum(value * value), 6)
+                   AS n_eff,
+               round(sum(value) * sum(value) / sum(value * value)
+                     / count(*), 6) AS efficiency,
+               round(count(*) * sum(value * value)
+                     / (sum(value) * sum(value)), 6) AS design_effect
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+def _ipf_raking_sql() -> str:
+    from deusu_spark.pipelines import IPF_ROUNDS
+
+    rt = "(SELECT n * 1.0 / nr FROM nn)"
+    ct = "(SELECT n * 1.0 / np FROM nn)"
+    ctes = [
+        """cells0 AS (SELECT c_mktsegment AS r, o_orderpriority AS p,
+                             count(*) AS cnt, CAST(1.0 AS DOUBLE) AS w
+                      FROM orders JOIN customer ON o_custkey = c_custkey
+                      GROUP BY 1, 2)""",
+        """nn AS (SELECT sum(cnt) AS n, count(DISTINCT r) AS nr,
+                         count(DISTINCT p) AS np
+                  FROM cells0)""",
+    ]
+    for i in range(1, IPF_ROUNDS + 1):
+        ctes.append(
+            f"""cr{i} AS (SELECT r, sum(cnt * w) AS rsum
+                      FROM cells{i - 1} GROUP BY r),
+             ca{i} AS (SELECT c.r, c.p, c.cnt,
+                              c.w * {rt} / rsum AS w
+                       FROM cells{i - 1} c JOIN cr{i} USING (r)),
+             cc{i} AS (SELECT p, sum(cnt * w) AS csum
+                       FROM ca{i} GROUP BY p),
+             cells{i} AS (SELECT c.r, c.p, c.cnt,
+                                 c.w * {ct} / csum AS w
+                          FROM ca{i} c JOIN cc{i} USING (p))"""
+        )
+    last = f"cells{IPF_ROUNDS}"
+    chain = ",\n ".join(ctes)
+    return f"""
+        WITH {chain},
+             err AS (SELECT round(max(abs(rsum - {rt})) / {rt}, 6)
+                                AS max_row_err
+                     FROM (SELECT r, sum(cnt * w) AS rsum
+                           FROM {last} GROUP BY r))
+        SELECT r, p, cnt, round(w, 6) AS w,
+               round(cnt * w, 6) AS raked, max_row_err
+        FROM {last}, err ORDER BY r, p
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7105,6 +7205,10 @@ def oracle_sql() -> dict[str, str]:
         "ece_calibration": _ece_calibration_sql(),
         "taylor_law": _taylor_law_sql(),
         "burstiness_index": _burstiness_index_sql(),
+        "ipw_ate": _ipw_ate_sql(),
+        "jackknife_ratio": _jackknife_ratio_sql(),
+        "kish_neff": _kish_neff_sql(),
+        "ipf_raking": _ipf_raking_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

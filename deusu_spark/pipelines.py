@@ -13942,6 +13942,204 @@ def q_burstiness_index(spark, sf_dir):
     )
 
 
+def q_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted (stabilized Horvitz-Thompson) ATE —
+    the weighting-based member of the causal family next to
+    q_stratified_ate's post-stratification: propensity ê_s = treated
+    share within each event-type stratum, then
+    μ̂₁ = Σ t·y/ê / Σ t/ê and μ̂₀ = Σ (1−t)·y/(1−ê) / Σ (1−t)/(1−ê)
+    (the Hájek normalization that kills the raw-HT variance blowup).
+    With saturated strata this equals the stratified estimator up to
+    weighting — emitting both lets the judge-facing readouts
+    cross-check each other. One stratum rollup broadcast back, one
+    global aggregate; nothing data-sized downstream."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        F.col("event_type").alias("s"),
+        (F.col("user_id") % 2 == 1).cast("int").alias("t"),
+        F.col("value").alias("y"),
+    )
+    prop = rows.groupBy("s").agg(
+        (F.sum("t") / F.count("*")).alias("e"), F.count("*").alias("n_s")
+    )
+    j = rows.join(F.broadcast(prop), "s")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t") * F.col("y") / F.col("e")).alias("num1"),
+        F.sum(F.col("t") / F.col("e")).alias("den1"),
+        F.sum((1 - F.col("t")) * F.col("y") / (1.0 - F.col("e"))).alias(
+            "num0"
+        ),
+        F.sum((1 - F.col("t")) / (1.0 - F.col("e"))).alias("den0"),
+    )
+    mu1 = F.col("num1") / F.col("den1")
+    mu0 = F.col("num0") / F.col("den0")
+    return agg.select(
+        "n",
+        F.round(mu1, 6).alias("mu_treated"),
+        F.round(mu0, 6).alias("mu_control"),
+        F.round(mu1 - mu0, 6).alias("ate_ipw"),
+    )
+
+
+def q_jackknife_ratio(spark, sf_dir):
+    """Delete-one-day jackknife standard error of the purchases/clicks
+    ratio — the resampling answer for RATIO metrics, whose naive SE is
+    wrong because numerator and denominator are correlated (the classic
+    A/B ratio-metric trap; q_bootstrap_ci's deterministic sibling for
+    block resampling): R₍ᵢ₎ = (P−pᵢ)/(C−cᵢ) per left-out day,
+    SE = √((n−1)/n·Σ(R₍ᵢ₎−R̄)²), biaŝ = (n−1)(R̄−R). The daily reduce
+    is the only data-sized step; the n leave-one-out replicates are one
+    broadcast of two scalars against the calendar-bounded table. One
+    row out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("p"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("double")
+        .alias("c"),
+    )
+    tot = daily.agg(
+        F.sum("p").alias("tp"), F.sum("c").alias("tc"), F.count("*").alias("n")
+    )
+    reps = daily.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "tp",
+        "tc",
+        (
+            (F.col("tp") - F.col("p")) / (F.col("tc") - F.col("c"))
+        ).alias("r_i"),
+    )
+    st = reps.agg(
+        F.max("n").alias("n"),
+        F.max("tp").alias("tp"),
+        F.max("tc").alias("tc"),
+        F.avg("r_i").alias("rbar"),
+        F.var_pop("r_i").alias("v"),
+    )
+    return st.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("tp") / F.col("tc"), 6).alias("ratio"),
+        F.round(
+            F.sqrt((F.col("n") - 1.0) * F.col("v")), 6
+        ).alias("jk_se"),
+        F.round(
+            (F.col("n") - 1.0)
+            * (F.col("rbar") - F.col("tp") / F.col("tc")),
+            6,
+        ).alias("jk_bias"),
+    )
+
+
+def q_kish_neff(spark, sf_dir):
+    """Kish effective sample size of value-weighted events per type —
+    n_eff = (Σw)²/Σw², the survey-statistics number that says how many
+    EQUAL-weight observations a weighted sample is worth (importance-
+    weighted corpora like q_dsir_weights live or die by it: skewed
+    weights crater n_eff and every downstream variance). One map-side-
+    combinable groupBy; per-type rows carry the design effect
+    n/n_eff."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sw"),
+            F.sum(F.col("value") * F.col("value")).alias("sw2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(
+                F.col("sw") * F.col("sw") / F.col("sw2"), 6
+            ).alias("n_eff"),
+            F.round(
+                F.col("sw") * F.col("sw") / F.col("sw2") / F.col("n"), 6
+            ).alias("efficiency"),
+            F.round(
+                F.col("n") * F.col("sw2") / (F.col("sw") * F.col("sw")),
+                6,
+            ).alias("design_effect"),
+        )
+        .orderBy("event_type")
+    )
+
+
+IPF_ROUNDS = 5  # raking iterations (engine-reproducible fixed depth)
+
+
+def q_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (raking) of the segment × priority
+    contingency table to UNIFORM target margins — the survey-calibration
+    workhorse (Deming-Stephan 1940) a sampling pipeline runs to reweight
+    a skewed corpus so both marginal distributions match a design:
+    alternately scale cell weights to hit the row margin then the column
+    margin, IPF_ROUNDS times. The corpus-sized work is ONE contingency
+    groupBy; every round after is two rollups over the r×c grid, plan-
+    unrolled to fixed depth (the q_label_propagation shape). Output: the
+    raked per-cell weights plus the worst remaining row-margin error, so
+    convergence itself is an oracle-checked column."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("r"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("w", F.lit(1.0))
+    )
+    n = cells.agg(F.sum("cnt")).first()[0]
+    nr = cells.select("r").distinct().count()
+    np_ = cells.select("p").distinct().count()
+    row_target = float(n) / nr
+    col_target = float(n) / np_
+    for _ in range(IPF_ROUNDS):
+        rm = cells.groupBy("r").agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("rsum")
+        )
+        cells = (
+            cells.join(rm, "r")
+            .withColumn("w", F.col("w") * row_target / F.col("rsum"))
+            .drop("rsum")
+        )
+        cm = cells.groupBy("p").agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("csum")
+        )
+        cells = (
+            cells.join(cm, "p")
+            .withColumn("w", F.col("w") * col_target / F.col("csum"))
+            .drop("csum")
+        )
+    err = (
+        cells.groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("rsum"))
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("rsum") - row_target)) / row_target, 6
+            ).alias("max_row_err")
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(err))
+        .select(
+            "r",
+            "p",
+            "cnt",
+            F.round("w", 6).alias("w"),
+            F.round(F.col("cnt") * F.col("w"), 6).alias("raked"),
+            "max_row_err",
+        )
+        .orderBy("r", "p")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -14213,4 +14411,8 @@ QUERIES = {
     "ece_calibration": q_ece_calibration,
     "taylor_law": q_taylor_law,
     "burstiness_index": q_burstiness_index,
+    "ipw_ate": q_ipw_ate,
+    "jackknife_ratio": q_jackknife_ratio,
+    "kish_neff": q_kish_neff,
+    "ipf_raking": q_ipf_raking,
 }
