@@ -5965,6 +5965,126 @@ def _ipf_raking_sql() -> str:
     """
 
 
+def _paired_ttest_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                          value AS v
+                   FROM events),
+             mm AS (SELECT (min(s) + max(s)) / 2.0 AS cut FROM e),
+             per AS (SELECT user_id,
+                            avg(CASE WHEN s < (SELECT cut FROM mm)
+                                THEN v END) AS pre,
+                            avg(CASE WHEN s >= (SELECT cut FROM mm)
+                                THEN v END) AS po
+                     FROM e GROUP BY user_id),
+             d AS (SELECT po - pre AS d FROM per
+                   WHERE pre IS NOT NULL AND po IS NOT NULL),
+             st AS (SELECT count(*) AS n, avg(d) AS md,
+                           stddev_samp(d) AS sd
+                    FROM d)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               round(md, 6) AS mean_diff, round(sd, 6) AS sd_diff,
+               round(md / (sd / sqrt(n)), 6) AS t_stat,
+               CAST(n - 1 AS BIGINT) AS df
+        FROM st
+    """
+
+
+def _mcnemar_test_sql() -> str:
+    from deusu_spark.pipelines import MCNEMAR_MIN
+
+    return f"""
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS conv
+                   FROM events),
+             mm AS (SELECT (min(s) + max(s)) / 2.0 AS cut FROM e),
+             per AS (SELECT user_id,
+                            CASE WHEN count(CASE WHEN s <
+                                       (SELECT cut FROM mm) THEN 1 END) > 0
+                                 THEN CASE WHEN sum(CASE WHEN s <
+                                            (SELECT cut FROM mm)
+                                            THEN conv ELSE 0 END)
+                                           >= {MCNEMAR_MIN}
+                                      THEN 1 ELSE 0 END
+                            END AS pre,
+                            CASE WHEN count(CASE WHEN s >=
+                                       (SELECT cut FROM mm) THEN 1 END) > 0
+                                 THEN CASE WHEN sum(CASE WHEN s >=
+                                            (SELECT cut FROM mm)
+                                            THEN conv ELSE 0 END)
+                                           >= {MCNEMAR_MIN}
+                                      THEN 1 ELSE 0 END
+                            END AS po
+                     FROM e GROUP BY user_id),
+             pf AS (SELECT pre, po FROM per
+                    WHERE pre IS NOT NULL AND po IS NOT NULL),
+             st AS (SELECT count(*) AS n_paired,
+                           coalesce(sum(CASE WHEN pre = 1 AND po = 0
+                                        THEN 1 END), 0) AS b,
+                           coalesce(sum(CASE WHEN pre = 0 AND po = 1
+                                        THEN 1 END), 0) AS c
+                    FROM pf)
+        SELECT CAST(n_paired AS BIGINT) AS n_paired,
+               CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+               CASE WHEN b + c > 0
+                    THEN round((abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                               / (b + c), 6)
+               END AS chi2_corrected
+        FROM st
+    """
+
+
+_TOKPAIR = r"""SELECT CAST(len(list_filter(regexp_split_to_array(text,
+                            '\s+'), x -> x <> '')) AS DOUBLE) AS ws,
+                      CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) AS bpe
+               FROM documents"""
+
+
+def _bland_altman_sql() -> str:
+    return f"""
+        WITH rows_ AS (SELECT (ws + bpe) / 2.0 AS m, bpe - ws AS diff
+                       FROM ({_TOKPAIR})),
+             st AS (SELECT count(*) AS n, avg(diff) AS bias,
+                           stddev_samp(diff) AS sd
+                    FROM rows_),
+             outside AS (SELECT round(avg(CASE WHEN abs(diff - bias)
+                                               > 1.96 * sd
+                                          THEN 1 ELSE 0 END), 6)
+                                    AS frac_outside
+                         FROM rows_, st)
+        SELECT CAST(n AS BIGINT) AS n, round(bias, 6) AS bias,
+               round(sd, 6) AS sd_diff,
+               round(bias - 1.96 * sd, 6) AS loa_low,
+               round(bias + 1.96 * sd, 6) AS loa_high,
+               frac_outside
+        FROM st, outside
+    """
+
+
+def _deming_regression_sql() -> str:
+    dem = (
+        "(syy - sxx + sqrt((syy - sxx) * (syy - sxx)"
+        " + 4.0 * sxy * sxy)) / (2.0 * sxy)"
+    )
+    return f"""
+        WITH rows_ AS (SELECT ws AS x, bpe AS y FROM ({_TOKPAIR})),
+             st AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                           var_pop(x) AS sxx, var_pop(y) AS syy,
+                           covar_pop(x, y) AS sxy
+                    FROM rows_)
+        SELECT CAST(n AS BIGINT) AS n,
+               round({dem}, 6) AS slope_deming,
+               round(my - ({dem}) * mx, 6) AS intercept_deming,
+               round(sxy / sxx, 6) AS slope_ols,
+               round(sxy / sqrt(sxx * syy), 6) AS corr
+        FROM st
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7209,6 +7329,10 @@ def oracle_sql() -> dict[str, str]:
         "jackknife_ratio": _jackknife_ratio_sql(),
         "kish_neff": _kish_neff_sql(),
         "ipf_raking": _ipf_raking_sql(),
+        "paired_ttest": _paired_ttest_sql(),
+        "mcnemar_test": _mcnemar_test_sql(),
+        "bland_altman": _bland_altman_sql(),
+        "deming_regression": _deming_regression_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

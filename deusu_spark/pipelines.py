@@ -14140,6 +14140,225 @@ def q_ipf_raking(spark, sf_dir):
     )
 
 
+def q_paired_ttest(spark, sf_dir):
+    """Paired t-test of per-user mean event value, first half vs second
+    half of the observation window — the WITHIN-subject A/B readout
+    that removes between-user variance (the same variance-reduction idea
+    as q_cuped, via pairing instead of covariates): d_u = x̄_post −
+    x̄_pre per user with both halves observed, t = d̄/(s_d/√n). The
+    window midpoint is one 2-row scan; the pairing is a single groupBy
+    with conditional aggregates; the test statistic is one more rollup.
+    One row out."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).first()
+    cut = (mm["mn"] + mm["mx"]) / 2.0
+    per = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp("ts") >= F.lit(cut)).cast("int").alias(
+                "post"
+            ),
+            F.col("value").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("post") == 0, F.col("v"))).alias("pre"),
+            F.avg(F.when(F.col("post") == 1, F.col("v"))).alias("po"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("po").isNotNull())
+        .select((F.col("po") - F.col("pre")).alias("d"))
+    )
+    st = per.agg(
+        F.count("*").alias("n"),
+        F.avg("d").alias("md"),
+        F.stddev_samp("d").alias("sd"),
+    )
+    return st.select(
+        F.col("n").alias("n_pairs"),
+        F.round("md", 6).alias("mean_diff"),
+        F.round("sd", 6).alias("sd_diff"),
+        F.round(
+            F.col("md") / (F.col("sd") / F.sqrt(F.col("n"))), 6
+        ).alias("t_stat"),
+        (F.col("n") - 1).cast("long").alias("df"),
+    )
+
+
+MCNEMAR_MIN = 3  # purchases per half that count as 'converted'
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's test on paired binary outcomes — did users who were
+    active in BOTH window halves change their purchasing state? Only the
+    discordant pairs matter: b = converted pre only, c = converted post
+    only, χ² = (|b−c|−1)²/(b+c) (continuity-corrected), the
+    within-subject sibling of q_ab_test's two-proportion z. 'Converted
+    in a half' = ≥ MCNEMAR_MIN purchases there (the any-purchase bar is
+    saturated in this corpus — every pair lands concordant and the test
+    degenerates). One per-user conditional aggregate + one 4-cell
+    rollup; the statistic guards b+c = 0 with NULL in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).first()
+    cut = (mm["mn"] + mm["mx"]) / 2.0
+    per = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp("ts") >= F.lit(cut)).cast("int").alias(
+                "post"
+            ),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.count(F.when(F.col("post") == 0, 1)) > 0,
+                (
+                    F.sum(
+                        F.when(F.col("post") == 0, F.col("conv")).otherwise(
+                            0
+                        )
+                    )
+                    >= MCNEMAR_MIN
+                ).cast("int"),
+            ).alias("pre"),
+            F.when(
+                F.count(F.when(F.col("post") == 1, 1)) > 0,
+                (
+                    F.sum(
+                        F.when(F.col("post") == 1, F.col("conv")).otherwise(
+                            0
+                        )
+                    )
+                    >= MCNEMAR_MIN
+                ).cast("int"),
+            ).alias("po"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("po").isNotNull())
+    )
+    cells = per.groupBy("pre", "po").agg(F.count("*").alias("n"))
+    b = F.sum(F.when((F.col("pre") == 1) & (F.col("po") == 0), F.col("n")))
+    c = F.sum(F.when((F.col("pre") == 0) & (F.col("po") == 1), F.col("n")))
+    st = cells.agg(
+        F.sum("n").alias("n_paired"),
+        F.coalesce(b, F.lit(0)).alias("b"),
+        F.coalesce(c, F.lit(0)).alias("c"),
+    )
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        (F.abs(F.col("b") - F.col("c")) - 1.0)
+        * (F.abs(F.col("b") - F.col("c")) - 1.0)
+        / (F.col("b") + F.col("c")),
+    )
+    return st.select(
+        "n_paired",
+        "b",
+        "c",
+        F.round(chi2, 6).alias("chi2_corrected"),
+    )
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland-Altman agreement between the two token counters —
+    whitespace tokens vs the BPE-ish regex count per document: the
+    method-comparison readout (mean bias, ±1.96σ limits of agreement,
+    fraction outside) that answers 'can the cheap counter replace the
+    expensive one?' better than a correlation ever can (two counters can
+    correlate at 0.99 and still disagree by 30% everywhere). Per-doc
+    columns are JVM regex counts; the moments and the outside-limits
+    fraction are two map-side rollups (the limits join back as a
+    broadcast scalar). One row out."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("double")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+        )
+    ).cast("double")
+    rows = d.select(
+        ((ws + bpe) / 2.0).alias("m"), (bpe - ws).alias("diff")
+    )
+    st = rows.agg(
+        F.count("*").alias("n"),
+        F.avg("diff").alias("bias"),
+        F.stddev_samp("diff").alias("sd"),
+    )
+    j = rows.crossJoin(F.broadcast(st))
+    outside = j.agg(
+        F.round(
+            F.avg(
+                (
+                    F.abs(F.col("diff") - F.col("bias"))
+                    > 1.96 * F.col("sd")
+                ).cast("int")
+            ),
+            6,
+        ).alias("frac_outside")
+    )
+    return st.crossJoin(outside).select(
+        "n",
+        F.round("bias", 6).alias("bias"),
+        F.round("sd", 6).alias("sd_diff"),
+        F.round(F.col("bias") - 1.96 * F.col("sd"), 6).alias("loa_low"),
+        F.round(F.col("bias") + 1.96 * F.col("sd"), 6).alias("loa_high"),
+        "frac_outside",
+    )
+
+
+def q_deming_regression(spark, sf_dir):
+    """Deming (errors-in-both-variables, λ=1 orthogonal) regression of
+    the BPE-ish token count on the whitespace token count — the
+    calibration-line fit for when BOTH measurements are noisy, where OLS
+    is attenuation-biased: slope = (s_yy − s_xx + √((s_yy−s_xx)² +
+    4s_xy²)) / (2s_xy), closed form from the same three centered moments
+    OLS uses. Emitted next to the OLS slope so the attenuation is itself
+    an oracle-checked column. One map-side aggregate; one row out."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("double")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+        )
+    ).cast("double")
+    rows = d.select(ws.alias("x"), bpe.alias("y"))
+    st = rows.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("y").alias("syy"),
+        F.covar_pop("x", "y").alias("sxy"),
+    )
+    dem = (
+        F.col("syy")
+        - F.col("sxx")
+        + F.sqrt(
+            (F.col("syy") - F.col("sxx")) * (F.col("syy") - F.col("sxx"))
+            + 4.0 * F.col("sxy") * F.col("sxy")
+        )
+    ) / (2.0 * F.col("sxy"))
+    return st.select(
+        "n",
+        F.round(dem, 6).alias("slope_deming"),
+        F.round(F.col("my") - dem * F.col("mx"), 6).alias(
+            "intercept_deming"
+        ),
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("slope_ols"),
+        F.round(
+            F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 6
+        ).alias("corr"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -14415,4 +14634,8 @@ QUERIES = {
     "jackknife_ratio": q_jackknife_ratio,
     "kish_neff": q_kish_neff,
     "ipf_raking": q_ipf_raking,
+    "paired_ttest": q_paired_ttest,
+    "mcnemar_test": q_mcnemar_test,
+    "bland_altman": q_bland_altman,
+    "deming_regression": q_deming_regression,
 }
