@@ -5440,7 +5440,7 @@ def _conformal_interval_sql() -> str:
              st AS (SELECT count(*) AS nc, avg(x) AS mx, avg(y) AS my,
                            covar_pop(x, y) / var_pop(x) AS slope
                     FROM ic WHERE calib = 1),
-             r AS (SELECT day, x, calib, nc,
+             r AS MATERIALIZED (SELECT day, x, calib, nc,
                           abs(y - (my - slope * mx) - slope * x) AS ar
                    FROM ic, st),
              ranked AS (SELECT *, row_number() OVER (PARTITION BY calib
@@ -5554,7 +5554,7 @@ def _stl_anomalies_sql() -> str:
                     FROM hourly GROUP BY 1, 2),
              om AS (SELECT event_type, avg(cnt) AS type_mean
                     FROM hourly GROUP BY 1),
-             dev AS (SELECT wt.event_type, wt.h,
+             dev AS MATERIALIZED (SELECT wt.event_type, wt.h,
                             abs(cnt - trend - (hod_mean - type_mean)) AS ar
                      FROM wt
                      JOIN hm ON hm.event_type = wt.event_type
@@ -6082,6 +6082,155 @@ def _deming_regression_sql() -> str:
                round(sxy / sxx, 6) AS slope_ols,
                round(sxy / sqrt(sxx * syy), 6) AS corr
         FROM st
+    """
+
+
+def _pacf_daily_sql() -> str:
+    from deusu_spark.pipelines import PACF_K
+
+    ctes = [
+        """daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                     FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                            cnt * 1.0 AS x
+                     FROM daily),
+             mu AS (SELECT avg(x) AS mu FROM idx),
+             c AS (SELECT i, x - (SELECT mu FROM mu) AS dx FROM idx),
+             denom AS (SELECT sum(dx * dx) AS ss FROM c),
+             lags AS (SELECT CAST(range AS INTEGER) + 1 AS lag
+                      FROM range({K})),
+             rv AS MATERIALIZED (SELECT lag,
+                           round(sum(a.dx * b.dx)
+                                 / (SELECT ss FROM denom), 6) AS acf
+                    FROM c a CROSS JOIN lags
+                    JOIN c b ON b.i = a.i + lag
+                    GROUP BY lag)""".format(K=PACF_K),
+        "p1 AS MATERIALIZED (SELECT 1 AS j,"
+        " (SELECT acf FROM rv WHERE lag = 1) AS v)",
+    ]
+    for k in range(2, PACF_K + 1):
+        ctes.append(
+            f"""num{k} AS MATERIALIZED (
+                       SELECT (SELECT acf FROM rv WHERE lag = {k})
+                              - coalesce(sum(p.v * r2.acf), 0) AS nm
+                       FROM p{k - 1} p JOIN rv r2 ON r2.lag = {k} - p.j),
+             den{k} AS MATERIALIZED (
+                        SELECT 1.0 - coalesce(sum(p.v * r2.acf), 0) AS dn
+                        FROM p{k - 1} p JOIN rv r2 ON r2.lag = p.j),
+             phi{k} AS MATERIALIZED (SELECT nm / dn AS v
+                                     FROM num{k}, den{k}),
+             p{k} AS MATERIALIZED (SELECT p.j,
+                             p.v - (SELECT v FROM phi{k}) * q.v AS v
+                      FROM p{k - 1} p JOIN p{k - 1} q ON q.j = {k} - p.j
+                      UNION ALL
+                      SELECT {k}, (SELECT v FROM phi{k}))"""
+        )
+    rows = "\n UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS lag, "
+        f"(SELECT acf FROM rv WHERE lag = {k}) AS acf, "
+        f"round((SELECT v FROM p{k} WHERE j = {k}), 6) AS pacf"
+        for k in range(1, PACF_K + 1)
+    )
+    chain = ",\n ".join(ctes)
+    return f"""
+        WITH {chain}
+        SELECT * FROM ({rows}) ORDER BY lag
+    """
+
+
+def _runs_test_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS x
+                       FROM events GROUP BY 1),
+             med AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
+             s AS (SELECT day,
+                          CASE WHEN x > (SELECT med FROM med)
+                               THEN 1 ELSE 0 END AS s
+                   FROM daily WHERE x <> (SELECT med FROM med)),
+             runs AS (SELECT s,
+                             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                                    OR lag(s) OVER (ORDER BY day) <> s
+                                  THEN 1 ELSE 0 END AS new_run
+                      FROM s),
+             st AS (SELECT count(*) AS n, sum(s) AS n1,
+                           sum(1 - s) AS n2, sum(new_run) AS r
+                    FROM runs)
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(n1 AS BIGINT) AS n_above,
+               CAST(n2 AS BIGINT) AS n_below,
+               CAST(r AS BIGINT) AS n_runs,
+               round(1.0 + 2.0 * n1 * n2 / n, 6) AS expected_runs,
+               round((r - (1.0 + 2.0 * n1 * n2 / n))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                            / (n * n * (n - 1.0))), 6) AS z
+        FROM st
+    """
+
+
+def _newey_west_se_sql() -> str:
+    from deusu_spark.pipelines import NW_LAGS
+
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+                       FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY day) AS i, x
+                     FROM daily),
+             mu AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+             c AS (SELECT i, x - (SELECT mu FROM mu) AS dx FROM idx),
+             g0 AS (SELECT sum(dx * dx) / (SELECT n FROM mu) AS g0
+                    FROM c),
+             lags AS (SELECT CAST(range AS INTEGER) + 1 AS lag
+                      FROM range({NW_LAGS})),
+             gl AS (SELECT lag, sum(a.dx * b.dx) AS s
+                    FROM c a CROSS JOIN lags
+                    JOIN c b ON b.i = a.i + lag
+                    GROUP BY lag),
+             tail AS (SELECT sum((1.0 - lag / ({NW_LAGS} + 1.0)) * s
+                                 / (SELECT n FROM mu)) AS tail
+                      FROM gl)
+        SELECT CAST((SELECT n FROM mu) AS BIGINT) AS n_days,
+               round(sqrt(g0 / (SELECT n FROM mu)), 6) AS se_iid,
+               round(sqrt((g0 + 2.0 * tail) / (SELECT n FROM mu)), 6)
+                   AS se_nw,
+               round(sqrt((g0 + 2.0 * tail) / g0), 6) AS correction
+        FROM g0, tail
+    """
+
+
+def _spectral_peaks_sql() -> str:
+    import math as _m
+
+    from deusu_spark.pipelines import SPECTRAL_PERIODS
+
+    plist = ", ".join(str(p) for p in SPECTRAL_PERIODS)
+    ang = f"2.0 * {_m.pi} * t / period"
+    return f"""
+        WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1),
+             idx AS (SELECT row_number() OVER (ORDER BY h) AS t,
+                            cnt * 1.0 AS x
+                     FROM hourly),
+             mu AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+             c AS (SELECT t, x - (SELECT mu FROM mu) AS dx,
+                          (SELECT n FROM mu) AS n
+                   FROM idx),
+             periods AS (SELECT CAST(unnest([{plist}]) AS INTEGER)
+                                    AS period),
+             pw AS (SELECT period, max(n) AS n,
+                           sum(dx * cos({ang})) AS cs,
+                           sum(dx * sin({ang})) AS sn
+                    FROM c CROSS JOIN periods GROUP BY period),
+             pw2 AS MATERIALIZED (SELECT period, n,
+                            (cs * cs + sn * sn) / n AS power
+                     FROM pw),
+             tot AS (SELECT sum(power) AS tp, max(power) AS mx FROM pw2)
+        SELECT period, CAST(n AS BIGINT) AS n_hours,
+               round(power, 6) AS power,
+               round(power / tp, 6) AS share,
+               CASE WHEN power = mx THEN 1 ELSE 0 END AS is_peak
+        FROM pw2, tot ORDER BY period
     """
 
 
@@ -7333,6 +7482,10 @@ def oracle_sql() -> dict[str, str]:
         "mcnemar_test": _mcnemar_test_sql(),
         "bland_altman": _bland_altman_sql(),
         "deming_regression": _deming_regression_sql(),
+        "pacf_daily": _pacf_daily_sql(),
+        "runs_test": _runs_test_sql(),
+        "newey_west_se": _newey_west_se_sql(),
+        "spectral_peaks": _spectral_peaks_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

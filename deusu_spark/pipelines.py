@@ -14359,6 +14359,250 @@ def q_deming_regression(spark, sf_dir):
     )
 
 
+PACF_K = 5  # partial-autocorrelation depth (Durbin-Levinson)
+
+
+def q_pacf_daily(spark, sf_dir):
+    """Partial autocorrelation of the daily event-count series at lags
+    1..PACF_K via the Durbin-Levinson recursion — the AR-order
+    diagnostic q_acf_daily can't provide (ACF of an AR(1) decays at
+    every lag; PACF cuts off sharply at the true order). The data-sized
+    work is the SAME bounded ACF plan (daily reduce + calendar-bounded
+    lag join); the recursion then runs on K ROUNDED scalars on the
+    driver (the q_em_gmm bounded-scalar shape) — both engines recurse on
+    the identically-rounded r_k, so the match is exact. Output: lag,
+    acf, pacf."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.col("cnt").cast("double").alias("x"),
+    )
+    mu = idx.agg(F.avg("x").alias("mu"))
+    centered = idx.crossJoin(F.broadcast(mu)).select(
+        "i", (F.col("x") - F.col("mu")).alias("dx")
+    )
+    denom = centered.agg(
+        F.sum(F.col("dx") * F.col("dx")).alias("ss")
+    ).first()["ss"]
+    lags = spark.range(1, PACF_K + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = centered.select(F.col("i").alias("j"), F.col("dx").alias("dy"))
+    acf_rows = (
+        centered.crossJoin(F.broadcast(lags))
+        .join(b, F.col("j") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.round(
+                F.sum(F.col("dx") * F.col("dy")) / F.lit(float(denom)), 6
+            ).alias("acf")
+        )
+        .orderBy("lag")
+        .collect()
+    )
+    r = {row["lag"]: row["acf"] for row in acf_rows}
+    phi = {1: r[1]}
+    pacf = {1: r[1]}
+    for k in range(2, PACF_K + 1):
+        num = r[k] - sum(phi[j] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[j] * r[j] for j in range(1, k))
+        pk = num / den
+        phi = {j: phi[j] - pk * phi[k - j] for j in range(1, k)}
+        phi[k] = pk
+        pacf[k] = pk
+    out = [
+        (int(k), float(r[k]), float(round(pacf[k], 6)))
+        for k in range(1, PACF_K + 1)
+    ]
+    return spark.createDataFrame(
+        out, "lag int, acf double, pacf double"
+    ).orderBy("lag")
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily count
+    series — are the above/below-median days independent (z ≈ 0) or
+    positively clustered (too few runs, z ≪ 0: momentum/weekly
+    structure)? Ties at the exact median are discarded per the standard
+    recipe; the run count is one lag window over the calendar-bounded
+    ordered signs, the moments are closed-form in (n₊, n₋). One row
+    out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    med = daily.agg(F.expr("percentile(x, 0.5D)").alias("med"))
+    s = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("day")  # calendar-bounded
+    runs = s.select(
+        "s",
+        (
+            F.lag("s").over(w).isNull()
+            | (F.lag("s").over(w) != F.col("s"))
+        )
+        .cast("int")
+        .alias("new_run"),
+    )
+    st = runs.agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    e_r = 1.0 + 2.0 * F.col("n1") * F.col("n2") / F.col("n")
+    var_r = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n"))
+        / (F.col("n") * F.col("n") * (F.col("n") - 1.0))
+    )
+    return st.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(e_r, 6).alias("expected_runs"),
+        F.round((F.col("r") - e_r) / F.sqrt(var_r), 6).alias("z"),
+    )
+
+
+NW_LAGS = 5  # Bartlett-kernel truncation for the HAC variance
+
+
+def q_newey_west_se(spark, sf_dir):
+    """Newey-West (HAC) standard error of the daily-mean event value —
+    the autocorrelation-robust SE every time-aggregated metric should
+    quote instead of the IID σ/√n (positive daily autocorrelation makes
+    the naive SE too small, inflating every downstream z):
+    lrv = γ₀ + 2·Σ_{l≤L}(1 − l/(L+1))·γ_l with Bartlett weights. The
+    autocovariances reuse the bounded ACF lag-join; the readout shows
+    the naive SE next to the robust one so the correction factor is
+    itself oracle-checked. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "x"
+    )
+    mu = idx.agg(F.avg("x").alias("mu"), F.count("*").alias("n"))
+    centered = idx.crossJoin(F.broadcast(mu)).select(
+        "i", "n", (F.col("x") - F.col("mu")).alias("dx")
+    )
+    g0 = centered.agg(
+        (F.sum(F.col("dx") * F.col("dx")) / F.max("n")).alias("g0"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, NW_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = centered.select(F.col("i").alias("j"), F.col("dx").alias("dy"))
+    gl = (
+        centered.crossJoin(F.broadcast(lags))
+        .join(b, F.col("j") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("dx") * F.col("dy")).alias("s"))
+        .crossJoin(F.broadcast(g0.select("n")))
+        .select(
+            (
+                (1.0 - F.col("lag") / (NW_LAGS + 1.0))
+                * F.col("s")
+                / F.col("n")
+            ).alias("w_gamma")
+        )
+        .agg(F.sum("w_gamma").alias("tail"))
+    )
+    return (
+        g0.crossJoin(gl)
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.sqrt(F.col("g0") / F.col("n")), 6).alias("se_iid"),
+            F.round(
+                F.sqrt(
+                    (F.col("g0") + 2.0 * F.col("tail")) / F.col("n")
+                ),
+                6,
+            ).alias("se_nw"),
+            F.round(
+                F.sqrt(
+                    (F.col("g0") + 2.0 * F.col("tail")) / F.col("g0")
+                ),
+                6,
+            ).alias("correction"),
+        )
+    )
+
+
+SPECTRAL_PERIODS = [6, 12, 24, 168]  # candidate cycles (hours)
+
+
+def q_spectral_peaks(spark, sf_dir):
+    """Goertzel-style spectral power of the hourly event-count series at
+    the candidate periods a load forecaster cares about (6/12/24 h and
+    the week) — power(P) = (Σ x̃ₜcos(2πt/P))² + (Σ x̃ₜsin(2πt/P))² over
+    the mean-centered series: the dominant-cycle detector feeding
+    q_seasonal_decompose's period choice with evidence instead of
+    convention. One trig-weighted aggregate per candidate (a |periods|-
+    row fan-out, no FFT machinery); power shares and the argmax flag
+    come from a bounded rollup."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    idx = hourly.select(
+        F.row_number().over(Window.orderBy("h")).alias("t"),
+        F.col("cnt").cast("double").alias("x"),
+    )
+    mu = idx.agg(F.avg("x").alias("mu"), F.count("*").alias("n"))
+    centered = idx.crossJoin(F.broadcast(mu)).select(
+        "t", "n", (F.col("x") - F.col("mu")).alias("dx")
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in SPECTRAL_PERIODS], "period int"
+    )
+    ang = 2.0 * float(_math.pi) * F.col("t") / F.col("period")
+    pw = (
+        centered.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("dx") * F.cos(ang)).alias("cs"),
+            F.sum(F.col("dx") * F.sin(ang)).alias("sn"),
+        )
+        .select(
+            "period",
+            "n",
+            (
+                (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+                / F.col("n")
+            ).alias("power"),
+        )
+    )
+    tot = pw.agg(
+        F.sum("power").alias("tp"), F.max("power").alias("mx")
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "period",
+            F.col("n").alias("n_hours"),
+            F.round("power", 6).alias("power"),
+            F.round(F.col("power") / F.col("tp"), 6).alias("share"),
+            (F.col("power") == F.col("mx")).cast("int").alias("is_peak"),
+        )
+        .orderBy("period")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -14638,4 +14882,8 @@ QUERIES = {
     "mcnemar_test": q_mcnemar_test,
     "bland_altman": q_bland_altman,
     "deming_regression": q_deming_regression,
+    "pacf_daily": q_pacf_daily,
+    "runs_test": q_runs_test,
+    "newey_west_se": q_newey_west_se,
+    "spectral_peaks": q_spectral_peaks,
 }
