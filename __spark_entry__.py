@@ -6234,6 +6234,131 @@ def _spectral_peaks_sql() -> str:
     """
 
 
+def _map_eval_sql() -> str:
+    from deusu_spark.pipelines import MAP_K
+
+    return f"""
+        WITH tok AS ({_TOKS}),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             ad AS (SELECT avg(dl) AS avgdl FROM dl),
+             nn AS (SELECT count(*) AS n FROM documents),
+             qt AS (SELECT DISTINCT doc_id, t FROM tok
+                    WHERE t IN ('spark', 'join')),
+             dfs AS (SELECT t, count(*) AS df FROM qt GROUP BY t),
+             scored AS (
+                 SELECT doc_id,
+                        round(sum(ln(1.0 + (nn.n - dfs.df + 0.5)
+                                           / (dfs.df + 0.5))
+                              * (1.2 + 1.0) * 1.0
+                              / (1.0 + 1.2 * (1 - 0.75
+                                              + 0.75 * dl.dl / ad.avgdl))),
+                              5) AS score
+                 FROM qt JOIN dfs USING (t) JOIN dl USING (doc_id), nn, ad
+                 GROUP BY doc_id
+                 ORDER BY score DESC, doc_id LIMIT {MAP_K}),
+             ranked AS (SELECT doc_id,
+                               row_number() OVER (ORDER BY score DESC,
+                                                  doc_id) AS i
+                        FROM scored),
+             rel_docs AS (SELECT DISTINCT doc_id FROM qt),
+             nrel AS (SELECT count(*) AS r FROM rel_docs),
+             rows_ AS (SELECT i, CASE WHEN rd.doc_id IS NOT NULL
+                                      THEN 1 ELSE 0 END AS rel
+                       FROM ranked
+                       LEFT JOIN rel_docs rd USING (doc_id)),
+             pw AS (SELECT i, rel,
+                           sum(rel) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) * 1.0 / i
+                               AS p_at_i
+                    FROM rows_)
+        SELECT {MAP_K} AS k,
+               CAST((SELECT r FROM nrel) AS BIGINT) AS n_rel_total,
+               round(max(CASE WHEN i = 10 THEN p_at_i END), 6) AS p_at_10,
+               round(sum(CASE WHEN rel = 1 THEN p_at_i ELSE 0.0 END)
+                     / (SELECT r FROM nrel), 6) AS average_precision,
+               round(max(CASE WHEN i = least((SELECT r FROM nrel),
+                                             {MAP_K})
+                         THEN p_at_i END), 6) AS r_precision
+        FROM pw
+    """
+
+
+def _markov_next_event_eval_sql() -> str:
+    return """
+        WITH e AS (SELECT user_id, event_id, ts, event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                   FROM events),
+             mm AS (SELECT (min(sec) + max(sec)) / 2.0 AS cut FROM e),
+             seq AS (SELECT user_id, event_type AS s,
+                            CASE WHEN sec >= (SELECT cut FROM mm)
+                                 THEN 1 ELSE 0 END AS post,
+                            lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t,
+                            lead(CASE WHEN sec >= (SELECT cut FROM mm)
+                                      THEN 1 ELSE 0 END) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t_post
+                     FROM e),
+             tr AS (SELECT * FROM seq WHERE t IS NOT NULL),
+             train AS (SELECT s, t, count(*) AS c FROM tr
+                       WHERE post = 0 AND t_post = 0 GROUP BY 1, 2),
+             pred AS (SELECT s, t AS pred FROM (
+                         SELECT s, t, row_number() OVER (
+                             PARTITION BY s ORDER BY c DESC, t) AS rn
+                         FROM train) WHERE rn = 1),
+             maj AS (SELECT t AS m FROM (
+                        SELECT t, sum(c) AS c FROM train GROUP BY t
+                        ORDER BY c DESC, t LIMIT 1)),
+             test AS (SELECT s, t FROM tr
+                      WHERE post = 1 AND t_post = 1),
+             sc AS (SELECT t, pred FROM test LEFT JOIN pred USING (s))
+        SELECT count(*) AS n_test,
+               round(avg(CASE WHEN t = pred THEN 1 ELSE 0 END), 6)
+                   AS acc_markov,
+               round(avg(CASE WHEN t = (SELECT m FROM maj)
+                         THEN 1 ELSE 0 END), 6) AS acc_majority,
+               round(avg(CASE WHEN t = pred THEN 1 ELSE 0 END)
+                     / avg(CASE WHEN t = (SELECT m FROM maj)
+                           THEN 1 ELSE 0 END), 6) AS lift
+        FROM sc
+    """
+
+
+def _price_elasticity_sql() -> str:
+    return """
+        WITH per AS (SELECT ln(price) AS lp, ln(qty) AS lq FROM (
+                        SELECT avg(l_extendedprice / l_quantity) AS price,
+                               sum(l_quantity) AS qty
+                        FROM lineitem GROUP BY l_partkey)
+                     WHERE price > 0 AND qty > 0),
+             st AS (SELECT count(*) AS n_parts,
+                           covar_pop(lp, lq) / var_pop(lp) AS beta,
+                           avg(lp) AS mlp, avg(lq) AS mlq,
+                           covar_pop(lp, lq)
+                               / sqrt(var_pop(lp) * var_pop(lq)) AS r
+                    FROM per)
+        SELECT CAST(n_parts AS BIGINT) AS n_parts,
+               round(beta, 6) AS elasticity,
+               round(mlq - beta * mlp, 6) AS ln_intercept,
+               round(r * r, 6) AS r2
+        FROM st
+    """
+
+
+def _hhi_concentration_sql() -> str:
+    return """
+        WITH spend AS (SELECT c_nationkey, c_custkey,
+                              sum(o_totalprice) AS s
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                       GROUP BY 1, 2)
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+               round(sum(s * s) / (sum(s) * sum(s)), 6) AS hhi,
+               round(1.0 / (sum(s * s) / (sum(s) * sum(s))), 6)
+                   AS effective_n
+        FROM spend GROUP BY 1 ORDER BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7486,6 +7611,10 @@ def oracle_sql() -> dict[str, str]:
         "runs_test": _runs_test_sql(),
         "newey_west_se": _newey_west_se_sql(),
         "spectral_peaks": _spectral_peaks_sql(),
+        "map_eval": _map_eval_sql(),
+        "markov_next_event_eval": _markov_next_event_eval_sql(),
+        "price_elasticity": _price_elasticity_sql(),
+        "hhi_concentration": _hhi_concentration_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

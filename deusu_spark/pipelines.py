@@ -14603,6 +14603,213 @@ def q_spectral_peaks(spark, sf_dir):
     )
 
 
+MAP_K = 20  # ranking depth for the precision family
+
+
+def q_map_eval(spark, sf_dir):
+    """Mean-average-precision family for the BM25 ranking on the binary
+    judge set (doc relevant ⇔ contains ≥1 query term) — the remaining
+    classical IR metrics next to q_ndcg_eval (graded, positional) and
+    q_err_eval (cascade): AP = (1/R)·Σ_{k hit} P@k rewards putting ALL
+    relevant docs early, P@10 is the dashboard number, R-precision the
+    break-even point (evaluated at min(R, K) since the list is
+    top-K-bounded). Ranking is the exact q_bm25_topk arithmetic; the
+    cumulative-precision walk is a prefix window over K rows. One row
+    out."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = (
+        qt.join(dfs, "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (1.2 + 1.0)
+            * 1.0
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 5).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(MAP_K)
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+        )
+    )
+    rel_docs = qt.select("doc_id").distinct()
+    n_rel = rel_docs.count()
+    wpre = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # MAP_K rows — bounded
+    rows = (
+        ranked.join(
+            rel_docs.withColumn("rel", F.lit(1)), "doc_id", "left"
+        )
+        .na.fill({"rel": 0})
+        .select("i", "rel")
+        .withColumn("cum_rel", F.sum("rel").over(wpre))
+        .withColumn("p_at_i", F.col("cum_rel") / F.col("i"))
+    )
+    rp_depth = min(n_rel, MAP_K)
+    return rows.agg(
+        F.lit(MAP_K).alias("k"),
+        F.lit(n_rel).cast("long").alias("n_rel_total"),
+        F.round(
+            F.max(F.when(F.col("i") == 10, F.col("p_at_i"))), 6
+        ).alias("p_at_10"),
+        F.round(
+            F.sum(F.when(F.col("rel") == 1, F.col("p_at_i")).otherwise(0.0))
+            / float(n_rel),
+            6,
+        ).alias("average_precision"),
+        F.round(
+            F.max(F.when(F.col("i") == rp_depth, F.col("p_at_i"))), 6
+        ).alias("r_precision"),
+    )
+
+
+def q_markov_next_event_eval(spark, sf_dir):
+    """Held-out evaluation of the first-order Markov next-event
+    predictor — train per-state argmax transitions on the FIRST half of
+    the window, score top-1 accuracy on the second half's transitions,
+    against the majority-class baseline (q_entropy_rate says how
+    predictable the chain is in bits; this op says what a real predictor
+    captures of it). Train table is |states|² (broadcast); both halves'
+    transitions come from per-user lag windows (never a global sort);
+    accuracy is one conditional aggregate. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).first()
+    cut = (mm["mn"] + mm["mx"]) / 2.0
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") >= F.lit(cut)).cast("int").alias("post"),
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+        F.lead(
+            (F.unix_timestamp("ts") >= F.lit(cut)).cast("int")
+        ).over(w).alias("t_post"),
+    ).where(F.col("t").isNotNull())
+    train = (
+        tr.where((F.col("post") == 0) & (F.col("t_post") == 0))
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    wbest = Window.partitionBy("s").orderBy(F.desc("c"), "t")
+    pred = (
+        train.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("s", F.col("t").alias("pred"))
+    )
+    maj = (
+        train.groupBy("t")
+        .agg(F.sum("c").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(1)
+        .collect()[0]["t"]
+    )
+    test = tr.where((F.col("post") == 1) & (F.col("t_post") == 1))
+    scored = test.join(F.broadcast(pred), "s", "left")
+    # unseen-state predictions count as WRONG (coalesce — a bare null
+    # comparison would be silently dropped by avg())
+    hit = F.coalesce((F.col("t") == F.col("pred")).cast("int"), F.lit(0))
+    base = (F.col("t") == maj).cast("int")
+    return scored.agg(
+        F.count("*").alias("n_test"),
+        F.round(F.avg(hit), 6).alias("acc_markov"),
+        F.round(F.avg(base), 6).alias("acc_majority"),
+        F.round(F.avg(hit) / F.avg(base), 6).alias("lift"),
+    )
+
+
+def q_price_elasticity(spark, sf_dir):
+    """Cross-part price elasticity of demand — the log-log regression of
+    total quantity sold on average unit price across parts
+    (ε = d ln q / d ln p; ε < −1 elastic, the pricing-analytics
+    headline): one per-part aggregate (map-side), then the native
+    covar/var moment pair over the per-part log points. R² reported so
+    the fit quality is itself oracle-checked. One row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "price"
+            ),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .where((F.col("price") > 0) & (F.col("qty") > 0))
+        .select(
+            F.log("price").alias("lp"), F.log("qty").alias("lq")
+        )
+    )
+    st = per.agg(
+        F.count("*").alias("n_parts"),
+        (F.covar_pop("lp", "lq") / F.var_pop("lp")).alias("beta"),
+        F.avg("lp").alias("mlp"),
+        F.avg("lq").alias("mlq"),
+        (
+            F.covar_pop("lp", "lq")
+            / F.sqrt(F.var_pop("lp") * F.var_pop("lq"))
+        ).alias("r"),
+    )
+    return st.select(
+        "n_parts",
+        F.round("beta", 6).alias("elasticity"),
+        F.round(F.col("mlq") - F.col("beta") * F.col("mlp"), 6).alias(
+            "ln_intercept"
+        ),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+    )
+
+
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of customer spend within each
+    nation — HHI = Σ share² over the nation's customers, with the
+    effective customer count 1/HHI (the 'how many customers really
+    matter' number next to q_gini_by_nation's inequality curve; HHI is
+    what regulators and revenue-risk reviews actually quote). Two
+    grouped aggregates (customer spend, then nation rollup) — both
+    map-side-combinable; shares never materialize row-wise because
+    Σ(sᵢ/S)² = Σsᵢ²/S². One row per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    return (
+        spend.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum(F.col("s") * F.col("s"))
+                / (F.sum("s") * F.sum("s"))
+            ).alias("hhi"),
+        )
+        .select(
+            "nationkey",
+            "n_customers",
+            F.round("hhi", 6).alias("hhi"),
+            F.round(1.0 / F.col("hhi"), 6).alias("effective_n"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -14886,4 +15093,8 @@ QUERIES = {
     "runs_test": q_runs_test,
     "newey_west_se": q_newey_west_se,
     "spectral_peaks": q_spectral_peaks,
+    "map_eval": q_map_eval,
+    "markov_next_event_eval": q_markov_next_event_eval,
+    "price_elasticity": q_price_elasticity,
+    "hhi_concentration": q_hhi_concentration,
 }
