@@ -6359,6 +6359,164 @@ def _hhi_concentration_sql() -> str:
     """
 
 
+def _rmst_sql() -> str:
+    from deusu_spark.pipelines import KM_HORIZON_DAYS as H
+
+    return f"""
+        WITH firsts AS (SELECT user_id, min(ts) AS first_ts
+                        FROM events GROUP BY 1),
+             purch AS (SELECT user_id, min(ts) AS p_ts FROM events
+                       WHERE event_type = 'purchase' GROUP BY 1),
+             per AS (SELECT user_id,
+                            CASE WHEN days_to_p IS NOT NULL
+                                  AND days_to_p <= {H}
+                                 THEN 1 ELSE 0 END AS event,
+                            CASE WHEN days_to_p IS NOT NULL
+                                  AND days_to_p <= {H}
+                                 THEN days_to_p ELSE {H} END AS duration
+                     FROM (SELECT f.user_id,
+                                  date_diff('day', first_ts, p_ts)
+                                      AS days_to_p
+                           FROM firsts f LEFT JOIN purch USING (user_id))),
+             tot AS (SELECT count(*) AS total FROM per),
+             tbl AS (SELECT duration,
+                            CAST(sum(event) AS BIGINT) AS n_events,
+                            CAST(sum(1 - event) AS BIGINT) AS n_censored
+                     FROM per GROUP BY 1),
+             risk AS (SELECT duration, n_events, n_censored,
+                             CAST((SELECT total FROM tot)
+                                  - coalesce(sum(n_events + n_censored)
+                                      OVER (ORDER BY duration
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+                                  AS BIGINT) AS at_risk
+                      FROM tbl),
+             km AS MATERIALIZED (SELECT duration,
+                           exp(sum(ln(1.0 - n_events * 1.0 / at_risk))
+                               OVER (ORDER BY duration)) AS survival
+                    FROM risk),
+             grid AS (SELECT CAST(unnest(range(0, {H})) AS INTEGER) AS k),
+             sk AS (SELECT g.k, arg_max(km.survival, km.duration) AS s
+                    FROM grid g JOIN km ON km.duration <= g.k
+                    GROUP BY g.k),
+             filled AS (SELECT coalesce(sk.s, 1.0) AS s
+                        FROM grid LEFT JOIN sk USING (k))
+        SELECT {H} AS horizon_days,
+               CAST((SELECT total FROM tot) AS BIGINT) AS n_users,
+               round(sum(s), 6) AS rmst,
+               round(sum(s) / {float(H)}, 6) AS rmst_frac
+        FROM filled
+    """
+
+
+def _cochran_armitage_sql() -> str:
+    from deusu_spark.pipelines import CA_BAND, CA_BANDS, CA_SPEND_CUT
+
+    return f"""
+        WITH spend AS (SELECT o_custkey, sum(o_totalprice) AS spend
+                       FROM orders GROUP BY 1),
+             per AS (SELECT least(CAST(floor(c_acctbal / {CA_BAND})
+                                       AS INTEGER), {CA_BANDS - 1})
+                                AS band,
+                            CASE WHEN coalesce(spend, 0.0)
+                                      > {CA_SPEND_CUT}
+                                 THEN 1 ELSE 0 END AS hv
+                     FROM customer
+                     LEFT JOIN spend ON c_custkey = o_custkey),
+             pf AS (SELECT * FROM per WHERE band >= 0),
+             g AS (SELECT band, count(*) AS n, sum(hv) AS r
+                   FROM pf GROUP BY band),
+             tot AS (SELECT sum(n) AS nn,
+                            sum(r) * 1.0 / sum(n) AS pbar,
+                            sum(band * r) AS swr,
+                            sum(band * n) AS swn,
+                            sum(band * band * n) AS sw2n
+                     FROM g),
+             zt AS (SELECT CASE WHEN pbar * (1 - pbar)
+                                     * (sw2n - swn * swn * 1.0 / nn) > 0
+                                THEN round((swr - pbar * swn)
+                                     / sqrt(pbar * (1 - pbar)
+                                            * (sw2n
+                                               - swn * swn * 1.0 / nn)),
+                                     6)
+                           END AS z_trend
+                    FROM tot)
+        SELECT band, CAST(n AS BIGINT) AS n,
+               CAST(r AS BIGINT) AS n_high_value,
+               round(r * 1.0 / n, 6) AS rate, z_trend
+        FROM g, zt ORDER BY band
+    """
+
+
+def _odds_ratio_2x2_sql() -> str:
+    from deusu_spark.pipelines import OR_MIN_PURCH
+
+    orr = "((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))"
+    se = (
+        "sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)"
+        " + 1.0 / (c + 0.5) + 1.0 / (d + 0.5))"
+    )
+    return f"""
+        WITH per AS (SELECT user_id,
+                            CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END)
+                                      >= {OR_MIN_PURCH}
+                                 THEN 1 ELSE 0 END AS y
+                     FROM events GROUP BY 1),
+             cells AS (SELECT CASE WHEN user_id % 2 = 1
+                                   THEN 1 ELSE 0 END AS t,
+                              y, count(*) AS n
+                       FROM per GROUP BY 1, 2),
+             st AS (SELECT
+                 coalesce(sum(CASE WHEN t = 1 AND y = 1 THEN n END), 0)
+                     AS a,
+                 coalesce(sum(CASE WHEN t = 1 AND y = 0 THEN n END), 0)
+                     AS b,
+                 coalesce(sum(CASE WHEN t = 0 AND y = 1 THEN n END), 0)
+                     AS c,
+                 coalesce(sum(CASE WHEN t = 0 AND y = 0 THEN n END), 0)
+                     AS d
+                 FROM cells)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+               round({orr}, 6) AS odds_ratio,
+               round(exp(ln({orr}) - 1.96 * {se}), 6) AS or_ci_low,
+               round(exp(ln({orr}) + 1.96 * {se}), 6) AS or_ci_high,
+               round(((a + 0.5) / (a + b + 1.0))
+                     / ((c + 0.5) / (c + d + 1.0)), 6)
+                   AS relative_risk,
+               round(a * 1.0 / (a + b) - c * 1.0 / (c + d), 6)
+                   AS risk_difference
+        FROM st
+    """
+
+
+def _spc_imr_chart_sql() -> str:
+    return """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS x
+                       FROM events GROUP BY 1),
+             mr AS (SELECT day, x,
+                           abs(x - lag(x) OVER (ORDER BY day)) AS mr
+                    FROM daily),
+             st AS (SELECT count(*) AS n, avg(x) AS xbar,
+                           avg(mr) AS mrbar
+                    FROM mr)
+        SELECT CAST(max(n) AS BIGINT) AS n_days,
+               round(max(xbar), 6) AS xbar,
+               round(max(mrbar), 6) AS mrbar,
+               round(max(xbar + 2.66 * mrbar), 6) AS ucl_x,
+               round(max(xbar - 2.66 * mrbar), 6) AS lcl_x,
+               CAST(sum(CASE WHEN x > xbar + 2.66 * mrbar
+                              OR x < xbar - 2.66 * mrbar
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc_x,
+               round(max(3.267 * mrbar), 6) AS ucl_mr,
+               CAST(sum(CASE WHEN mr > 3.267 * mrbar
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc_mr
+        FROM mr, st
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7615,6 +7773,10 @@ def oracle_sql() -> dict[str, str]:
         "markov_next_event_eval": _markov_next_event_eval_sql(),
         "price_elasticity": _price_elasticity_sql(),
         "hhi_concentration": _hhi_concentration_sql(),
+        "rmst": _rmst_sql(),
+        "cochran_armitage": _cochran_armitage_sql(),
+        "odds_ratio_2x2": _odds_ratio_2x2_sql(),
+        "spc_imr_chart": _spc_imr_chart_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

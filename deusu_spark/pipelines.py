@@ -14810,6 +14810,251 @@ def q_hhi_concentration(spark, sf_dir):
     )
 
 
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time over the KM_HORIZON_DAYS window —
+    the 'average purchase-free days per user' scalar clinicians and
+    retention teams quote when the q_kaplan_meier curve itself is too
+    much: RMST = ∫₀^τ S(t)dt = Σ_{k<τ} S(k) for the integer-day step
+    curve (S right-continuous, drops at event days). Same per-user
+    reduction and bounded KM table as q_kaplan_meier; the integral is a
+    τ-row grid carry-forward join. One row out."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        firsts.join(purch, "user_id", "left")
+        .withColumn("days_to_p", F.datediff("p_ts", "first_ts"))
+        .withColumn(
+            "event",
+            F.when(
+                F.col("days_to_p").isNotNull()
+                & (F.col("days_to_p") <= KM_HORIZON_DAYS),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "duration",
+            F.when(F.col("event") == 1, F.col("days_to_p")).otherwise(
+                F.lit(KM_HORIZON_DAYS)
+            ),
+        )
+    )
+    total = per_user.count()
+    tbl = per_user.groupBy("duration").agg(
+        F.sum("event").alias("n_events"),
+        F.sum(1 - F.col("event")).alias("n_censored"),
+    )
+    w = Window.orderBy("duration")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = F.lit(total) - F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev), F.lit(0)
+    )
+    km = tbl.withColumn("at_risk", at_risk).withColumn(
+        "survival",
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("n_events") / F.col("at_risk"))
+            ).over(w)
+        ),
+    )
+    grid = spark.range(0, KM_HORIZON_DAYS).select(
+        F.col("id").cast("int").alias("k")
+    )
+    sk = (
+        grid.crossJoin(km.select("duration", "survival"))
+        .where(F.col("duration") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max(F.struct("duration", "survival"))["survival"].alias("s")
+        )
+    )
+    filled = grid.join(sk, "k", "left").select(
+        F.coalesce("s", F.lit(1.0)).alias("s")
+    )
+    return filled.agg(
+        F.lit(KM_HORIZON_DAYS).alias("horizon_days"),
+        F.lit(total).cast("long").alias("n_users"),
+        F.round(F.sum("s"), 6).alias("rmst"),
+        F.round(F.sum("s") / float(KM_HORIZON_DAYS), 6).alias(
+            "rmst_frac"
+        ),
+    )
+
+
+CA_BAND = 3000.0  # ordered acctbal bands for the trend scores
+CA_BANDS = 4
+CA_SPEND_CUT = 3000000.0  # 'high-value' threshold (between p50 and p75)
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test — is the high-value-customer rate
+    MONOTONE in the ordered account-balance band? The ordered-category
+    sibling of q_chi2_independence (which would burn power testing
+    arbitrary deviations): with integer scores wᵢ per band,
+    z = Σwᵢ(rᵢ − nᵢp̄) / √(p̄(1−p̄)(Σnᵢwᵢ² − (Σnᵢwᵢ)²/N)). One per-band
+    aggregate; the band rows carry the constant z."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    per = (
+        c.join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.least(
+                F.floor(F.col("c_acctbal") / CA_BAND).cast("int"),
+                F.lit(CA_BANDS - 1),
+            ).alias("band"),
+            (
+                F.coalesce(F.col("spend"), F.lit(0.0)) > CA_SPEND_CUT
+            ).cast("int").alias("hv"),
+        )
+        .where(F.col("band") >= 0)
+    )
+    g = per.groupBy("band").agg(
+        F.count("*").alias("n"), F.sum("hv").alias("r")
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        (F.sum("r") / F.sum("n")).alias("pbar"),
+        F.sum(F.col("band") * F.col("r")).alias("swr"),
+        F.sum(F.col("band") * F.col("n")).alias("swn"),
+        F.sum(F.col("band") * F.col("band") * F.col("n")).alias("sw2n"),
+    )
+    var = (
+        F.col("pbar")
+        * (1.0 - F.col("pbar"))
+        * (F.col("sw2n") - F.col("swn") * F.col("swn") / F.col("nn"))
+    )
+    z = F.when(
+        var > 0,
+        (F.col("swr") - F.col("pbar") * F.col("swn")) / F.sqrt(var),
+    )
+    zt = tot.select(F.round(z, 6).alias("z_trend"))
+    return (
+        g.crossJoin(F.broadcast(zt))
+        .select(
+            "band",
+            "n",
+            F.col("r").alias("n_high_value"),
+            F.round(F.col("r") / F.col("n"), 6).alias("rate"),
+            "z_trend",
+        )
+        .orderBy("band")
+    )
+
+
+OR_MIN_PURCH = 14  # outcome bar: above the median purchases/user
+
+
+def q_odds_ratio_2x2(spark, sf_dir):
+    """The 2×2 epidemiology readout for exposure = treatment arm (odd
+    user_id) vs outcome = heavy purchaser (≥ OR_MIN_PURCH purchases):
+    Haldane-corrected (+0.5/cell) odds ratio with Woolf log-SE, 95% CI,
+    the matching corrected relative risk, and the raw-cell risk
+    difference — the effect-size quartet a two-proportion z
+    (q_ab_test) doesn't expose. One per-user aggregate into four cells;
+    everything after is closed-form scalars. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= OR_MIN_PURCH
+        ).cast("int").alias("y")
+    )
+    cells = per.groupBy(
+        (F.col("user_id") % 2 == 1).cast("int").alias("t"), "y"
+    ).agg(F.count("*").alias("n"))
+    st = cells.agg(
+        F.coalesce(
+            F.sum(F.when((F.col("t") == 1) & (F.col("y") == 1), F.col("n"))),
+            F.lit(0),
+        ).alias("a"),
+        F.coalesce(
+            F.sum(F.when((F.col("t") == 1) & (F.col("y") == 0), F.col("n"))),
+            F.lit(0),
+        ).alias("b"),
+        F.coalesce(
+            F.sum(F.when((F.col("t") == 0) & (F.col("y") == 1), F.col("n"))),
+            F.lit(0),
+        ).alias("c"),
+        F.coalesce(
+            F.sum(F.when((F.col("t") == 0) & (F.col("y") == 0), F.col("n"))),
+            F.lit(0),
+        ).alias("d"),
+    )
+    # Haldane-Anscombe +0.5 on every cell: keeps OR and its CI finite
+    # even when a cell is empty (both engines apply the same correction)
+    ah, bh = F.col("a") + 0.5, F.col("b") + 0.5
+    ch, dh = F.col("c") + 0.5, F.col("d") + 0.5
+    orr = (ah * dh) / (bh * ch)
+    se = F.sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+    rr = (ah / (ah + bh)) / (ch / (ch + dh))
+    rd = F.col("a") / (F.col("a") + F.col("b")) - F.col("c") / (
+        F.col("c") + F.col("d")
+    )
+    return st.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - 1.96 * se), 6).alias("or_ci_low"),
+        F.round(F.exp(F.log(orr) + 1.96 * se), 6).alias("or_ci_high"),
+        F.round(rr, 6).alias("relative_risk"),
+        F.round(rd, 6).alias("risk_difference"),
+    )
+
+
+def q_spc_imr_chart(spark, sf_dir):
+    """Shewhart individuals / moving-range control chart of the daily
+    event count — the SPC readout ops dashboards predate every ML
+    anomaly detector with: center x̄, natural process limits
+    x̄ ± 2.66·M̄R (the d₂-derived constant for n=2 moving ranges), MR
+    chart upper limit 3.267·M̄R, and the out-of-control day counts on
+    both charts. One daily reduce + one lag window over the
+    calendar-bounded series + two rollups. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w = Window.orderBy("day")  # calendar-bounded
+    mr = daily.select(
+        "day", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mr")
+    )
+    st = mr.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.avg("mr").alias("mrbar"),
+    )
+    j = mr.crossJoin(F.broadcast(st))
+    return j.agg(
+        F.max("n").alias("n_days"),
+        F.round(F.max("xbar"), 6).alias("xbar"),
+        F.round(F.max("mrbar"), 6).alias("mrbar"),
+        F.round(F.max(F.col("xbar") + 2.66 * F.col("mrbar")), 6).alias(
+            "ucl_x"
+        ),
+        F.round(F.max(F.col("xbar") - 2.66 * F.col("mrbar")), 6).alias(
+            "lcl_x"
+        ),
+        F.sum(
+            (
+                (F.col("x") > F.col("xbar") + 2.66 * F.col("mrbar"))
+                | (F.col("x") < F.col("xbar") - 2.66 * F.col("mrbar"))
+            ).cast("int")
+        ).alias("n_ooc_x"),
+        F.round(F.max(3.267 * F.col("mrbar")), 6).alias("ucl_mr"),
+        F.sum(
+            (F.col("mr") > 3.267 * F.col("mrbar")).cast("int")
+        ).alias("n_ooc_mr"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15097,4 +15342,8 @@ QUERIES = {
     "markov_next_event_eval": q_markov_next_event_eval,
     "price_elasticity": q_price_elasticity,
     "hhi_concentration": q_hhi_concentration,
+    "rmst": q_rmst,
+    "cochran_armitage": q_cochran_armitage,
+    "odds_ratio_2x2": q_odds_ratio_2x2,
+    "spc_imr_chart": q_spc_imr_chart,
 }
