@@ -6517,6 +6517,113 @@ def _spc_imr_chart_sql() -> str:
     """
 
 
+def _price_index_sql() -> str:
+    from deusu_spark.pipelines import PIDX_SPLIT_YEAR
+
+    return f"""
+        WITH pp AS (SELECT l_partkey,
+                           CASE WHEN year(o_orderdate) >= {PIDX_SPLIT_YEAR}
+                                THEN 1 ELSE 0 END AS per,
+                           avg(l_extendedprice / l_quantity) AS p,
+                           sum(l_quantity) AS q
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+             m AS (SELECT l_partkey,
+                          sum(CASE WHEN per = 0 THEN p END) AS p0,
+                          sum(CASE WHEN per = 0 THEN q END) AS q0,
+                          sum(CASE WHEN per = 1 THEN p END) AS p1,
+                          sum(CASE WHEN per = 1 THEN q END) AS q1
+                   FROM pp GROUP BY 1),
+             mf AS (SELECT * FROM m
+                    WHERE p0 IS NOT NULL AND p1 IS NOT NULL),
+             agg AS (SELECT count(*) AS n_parts,
+                            sum(p1 * q0) AS p1q0, sum(p0 * q0) AS p0q0,
+                            sum(p1 * q1) AS p1q1, sum(p0 * q1) AS p0q1
+                     FROM mf)
+        SELECT CAST(n_parts AS BIGINT) AS n_parts_matched,
+               round(p1q0 / p0q0, 6) AS laspeyres,
+               round(p1q1 / p0q1, 6) AS paasche,
+               round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6) AS fisher
+        FROM agg
+    """
+
+
+def _profile_similarity_sql() -> str:
+    return """
+        WITH prof AS (SELECT event_type, hour(ts) AS hod,
+                             CAST(count(*) AS DOUBLE) AS c
+                      FROM events GROUP BY 1, 2),
+             norms AS (SELECT event_type, sqrt(sum(c * c)) AS nrm
+                       FROM prof GROUP BY 1),
+             dots AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                             sum(a.c * b.c) AS dot
+                      FROM prof a JOIN prof b
+                        ON a.hod = b.hod AND a.event_type < b.event_type
+                      GROUP BY 1, 2)
+        SELECT ta AS type_a, tb AS type_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots JOIN norms na ON na.event_type = ta
+                  JOIN norms nb ON nb.event_type = tb
+        ORDER BY 1, 2
+    """
+
+
+def _adjusted_residuals_sql() -> str:
+    return """
+        WITH j AS (SELECT c_mktsegment AS r, o_orderpriority AS p
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+             obs AS (SELECT r, p, count(*) AS o FROM j GROUP BY 1, 2),
+             rm AS (SELECT r, sum(o) AS nr FROM obs GROUP BY r),
+             cm AS (SELECT p, sum(o) AS nc FROM obs GROUP BY p),
+             nn AS (SELECT count(*) AS n FROM j),
+             grid AS (SELECT rm.r, cm.p, coalesce(obs.o, 0) AS o,
+                             nr * nc * 1.0 / (SELECT n FROM nn) AS e,
+                             1.0 - nr * 1.0 / (SELECT n FROM nn) AS fr,
+                             1.0 - nc * 1.0 / (SELECT n FROM nn) AS fc
+                      FROM rm CROSS JOIN cm
+                      LEFT JOIN obs ON obs.r = rm.r AND obs.p = cm.p)
+        SELECT r, p, CAST(o AS BIGINT) AS o, round(e, 6) AS expected,
+               round((o - e) / sqrt(e * fr * fc), 6) AS adj_resid,
+               CASE WHEN abs((o - e) / sqrt(e * fr * fc)) > 2.0
+                    THEN 1 ELSE 0 END AS significant
+        FROM grid ORDER BY r, p
+    """
+
+
+def _seasonal_strength_sql() -> str:
+    return """
+        WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+             wt AS (SELECT event_type, h, cnt,
+                           avg(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY epoch(h)
+                                          RANGE BETWEEN 86399 PRECEDING
+                                                    AND CURRENT ROW)
+                               AS trend
+                    FROM hourly),
+             hm AS (SELECT event_type, hour(h) AS hod, avg(cnt) AS hod_mean
+                    FROM hourly GROUP BY 1, 2),
+             om AS (SELECT event_type, avg(cnt) AS type_mean
+                    FROM hourly GROUP BY 1),
+             parts AS (SELECT wt.event_type,
+                              hod_mean - type_mean AS s, trend,
+                              cnt - trend - (hod_mean - type_mean) AS res
+                       FROM wt
+                       JOIN hm ON hm.event_type = wt.event_type
+                              AND hm.hod = hour(wt.h)
+                       JOIN om ON om.event_type = wt.event_type)
+        SELECT event_type, count(*) AS n_hours,
+               round(greatest(0.0, 1.0 - var_pop(res)
+                                        / var_pop(trend + res)), 6)
+                   AS trend_strength,
+               round(greatest(0.0, 1.0 - var_pop(res)
+                                        / var_pop(s + res)), 6)
+                   AS seasonal_strength
+        FROM parts GROUP BY 1 ORDER BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7777,6 +7884,10 @@ def oracle_sql() -> dict[str, str]:
         "cochran_armitage": _cochran_armitage_sql(),
         "odds_ratio_2x2": _odds_ratio_2x2_sql(),
         "spc_imr_chart": _spc_imr_chart_sql(),
+        "price_index": _price_index_sql(),
+        "profile_similarity": _profile_similarity_sql(),
+        "adjusted_residuals": _adjusted_residuals_sql(),
+        "seasonal_strength": _seasonal_strength_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -15055,6 +15055,215 @@ def q_spc_imr_chart(spark, sf_dir):
     )
 
 
+PIDX_SPLIT_YEAR = 1998  # base period < split, current period >= split
+
+
+def q_price_index(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher price indexes between the two halves
+    of the order history — the economics-canonical aggregate-price
+    readouts over a MATCHED part basket (only parts traded in BOTH
+    periods enter, the standard matched-model rule): L fixes base-period
+    quantities, P current-period, Fisher the geometric mean that
+    satisfies the time-reversal test. One per-(part, period) aggregate,
+    one pivot join, one rollup — every step map-side or basket-bounded.
+    One row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pp = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            (F.year("o_orderdate") >= PIDX_SPLIT_YEAR).cast("int").alias(
+                "per"
+            ),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+            F.col("l_quantity").alias("q"),
+        )
+        .groupBy("l_partkey", "per")
+        .agg(F.avg("up").alias("p"), F.sum("q").alias("q"))
+    )
+    m = (
+        pp.groupBy("l_partkey")
+        .pivot("per", [0, 1])
+        .agg(F.sum("p").alias("p"), F.sum("q").alias("q"))
+        .where(F.col("0_p").isNotNull() & F.col("1_p").isNotNull())
+    )
+    agg = m.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("1_p") * F.col("0_q")).alias("p1q0"),
+        F.sum(F.col("0_p") * F.col("0_q")).alias("p0q0"),
+        F.sum(F.col("1_p") * F.col("1_q")).alias("p1q1"),
+        F.sum(F.col("0_p") * F.col("1_q")).alias("p0q1"),
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    return agg.select(
+        F.col("n_parts").alias("n_parts_matched"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+def q_profile_similarity(spark, sf_dir):
+    """Pairwise cosine similarity of the hour-of-day activity profiles
+    between event types — the profile-clustering primitive (which
+    behaviors share a daily rhythm?) behind load grouping and
+    anomaly-type attribution: each type is a 24-dim hourly count vector,
+    compared by the scale-invariant cosine. One (type, hour) reduce,
+    norms broadcast back, a |types|²·24-bounded pair join. Ten rows
+    out."""
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.count("*").cast("double").alias("c"))
+    norms = prof.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = prof.select(
+        F.col("event_type").alias("ta"), "hod", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("event_type").alias("tb"), "hod", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "hod")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.withColumnRenamed("event_type", "ta")), "ta"
+        )
+        .withColumnRenamed("nrm", "na")
+        .join(
+            F.broadcast(norms.withColumnRenamed("event_type", "tb")), "tb"
+        )
+        .withColumnRenamed("nrm", "nb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_adjusted_residuals(spark, sf_dir):
+    """Haberman adjusted standardized residuals of the market-segment ×
+    order-priority contingency table — the per-cell drill-down that says
+    WHICH cells drive the association q_cramers_v summarizes:
+    rᵢⱼ = (o−e)/√(e(1−nᵢ/N)(1−nⱼ/N)), asymptotically N(0,1), |r| > 2
+    flagged. Same bounded marginal-grid plan as the chi-square family;
+    one row per cell."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("r"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    obs = j.groupBy("r", "p").agg(F.count("*").alias("o"))
+    rm = obs.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = obs.groupBy("p").agg(F.sum("o").alias("nc"))
+    n = j.count()
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(obs, ["r", "p"], "left")
+        .select(
+            "r",
+            "p",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("nr") * F.col("nc") / float(n)).alias("e"),
+            (1.0 - F.col("nr") / float(n)).alias("fr"),
+            (1.0 - F.col("nc") / float(n)).alias("fc"),
+        )
+    )
+    resid = (F.col("o") - F.col("e")) / F.sqrt(
+        F.col("e") * F.col("fr") * F.col("fc")
+    )
+    return grid.select(
+        "r",
+        "p",
+        "o",
+        F.round("e", 6).alias("expected"),
+        F.round(resid, 6).alias("adj_resid"),
+        (F.abs(resid) > 2.0).cast("int").alias("significant"),
+    ).orderBy("r", "p")
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Hyndman trend/seasonal strength of the hourly rate per event type
+    — F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)) over q_seasonal_decompose's
+    additive components: the two 0..1 scalars that say whether a
+    forecaster should bother with a trend term or a seasonal term at
+    all. The decomposition is the same range-window + broadcast
+    group-mean plan; the strengths are one more per-type rollup of three
+    variances. One row per type."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-86399, 0)
+    )
+    with_trend = hourly.withColumn("trend", F.avg("cnt").over(wtr))
+    hod_mean = hourly.groupBy(
+        "event_type", F.hour("h").alias("hod")
+    ).agg(F.avg("cnt").alias("hod_mean"))
+    overall = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("type_mean")
+    )
+    parts = (
+        with_trend.withColumn("hod", F.hour("h"))
+        .join(hod_mean, ["event_type", "hod"])
+        .join(overall, "event_type")
+        .select(
+            "event_type",
+            (F.col("hod_mean") - F.col("type_mean")).alias("s"),
+            "trend",
+            (
+                F.col("cnt")
+                - F.col("trend")
+                - (F.col("hod_mean") - F.col("type_mean"))
+            ).alias("res"),
+        )
+    )
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.var_pop("res").alias("vr"),
+            F.var_pop(F.col("trend") + F.col("res")).alias("vtr"),
+            F.var_pop(F.col("s") + F.col("res")).alias("vsr"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")),
+                6,
+            ).alias("trend_strength"),
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")),
+                6,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15346,4 +15555,8 @@ QUERIES = {
     "cochran_armitage": q_cochran_armitage,
     "odds_ratio_2x2": q_odds_ratio_2x2,
     "spc_imr_chart": q_spc_imr_chart,
+    "price_index": q_price_index,
+    "profile_similarity": q_profile_similarity,
+    "adjusted_residuals": q_adjusted_residuals,
+    "seasonal_strength": q_seasonal_strength,
 }
