@@ -6559,11 +6559,15 @@ def _profile_similarity_sql() -> str:
                              sum(a.c * b.c) AS dot
                       FROM prof a JOIN prof b
                         ON a.hod = b.hod AND a.event_type < b.event_type
-                      GROUP BY 1, 2)
+                      GROUP BY 1, 2),
+             pairs AS (SELECT x.event_type AS ta, y.event_type AS tb
+                       FROM norms x CROSS JOIN norms y
+                       WHERE x.event_type < y.event_type)
         SELECT ta AS type_a, tb AS type_b,
-               round(dot / (na.nrm * nb.nrm), 6) AS cosine
-        FROM dots JOIN norms na ON na.event_type = ta
-                  JOIN norms nb ON nb.event_type = tb
+               round(coalesce(dot, 0.0) / (na.nrm * nb.nrm), 6) AS cosine
+        FROM pairs LEFT JOIN dots USING (ta, tb)
+                   JOIN norms na ON na.event_type = ta
+                   JOIN norms nb ON nb.event_type = tb
         ORDER BY 1, 2
     """
 
@@ -6614,12 +6618,14 @@ def _seasonal_strength_sql() -> str:
                               AND hm.hod = hour(wt.h)
                        JOIN om ON om.event_type = wt.event_type)
         SELECT event_type, count(*) AS n_hours,
-               round(greatest(0.0, 1.0 - var_pop(res)
+               CASE WHEN var_pop(trend + res) > 0
+                    THEN round(greatest(0.0, 1.0 - var_pop(res)
                                         / var_pop(trend + res)), 6)
-                   AS trend_strength,
-               round(greatest(0.0, 1.0 - var_pop(res)
+               END AS trend_strength,
+               CASE WHEN var_pop(s + res) > 0
+                    THEN round(greatest(0.0, 1.0 - var_pop(res)
                                         / var_pop(s + res)), 6)
-                   AS seasonal_strength
+               END AS seasonal_strength
         FROM parts GROUP BY 1 ORDER BY 1
     """
 

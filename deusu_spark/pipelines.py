@@ -15135,8 +15135,17 @@ def q_profile_similarity(spark, sf_dir):
         .groupBy("ta", "tb")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
+    # complete pair grid: disjoint profiles share no hour, so their pair
+    # is ABSENT from the hour join — it must still appear with cosine 0
+    ts_ = norms.select("event_type")
+    pairs = (
+        ts_.select(F.col("event_type").alias("ta"))
+        .crossJoin(ts_.select(F.col("event_type").alias("tb")))
+        .where(F.col("ta") < F.col("tb"))
+    )
     return (
-        dots.join(
+        pairs.join(dots, ["ta", "tb"], "left")
+        .join(
             F.broadcast(norms.withColumnRenamed("event_type", "ta")), "ta"
         )
         .withColumnRenamed("nrm", "na")
@@ -15148,7 +15157,9 @@ def q_profile_similarity(spark, sf_dir):
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),
             F.round(
-                F.col("dot") / (F.col("na") * F.col("nb")), 6
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("na") * F.col("nb")),
+                6,
             ).alias("cosine"),
         )
         .orderBy("type_a", "type_b")
@@ -15252,11 +15263,21 @@ def q_seasonal_strength(spark, sf_dir):
             "event_type",
             "n_hours",
             F.round(
-                F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")),
+                F.when(
+                    F.col("vtr") > 0,
+                    F.greatest(
+                        F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")
+                    ),
+                ),
                 6,
             ).alias("trend_strength"),
             F.round(
-                F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")),
+                F.when(
+                    F.col("vsr") > 0,
+                    F.greatest(
+                        F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")
+                    ),
+                ),
                 6,
             ).alias("seasonal_strength"),
         )
