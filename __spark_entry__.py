@@ -6630,6 +6630,107 @@ def _seasonal_strength_sql() -> str:
     """
 
 
+def _newsvendor_quantile_sql() -> str:
+    from deusu_spark.pipelines import NV_CO, NV_CU
+
+    cr = NV_CU / (NV_CU + NV_CO)
+    return f"""
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS d
+               FROM events GROUP BY 1),
+             st AS (SELECT count(*) AS n_days, avg(d) AS mean_demand,
+                           quantile_cont(d, {cr!r}) AS q_star
+                    FROM daily)
+        SELECT CAST(max(n_days) AS BIGINT) AS n_days,
+               round(max(mean_demand), 6) AS mean_demand,
+               CAST({cr!r} AS DOUBLE) AS critical_ratio,
+               round(max(q_star), 6) AS q_star,
+               round(avg(CASE WHEN d > q_star THEN 1 ELSE 0 END), 6)
+                   AS frac_short_days
+        FROM daily, st
+    """
+
+
+def _lin_ccc_sql() -> str:
+    ccc = "2.0 * sxy / (sxx + syy + (mx - my) * (mx - my))"
+    return f"""
+        WITH rows_ AS (SELECT ws AS x, bpe AS y FROM ({_TOKPAIR})),
+             st AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                           var_pop(x) AS sxx, var_pop(y) AS syy,
+                           covar_pop(x, y) AS sxy
+                    FROM rows_)
+        SELECT CAST(n AS BIGINT) AS n,
+               round({ccc}, 6) AS ccc,
+               round(sxy / sqrt(sxx * syy), 6) AS pearson_r,
+               round(({ccc}) / (sxy / sqrt(sxx * syy)), 6)
+                   AS bias_correction_cb
+        FROM st
+    """
+
+
+def _youden_threshold_sql() -> str:
+    from deusu_spark.pipelines import CALIB_BINS
+
+    return f"""
+        WITH {_ft_p_ctes()},
+             l AS (SELECT s.doc_id, p,
+                          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM s JOIN documents d ON s.doc_id = d.doc_id),
+             bins AS (SELECT least(CAST(floor(p * {CALIB_BINS}) AS INTEGER),
+                                   {CALIB_BINS - 1}) AS bin,
+                             sum(y) AS pos, sum(1 - y) AS neg
+                      FROM l GROUP BY 1),
+             r2 AS MATERIALIZED (
+                 SELECT bin, bin / {float(CALIB_BINS)} AS threshold,
+                        sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT
+                            ROW AND UNBOUNDED FOLLOWING) * 1.0
+                            / sum(pos) OVER () AS tpr,
+                        sum(neg) OVER (ORDER BY bin ROWS BETWEEN CURRENT
+                            ROW AND UNBOUNDED FOLLOWING) * 1.0
+                            / sum(neg) OVER () AS fpr
+                 FROM bins),
+             r3 AS MATERIALIZED (SELECT *, tpr - fpr AS j FROM r2),
+             best AS (SELECT max(j) AS best_j FROM r3),
+             bt AS (SELECT min(threshold) AS best_threshold
+                    FROM r3, best WHERE j = best_j)
+        SELECT bin, round(threshold, 6) AS threshold,
+               round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+               round(j, 6) AS youden_j,
+               round((SELECT best_j FROM best), 6) AS best_j,
+               round((SELECT best_threshold FROM bt), 6)
+                   AS best_threshold
+        FROM r3 ORDER BY bin
+    """
+
+
+def _cronbach_alpha_sql() -> str:
+    return """
+        WITH counts AS (SELECT user_id, event_type, count(*) AS c
+                        FROM events GROUP BY 1, 2),
+             users AS (SELECT DISTINCT user_id FROM events),
+             items AS (SELECT DISTINCT event_type FROM events),
+             grid AS (SELECT u.user_id, i.event_type,
+                             CAST(coalesce(c.c, 0) AS DOUBLE) AS c
+                      FROM users u CROSS JOIN items i
+                      LEFT JOIN counts c ON c.user_id = u.user_id
+                                        AND c.event_type = i.event_type),
+             iv AS (SELECT sum(v) AS sv FROM (
+                       SELECT var_samp(c) AS v FROM grid
+                       GROUP BY event_type)),
+             tv AS (SELECT var_samp(t) AS vt, count(*) AS n_users FROM (
+                       SELECT sum(c) AS t FROM grid GROUP BY user_id)),
+             kk AS (SELECT count(*) AS k FROM items)
+        SELECT CAST((SELECT k FROM kk) AS INTEGER) AS k_items,
+               CAST(n_users AS BIGINT) AS n_users,
+               round(sv, 6) AS sum_item_var,
+               round(vt, 6) AS total_var,
+               round(((SELECT k FROM kk) / ((SELECT k FROM kk) - 1.0))
+                     * (1.0 - sv / vt), 6) AS alpha
+        FROM iv, tv
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7894,6 +7995,10 @@ def oracle_sql() -> dict[str, str]:
         "profile_similarity": _profile_similarity_sql(),
         "adjusted_residuals": _adjusted_residuals_sql(),
         "seasonal_strength": _seasonal_strength_sql(),
+        "newsvendor_quantile": _newsvendor_quantile_sql(),
+        "lin_ccc": _lin_ccc_sql(),
+        "youden_threshold": _youden_threshold_sql(),
+        "cronbach_alpha": _cronbach_alpha_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -15285,6 +15285,191 @@ def q_seasonal_strength(spark, sf_dir):
     )
 
 
+NV_CU = 9.0  # newsvendor underage cost (lost margin per unit short)
+NV_CO = 1.0  # overage cost (holding/scrap per unit over)
+
+
+def q_newsvendor_quantile(spark, sf_dir):
+    """Newsvendor optimal stocking level for daily purchase demand — the
+    operations-research classic: with underage cost CU and overage CO,
+    the profit-maximizing quantity is the CU/(CU+CO) quantile of the
+    demand distribution (here the 0.9 critical fractile), NOT the mean —
+    the readout that explains why capacity is provisioned at a high
+    percentile. The quantile is the engines' native exact interpolated
+    percentile over the calendar-bounded daily series; the realized
+    shortfall frequency at q* is reported so the fractile property is
+    itself oracle-checked. One row out."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("d")
+    )
+    cr = NV_CU / (NV_CU + NV_CO)
+    st = daily.agg(
+        F.count("*").alias("n_days"),
+        F.avg("d").alias("mean_demand"),
+        F.expr(f"percentile(d, {cr!r}D)").alias("q_star"),
+    )
+    j = daily.crossJoin(F.broadcast(st))
+    return j.agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("mean_demand"), 6).alias("mean_demand"),
+        F.lit(cr).alias("critical_ratio"),
+        F.round(F.max("q_star"), 6).alias("q_star"),
+        F.round(
+            F.avg((F.col("d") > F.col("q_star")).cast("int")), 6
+        ).alias("frac_short_days"),
+    )
+
+
+def q_lin_ccc(spark, sf_dir):
+    """Lin's concordance correlation coefficient between the whitespace
+    and BPE-ish token counters — the single-number agreement statistic
+    completing q_bland_altman's limits: CCC = 2σxy/(σx²+σy²+(μx−μy)²)
+    penalizes BOTH scatter and systematic bias, so CCC = r·C_b with C_b
+    the bias-correction factor (how far the best-fit line sits from the
+    45° identity). One moment aggregate over the per-doc JVM regex
+    counts. One row out."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("double")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0
+        )
+    ).cast("double")
+    st = d.select(ws.alias("x"), bpe.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("y").alias("syy"),
+        F.covar_pop("x", "y").alias("sxy"),
+    )
+    ccc = (
+        2.0
+        * F.col("sxy")
+        / (
+            F.col("sxx")
+            + F.col("syy")
+            + (F.col("mx") - F.col("my")) * (F.col("mx") - F.col("my"))
+        )
+    )
+    r = F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))
+    return st.select(
+        "n",
+        F.round(ccc, 6).alias("ccc"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc / r, 6).alias("bias_correction_cb"),
+    )
+
+
+def q_youden_threshold(spark, sf_dir):
+    """Youden-J optimal operating threshold for q_classifier_score —
+    argmax_t (TPR(t) − FPR(t)) over the CALIB_BINS decile thresholds:
+    the principled cut the q_roc_auc curve implies but doesn't name
+    (equal-cost corner of the ROC). TPR/FPR come from SUFFIX sums over
+    the bounded bin table (one window, no per-threshold rescan); the
+    argmax flag ties to the LOWEST threshold. One row per threshold with
+    the constant best-J columns."""
+    d = _t(spark, sf_dir, "documents")
+    labeled = _ft_doc_p(d).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binc = F.least(
+        F.floor(F.col("p") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1)
+    )
+    bins = labeled.groupBy(binc.alias("bin")).agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    wsuf = Window.orderBy("bin").rowsBetween(
+        0, Window.unboundedFollowing
+    )  # CALIB_BINS rows — bounded
+    wall = Window.partitionBy()
+    rates = bins.select(
+        "bin",
+        (F.col("bin") / float(CALIB_BINS)).alias("threshold"),
+        (
+            F.sum("pos").over(wsuf) / F.sum("pos").over(wall)
+        ).alias("tpr"),
+        (
+            F.sum("neg").over(wsuf) / F.sum("neg").over(wall)
+        ).alias("fpr"),
+    ).withColumn("j", F.col("tpr") - F.col("fpr"))
+    best = rates.agg(
+        F.max("j").alias("best_j")
+    )
+    out = rates.crossJoin(F.broadcast(best))
+    bt = out.where(F.col("j") == F.col("best_j")).agg(
+        F.min("threshold").alias("best_threshold")
+    )
+    return (
+        out.crossJoin(F.broadcast(bt))
+        .select(
+            "bin",
+            F.round("threshold", 6).alias("threshold"),
+            F.round("tpr", 6).alias("tpr"),
+            F.round("fpr", 6).alias("fpr"),
+            F.round("j", 6).alias("youden_j"),
+            F.round("best_j", 6).alias("best_j"),
+            F.round("best_threshold", 6).alias("best_threshold"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's α internal consistency of the five per-user activity
+    'items' (event-type counts) — do the activity dimensions move
+    together enough to justify a single engagement score
+    (α = k/(k−1)·(1 − Σσᵢ²/σ_total²))? The psychometrics staple, here
+    auditing a composite metric. The user×item grid materializes
+    structural zeros via one cross join against the bounded item list;
+    the item variances and the total variance are two map-side rollups.
+    One row out."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    users = ev.select("user_id").distinct()
+    items = ev.select("event_type").distinct()
+    grid = (
+        users.crossJoin(items)
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c"),
+        )
+    )
+    item_var = grid.groupBy("event_type").agg(
+        F.var_samp("c").alias("v")
+    )
+    tot_var = (
+        grid.groupBy("user_id")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.var_samp("t").alias("vt"), F.count("*").alias("n_users"))
+    )
+    k = items.count()
+    sums = item_var.agg(F.sum("v").alias("sv"))
+    return (
+        sums.crossJoin(tot_var)
+        .select(
+            F.lit(k).alias("k_items"),
+            "n_users",
+            F.round("sv", 6).alias("sum_item_var"),
+            F.round("vt", 6).alias("total_var"),
+            F.round(
+                (k / (k - 1.0)) * (1.0 - F.col("sv") / F.col("vt")), 6
+            ).alias("alpha"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15580,4 +15765,8 @@ QUERIES = {
     "profile_similarity": q_profile_similarity,
     "adjusted_residuals": q_adjusted_residuals,
     "seasonal_strength": q_seasonal_strength,
+    "newsvendor_quantile": q_newsvendor_quantile,
+    "lin_ccc": q_lin_ccc,
+    "youden_threshold": q_youden_threshold,
+    "cronbach_alpha": q_cronbach_alpha,
 }
