@@ -6731,6 +6731,53 @@ def _cronbach_alpha_sql() -> str:
     """
 
 
+def _gini_split_sql() -> str:
+    return """
+        WITH lab AS (SELECT source,
+                            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                     FROM documents),
+             root AS (SELECT count(*) AS n, avg(y) AS p FROM lab),
+             per AS (SELECT source, count(*) AS n_s, avg(y) AS p_s
+                     FROM lab GROUP BY source),
+             child AS (SELECT count(*) AS n_groups,
+                              sum(n_s * 2.0 * p_s * (1.0 - p_s)) AS wsum
+                       FROM per)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(n_groups AS BIGINT) AS n_groups,
+               round(2.0 * p * (1.0 - p), 6) AS gini_root,
+               round(wsum / n, 6) AS gini_weighted,
+               round(2.0 * p * (1.0 - p) - wsum / n, 6) AS gini_decrease
+        FROM root, child
+    """
+
+
+def _srm_check_sql() -> str:
+    from deusu_spark.pipelines import SRM_CHI2_CRIT
+
+    chi2 = (
+        "((n_a - nn / 2.0) * (n_a - nn / 2.0) / (nn / 2.0)"
+        " + (n_b - nn / 2.0) * (n_b - nn / 2.0) / (nn / 2.0))"
+    )
+    return f"""
+        WITH arms AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                             count(*) AS n
+                      FROM (SELECT DISTINCT user_id FROM events)
+                      GROUP BY 1),
+             st AS (SELECT sum(n) AS nn,
+                           coalesce(sum(CASE WHEN arm = 0 THEN n END), 0)
+                               AS n_a,
+                           coalesce(sum(CASE WHEN arm = 1 THEN n END), 0)
+                               AS n_b
+                    FROM arms)
+        SELECT CAST(nn AS BIGINT) AS n_users,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round({chi2}, 6) AS chi2,
+               CASE WHEN {chi2} > {SRM_CHI2_CRIT!r}
+                    THEN 1 ELSE 0 END AS srm_flag
+        FROM st
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -7999,6 +8046,8 @@ def oracle_sql() -> dict[str, str]:
         "lin_ccc": _lin_ccc_sql(),
         "youden_threshold": _youden_threshold_sql(),
         "cronbach_alpha": _cronbach_alpha_sql(),
+        "gini_split": _gini_split_sql(),
+        "srm_check": _srm_check_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

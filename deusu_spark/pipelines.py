@@ -15470,6 +15470,90 @@ def q_cronbach_alpha(spark, sf_dir):
     )
 
 
+def q_gini_split(spark, sf_dir):
+    """CART-style Gini impurity decrease of splitting the corpus by
+    source when predicting lang = 'en' — the decision-tree split
+    criterion as a first-class audit (is 'source' a usable feature, and
+    how much purer do its children get?): root impurity 2p(1−p), child
+    impurity Σ(n_s/N)·2p_s(1−p_s), decrease = root − weighted (the
+    Gini-based sibling of q_cond_entropy's information gain). Two
+    grouped aggregates; one row out."""
+    d = _t(spark, sf_dir, "documents")
+    lab = d.select(
+        "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    root = lab.agg(
+        F.count("*").alias("n"), F.avg("y").alias("p")
+    )
+    per = lab.groupBy("source").agg(
+        F.count("*").alias("n_s"), F.avg("y").alias("p_s")
+    )
+    child = per.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(
+            F.col("n_s") * 2.0 * F.col("p_s") * (1.0 - F.col("p_s"))
+        ).alias("wsum"),
+    )
+    return (
+        root.crossJoin(child)
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_groups",
+            F.round(2.0 * F.col("p") * (1.0 - F.col("p")), 6).alias(
+                "gini_root"
+            ),
+            F.round(F.col("wsum") / F.col("n"), 6).alias(
+                "gini_weighted"
+            ),
+            F.round(
+                2.0 * F.col("p") * (1.0 - F.col("p"))
+                - F.col("wsum") / F.col("n"),
+                6,
+            ).alias("gini_decrease"),
+        )
+    )
+
+
+SRM_CHI2_CRIT = 3.841458820694124  # chi-square(1) at alpha = 0.05
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check for the hash-assigned A/B arms — the
+    trust gate every experimentation platform runs BEFORE reading any
+    metric: under a 50/50 design the observed arm counts follow a 1-df
+    chi-square, and χ² above the 3.84 critical value means the
+    assignment itself is broken (every downstream readout void). One
+    distinct-user aggregate into two cells; closed-form scalar. One row
+    out."""
+    ev = _t(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).cast("int").alias("arm"))
+        .agg(F.count("*").alias("n"))
+    )
+    st = arms.agg(
+        F.sum("n").alias("nn"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("n"))), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("n"))), F.lit(0)
+        ).alias("n_b"),
+    )
+    e = F.col("nn") / 2.0
+    chi2 = (F.col("n_a") - e) * (F.col("n_a") - e) / e + (
+        F.col("n_b") - e
+    ) * (F.col("n_b") - e) / e
+    return st.select(
+        F.col("nn").alias("n_users"),
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).cast("int").alias("srm_flag"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15769,4 +15853,6 @@ QUERIES = {
     "lin_ccc": q_lin_ccc,
     "youden_threshold": q_youden_threshold,
     "cronbach_alpha": q_cronbach_alpha,
+    "gini_split": q_gini_split,
+    "srm_check": q_srm_check,
 }
