@@ -4645,10 +4645,13 @@ def _wasserstein_drift_sql() -> str:
                             sum(c_sb) OVER (PARTITION BY seg ORDER BY b)
                                 * 1.0 / n_seg AS f_seg,
                             sum(c_b) OVER (PARTITION BY seg ORDER BY b)
-                                * 1.0 / (SELECT nt FROM ntot) AS f_all
+                                * 1.0 / (SELECT nt FROM ntot) AS f_all,
+                            CAST(coalesce(
+                                lead(b) OVER (PARTITION BY seg ORDER BY b)
+                                    - b, 1) AS DOUBLE) AS gap
                      FROM full_)
         SELECT seg, n_seg AS n,
-               round(sum(abs(f_seg - f_all)) * {W1_BIN}, 4) AS w1
+               round(sum(abs(f_seg - f_all) * gap) * {W1_BIN}, 4) AS w1
         FROM cdf GROUP BY seg, n_seg ORDER BY seg
     """
 

@@ -11588,13 +11588,19 @@ def q_wasserstein_drift(spark, sf_dir):
     """Per-segment 1-D Wasserstein-1 (earth-mover) distance between the
     segment's order-price distribution and the pooled corpus distribution
     — the drift metric that, unlike KS (sup-norm) or PSI (log-ratio),
-    weights HOW FAR mass moved: W1 = Σ_bins |F_seg − F_all| · bin_width
-    over a fixed integer-edge histogram grid. The grid is ~100 bins
-    regardless of corpus size (the PSI/histogram-quantile scale shape);
-    per-(segment, bin) counts reduce map-side, the CDFs are running sums
-    over the bounded grid, and the segment×grid fill-in is |segs|×|bins|
-    rows — never data-sized. Exact over the binned distributions by
-    construction (both engines bin with the same floor(x/width))."""
+    weights HOW FAR mass moved: W1 = Σ_bins |F_seg − F_all| · gap_width
+    over a fixed integer-edge histogram grid, where gap_width is the
+    distance to the NEXT occupied bin (lead(b) − b) · bin_width — a
+    constant CDF difference spanning a run of empty bins is therefore
+    counted once per missing bin, not once per occupied bin (the gap
+    under-count the observed-bins-only form has on sparse upper tails).
+    The grid is ~100 bins regardless of corpus size (the
+    PSI/histogram-quantile scale shape); per-(segment, bin) counts
+    reduce map-side, the CDFs and gaps are windows over the bounded
+    grid, and the segment×grid fill-in is |segs|×|bins| rows — never
+    data-sized. Exact over the binned distributions by construction
+    (both engines bin with the same floor(x/width) and gap-weight the
+    same way)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     j = o.join(
@@ -11626,17 +11632,25 @@ def q_wasserstein_drift(spark, sf_dir):
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wnext = Window.partitionBy("seg").orderBy("b")
     cdf = full.select(
         "seg",
         "n_seg",
         (F.sum("c_sb").over(wcdf) / F.col("n_seg")).alias("f_seg"),
         (F.sum("c_b").over(wcdf) / float(ntot)).alias("f_all"),
+        # distance to the next occupied bin; the last bin's CDF diff is 0
+        # (both CDFs reach 1) so its default gap of 1 contributes nothing
+        F.coalesce(
+            F.lead("b").over(wnext) - F.col("b"), F.lit(1)
+        ).cast("double").alias("gap"),
     )
     return (
         cdf.groupBy("seg", "n_seg")
         .agg(
             F.round(
-                F.sum(F.abs(F.col("f_seg") - F.col("f_all"))) * W1_BIN, 4
+                F.sum(F.abs(F.col("f_seg") - F.col("f_all")) * F.col("gap"))
+                * W1_BIN,
+                4,
             ).alias("w1")
         )
         .select(F.col("seg"), F.col("n_seg").alias("n"), "w1")
@@ -12465,6 +12479,7 @@ def q_hurst_exponent(spark, sf_dir):
 
 
 EM_ROUNDS = 5  # fixed EM iterations (engine-reproducible, converged-enough)
+_EM_EPS = 1e-12  # collapse guard: min responsibility mass / variance floor
 _SQRT_2PI = 2.5066282746310002
 
 
@@ -12508,12 +12523,20 @@ def q_em_gmm(spark, sf_dir):
             F.sum(F.col("r") * F.col("x") * F.col("x")).alias("s2"),
         ).first()
         s0, s1, s2 = st["s0"], st["s1"], st["s2"]
+        # Degenerate-round guards: if one component absorbs (nearly) all
+        # responsibility the complementary-moment division blows up, and
+        # catastrophic cancellation can push the variance argument
+        # slightly negative. Keep the previous round's params (the
+        # oracle's analog degrades to NULL/NaN; the engine must not
+        # raise) / clamp the variance at eps.
+        if s0 <= _EM_EPS or (n - s0) <= _EM_EPS:
+            break
         w2 = s0 / n
         mu2 = s1 / s0
-        sd2 = _math.sqrt(s2 / s0 - mu2 * mu2)
+        sd2 = _math.sqrt(max(s2 / s0 - mu2 * mu2, _EM_EPS))
         w1 = 1.0 - w2
         mu1 = (gsx - s1) / (n - s0)
-        sd1 = _math.sqrt((gsxx - s2) / (n - s0) - mu1 * mu1)
+        sd1 = _math.sqrt(max((gsxx - s2) / (n - s0) - mu1 * mu1, _EM_EPS))
     ll = xs.agg(
         F.sum(F.log(w1 * pdf(mu1, sd1) + w2 * pdf(mu2, sd2))).alias("ll")
     )

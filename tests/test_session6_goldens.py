@@ -116,6 +116,37 @@ def test_wasserstein_two_point_golden(spark):
     assert got == {"SEGA": 2500.0, "SEGB": 2500.0}
 
 
+def test_wasserstein_gap_weighted_golden(spark):
+    """Empty-bin runs must count once per MISSING bin, not once per
+    occupied bin: SEGA all at bin 0, SEGB all at bin 10, pooled = half
+    each.  The CDF difference of 0.5 persists across the 10-bin gap, so
+    the true W1 is 0.5 · 10 · 5000 = 25000 per segment (moving half the
+    mass 10 bins).  The pre-fix observed-bins-only formula gave 2500."""
+    cust = _customers(
+        [
+            (1, "a", 0, 0.0, "SEGA"),
+            (2, "b", 0, 0.0, "SEGA"),
+            (3, "c", 0, 0.0, "SEGB"),
+            (4, "d", 0, 0.0, "SEGB"),
+        ]
+    )
+    orders = _orders(
+        [
+            (i, c, "O", p, BASE.date(), "1-URGENT")
+            for i, (c, p) in enumerate(
+                [(1, 2500.0), (2, 2500.0), (1, 2500.0), (2, 2500.0),
+                 (3, 52500.0), (4, 52500.0), (3, 52500.0), (4, 52500.0)]
+            )
+        ]
+    )
+    d = _tmp_dir(orders=orders, customer=cust)
+    got = {
+        r["seg"]: r["w1"]
+        for r in pipelines.q_wasserstein_drift(spark, d).collect()
+    }
+    assert got == {"SEGA": 25000.0, "SEGB": 25000.0}
+
+
 # --------------------------------------------------------------- did/ate
 
 
