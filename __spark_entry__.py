@@ -26,6 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the round driver oracle-checks a prefix window of
+    # this dict (50 entries in round 3), so the FIRST 50 keys must stay the
+    # engine + dedup/LLM-pipeline core. New batches append AFTER these; the
+    # pinned set lives in tests/test_entry.py::test_driver_window_core_first
+    # — update both together, never push core ops out of the window.
     return dict(pipelines.QUERIES)
 
 
@@ -1585,7 +1590,7 @@ def _minhash_lsh16_sql() -> str:
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(nh)
     )
     return f"""
-        WITH sh AS ({_SHINGLES.format(maxdoc=300)}),
+        WITH sh AS ({_SHINGLES.format(maxdoc=2**62)}),
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
         bands AS ({band_rows}),
         cand AS (

@@ -33,7 +33,9 @@ HEADLINE = [
     "term_df",
     "bm25_topk",
     "dedup_exact",
-    "minhash_band_candidates",
+    # uncapped MinHash-LSH (16 hashes, 4x4 bands, whole documents table)
+    # — the scale path; the capped 4-hash demo stays a driver query only
+    "minhash_lsh16",
     "embedding_cosine_topk",
 ]
 

@@ -1948,7 +1948,10 @@ BPE_MAXDOC = 300
 
 
 def bpe_train(
-    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Learn BPE merge rules from a document corpus: represent each distinct
     word as space-separated symbols with a '$' end-of-word marker, then
@@ -1965,16 +1968,32 @@ def bpe_train(
     aggregation plus a single-row argmax collect (a bounded driver copy,
     the same iterative shape as IVF training); the merge itself is a pure
     column expression. n_merges rounds = n_merges bounded jobs; production
-    checkpoints the vocabulary frame every ~50 rounds to cap lineage."""
-    merges, _ = _bpe_train_vocab(spark, docs, n_merges)
+    checkpoints the vocabulary frame every ~50 rounds to cap lineage.
+
+    PRODUCTION RECIPE — SAMPLE-THEN-TRAIN: a 50k-merge train is 50k
+    bounded jobs, which is fine on a SAMPLE but not something to point at
+    100 TB. Train on a deterministic hash sample (``sample_mod`` keeps
+    docs with xxhash64(doc_id) % mod == 0 — reproducible, no RNG), then
+    ENCODE at full scale: the encode path (q_bpe_encode / the vocab
+    broadcast join) is one corpus-sized pass regardless of where the
+    merges came from. Merge ranks depend only on pair-count RATIOS, so a
+    representative sample reproduces the full-corpus merge table
+    (pinned by tests/test_bpe_sample_train.py)."""
+    merges, _ = _bpe_train_vocab(spark, docs, n_merges, sample_mod)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, cnt bigint"
     ).orderBy("rank")
 
 
-def _bpe_train_vocab(spark, docs, n_merges):
+def _bpe_train_vocab(spark, docs, n_merges, sample_mod=1):
     """Run the merge loop and return (merge list, final vocabulary frame
-    with columns t / w(spaced symbols) / cnt) so encoding can reuse it."""
+    with columns t / w(spaced symbols) / cnt) so encoding can reuse it.
+    sample_mod > 1 trains on the deterministic doc_id-hash sample (see
+    bpe_train's sample-then-train recipe)."""
+    if sample_mod > 1:
+        docs = docs.where(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sample_mod)) == 0
+        )
     words = _tokens(docs).groupBy("t").agg(F.count("*").alias("cnt"))
     v = words.select(
         "t",
@@ -2661,9 +2680,11 @@ def q_minhash_lsh16(spark, sf_dir):
     EXACT shingle Jaccard (computed only on the bounded candidate set, the
     verify stage), so the estimate's fidelity is itself oracle-checked.
     One groupBy for signatures, band-key hash join for candidates — never
-    all-pairs."""
+    all-pairs. UNCAPPED: runs over the whole documents table (this is the
+    scale path the bench headline measures; candidate volume is bounded
+    by the b×r collision probability, not the corpus size)."""
     NH, R = 16, 4
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    d = _t(spark, sf_dir, "documents")
     sh = _shingles(d)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -2788,13 +2809,26 @@ def q_bloom_dedup_new(spark, sf_dir):
                         np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
                     ),
                 )
-        yield pd.DataFrame({"bm": [bits.tobytes()]})
+        # emit the partition bitmap as m/64 (chunk, long) rows so the OR
+        # tree runs inside the shuffle (bit_or has a map-side partial);
+        # the driver then collects exactly m/64 longs ONCE, independent
+        # of partition count — no per-partition bitmap funnel
+        yield pd.DataFrame(
+            {
+                "chunk": np.arange(BLOOM_M // 64, dtype=np.int32),
+                "bits": bits.view("<i8"),
+            }
+        )
 
-    parts = ref.select("h1", "h2").mapInPandas(build_bloom, "bm binary")
-    merged = np.zeros(BLOOM_M // 8, dtype=np.uint8)
-    for row in parts.collect():
-        merged |= np.frombuffer(row["bm"], dtype=np.uint8)
-    bc = spark.sparkContext.broadcast(merged.tobytes())
+    parts = ref.select("h1", "h2").mapInPandas(
+        build_bloom, "chunk int, bits long"
+    )
+    merged64 = np.zeros(BLOOM_M // 64, dtype="<i8")
+    for row in parts.groupBy("chunk").agg(
+        F.bit_or("bits").alias("bits")
+    ).collect():
+        merged64[row["chunk"]] = row["bits"]
+    bc = spark.sparkContext.broadcast(merged64.view(np.uint8).tobytes())
 
     def bloom_test(batches):
         bits = np.frombuffer(bc.value, dtype=np.uint8)

@@ -145,10 +145,27 @@ class TableIO:
                 writer.create()
 
     # -- read -----------------------------------------------------------------
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table; ``snapshot_id`` pins an Iceberg snapshot.
+
+        A pinned read is snapshot-isolated time travel: it sees exactly
+        the committed state of that snapshot regardless of later commits
+        (including dynamic partition overwrites) — the catalog-side twin
+        of the parquet backend's version-pinned generation directories,
+        which is why the parquet branch rejects the parameter: there,
+        time travel IS reading the pinned version directory resolved via
+        the CURRENT pointer (publish()/current())."""
         if self.backend == "parquet":
+            if snapshot_id is not None:
+                raise ValueError(
+                    "parquet backend has no snapshot ids — read the pinned "
+                    "version directory (see publish()/current())"
+                )
             return self.spark.read.parquet(table)
-        return self.spark.read.table(self._ident(table))
+        rdr = self.spark.read
+        if snapshot_id is not None:
+            rdr = rdr.option("snapshot-id", str(snapshot_id))
+        return rdr.table(self._ident(table))
 
     def exists(self, table: str) -> bool:
         if self.backend == "parquet":

@@ -45,10 +45,18 @@ class FakeIcebergCatalog:
     def exists(self, ident: str) -> bool:
         return ident in self.tables
 
-    def read(self, ident: str):
+    def read(self, ident: str, snapshot_id=None):
         if ident not in self.tables:
             raise ValueError(f"mock iceberg: no such table {ident}")
-        df = self.spark.read.parquet(self.path(ident))
+        path = self.path(ident)
+        if snapshot_id is not None:
+            sid = int(snapshot_id)
+            if sid not in self.tables[ident]["snapshots"]:
+                raise ValueError(
+                    f"mock iceberg: no snapshot {sid} on {ident}"
+                )
+            path = f"{path}@{sid}"
+        df = self.spark.read.parquet(path)
         if "_ice_pid" in df.columns:  # hash-transform partition column
             df = df.drop("_ice_pid")
         return df
@@ -108,6 +116,17 @@ class FakeWriterV2:
         )
         meta["snapshots"].append(len(meta["snapshots"]) + 1)
 
+    def _materialize_snapshot(self):
+        """Freeze the table's current data under its newest snapshot id so
+        pinned reads (snapshot-id option) see exactly that commit's state
+        — the mock's stand-in for Iceberg's immutable snapshot files."""
+        meta = self.catalog.tables[self.ident]
+        sid = meta["snapshots"][-1]
+        path = self.catalog.path(self.ident)
+        snap = f"{path}@{sid}"
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.copytree(path, snap)
+
     # -- commit operations ---------------------------------------------------
     def createOrReplace(self):
         path = self.catalog.path(self.ident)
@@ -119,6 +138,7 @@ class FakeWriterV2:
             self.catalog.tables[self.ident]["snapshots"] = prev["snapshots"] + [
                 len(prev["snapshots"]) + 1
             ]
+        self._materialize_snapshot()
 
     def create(self):
         if self.catalog.exists(self.ident):
@@ -134,6 +154,7 @@ class FakeWriterV2:
             mode="append",
         )
         self._commit(self.catalog.tables[self.ident]["transforms"])
+        self._materialize_snapshot()
 
     def overwritePartitions(self):
         """Replace exactly the partitions present in self.df, under the
@@ -147,6 +168,7 @@ class FakeWriterV2:
             shutil.rmtree(path, ignore_errors=True)
             self._write(path, transforms)
             self._commit(transforms)
+            self._materialize_snapshot()
             return
         touched = [
             tuple(r) for r in df.select(*pcols).distinct().collect()
@@ -159,6 +181,7 @@ class FakeWriterV2:
         w = df.write.mode("append").partitionBy(*pcols)
         w.parquet(path)
         self._commit(transforms)
+        self._materialize_snapshot()
 
 
 def install_mock_iceberg(monkeypatch, spark, root: str) -> FakeIcebergCatalog:
@@ -176,8 +199,24 @@ def install_mock_iceberg(monkeypatch, spark, root: str) -> FakeIcebergCatalog:
         "writeTo",
         lambda df, ident: FakeWriterV2(cat, df, ident),
     )
+    real_option = type(spark.read).option
+
+    def _option(rdr, key, value):
+        # record python-side (snapshot-id pinning) AND pass through, so
+        # unrelated readers using .option in the same test are unaffected
+        opts = dict(getattr(rdr, "_mock_opts", {}) or {})
+        opts[key] = value
+        result = real_option(rdr, key, value)
+        result._mock_opts = opts
+        return result
+
+    monkeypatch.setattr(type(spark.read), "option", _option)
     monkeypatch.setattr(
-        type(spark.read), "table", lambda rdr, ident: cat.read(ident)
+        type(spark.read),
+        "table",
+        lambda rdr, ident: cat.read(
+            ident, getattr(rdr, "_mock_opts", {}).get("snapshot-id")
+        ),
     )
     monkeypatch.setattr(
         type(spark.catalog), "tableExists", lambda c, ident: cat.exists(ident)

@@ -181,3 +181,54 @@ def test_resume_on_mock_iceberg(spark, mock_io):
     finally:
         shutil.rmtree(dp, ignore_errors=True)
         shutil.rmtree(di, ignore_errors=True)
+
+
+def test_snapshot_pinned_read_is_isolated(spark, mock_io):
+    """Time travel: a read pinned to snapshot N sees exactly that commit's
+    state no matter what commits land afterwards — the catalog-side twin
+    of the parquet backend's version-pinned deletion semantics."""
+    io, cat = mock_io
+    df = spark.range(50).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    io.write(df, "idx/tt")
+    ident = "mock.deusu.idx_tt"
+    s1 = cat.snapshots(ident)[-1]
+    io.write(df.where("id < 10"), "idx/tt")  # replace commit (snapshot 2)
+    s2 = cat.snapshots(ident)[-1]
+    assert io.read("idx/tt").count() == 10  # unpinned = latest
+    assert io.read("idx/tt", snapshot_id=s1).count() == 50  # pinned = past
+    assert io.read("idx/tt", snapshot_id=s2).count() == 10
+    with pytest.raises(ValueError):
+        io.read("idx/tt", snapshot_id=999)
+
+
+def test_snapshot_pinned_read_survives_partition_overwrite(spark, mock_io):
+    """Dynamic partition overwrite replaces bucket 1's rows in the NEW
+    snapshot; a read pinned before the overwrite still sees the old
+    bucket 1 — snapshot isolation at the granularity the engine's
+    per-bucket-group commits actually use."""
+    io, cat = mock_io
+    full = spark.range(100).withColumn(
+        "bucket", (F.col("id") % 4).cast("int")
+    )
+    io.write(
+        full, "idx/ttp", mode="overwrite_partitions", partition_by=["bucket"]
+    )
+    ident = "mock.deusu.idx_ttp"
+    s1 = cat.snapshots(ident)[-1]
+    b1 = full.where("bucket = 1 and id < 50")
+    io.write(
+        b1, "idx/ttp", mode="overwrite_partitions", partition_by=["bucket"]
+    )
+    latest = io.read("idx/ttp")
+    pinned = io.read("idx/ttp", snapshot_id=s1)
+    assert latest.where("bucket = 1").count() == b1.count()
+    assert pinned.where("bucket = 1").count() == 25
+    assert pinned.count() == 100
+
+
+def test_parquet_backend_rejects_snapshot_pin(spark, tmp_path):
+    io = TableIO(spark, backend="parquet")
+    d = str(tmp_path / "t")
+    io.write(spark.range(5), d)
+    with pytest.raises(ValueError):
+        io.read(d, snapshot_id=1)
