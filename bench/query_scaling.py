@@ -67,6 +67,33 @@ QUERY_BATCH = [
 ]
 
 
+def _batch120() -> list[str]:
+    """Deterministic 120-query batch (the round-4 '100+-query batch'
+    target shape): hot singles, cold singles, hot+cold pairs, NOT,
+    cold-cold pairs, intitle — the mix a training pipeline's offline
+    retrieval workload sees."""
+    hot = ["linux", "google", "java", "ubuntu", "firefox"]
+    out = []
+    for i in range(120):
+        r = i % 6
+        if r == 0:
+            out.append(hot[i % 5])
+        elif r == 1:
+            out.append(f"w{(i * 37) % 5000:04d}")
+        elif r == 2:
+            out.append(f"{hot[(i + 1) % 5]} w{(i * 13) % 3000:04d}")
+        elif r == 3:
+            out.append(f"{hot[i % 5]} -{hot[(i + 2) % 5]}")
+        elif r == 4:
+            out.append(f"w{(i * 7) % 2000:04d} w{(i * 11) % 2000:04d}")
+        else:
+            out.append(f"intitle:assistant {hot[i % 5]}")
+    return out
+
+
+QUERY_BATCH_120 = _batch120()
+
+
 def _index_dir(n_convs: int) -> str:
     return os.path.join(tempfile.gettempdir(), f"deusu_qscale_idx_{n_convs}")
 
@@ -122,6 +149,12 @@ def run_level(cores: int, n_convs: int) -> dict:
         wall = time.time() - t0
         n_hits = sum(len(v) for v in res)
         best = wall if best is None or wall < best else best
+    best120 = None
+    for _ in range(2):
+        t0 = time.time()
+        res120 = eng.search_many(QUERY_BATCH_120, k=10)
+        wall = time.time() - t0
+        best120 = wall if best120 is None or wall < best120 else best120
     # independent host-load signal: driver-side numpy serving path
     ls = LocalSearcher(idx)
     ls.search("w4999", k=10)
@@ -133,6 +166,8 @@ def run_level(cores: int, n_convs: int) -> dict:
         "cores": cores,
         "batch_wall_s": round(best, 2),
         "batch_qps": round(len(QUERY_BATCH) / best, 2),
+        "batch120_wall_s": round(best120, 2),
+        "batch120_qps": round(len(QUERY_BATCH_120) / best120, 2),
         "n_queries": len(QUERY_BATCH),
         "n_hits": n_hits,
         "serving_qps_signal": round(serve_qps, 1),
@@ -195,13 +230,18 @@ levels; measured unit = ONE search_many plan over the {len(QUERY_BATCH)}-query
 batch (hot/cold/WAND/NOT/host/intitle mix), min of {trials} interleaved
 @{levels[-1]}-first trial pairs, 2 in-process repeats each.
 
-| parallelism | batch wall (s) | batch qps | serving qps (load signal) |
-|---|---|---|---|
-| local[{levels[0]}]  | {lo['batch_wall_s']} | {lo['batch_qps']} | {lo['serving_qps_signal']} |
-| local[{levels[-1]}] | {hi['batch_wall_s']} | {hi['batch_qps']} | {hi['serving_qps_signal']} |
+| parallelism | batch wall (s) | batch qps | 120-batch wall (s) | 120-batch qps | serving qps (load signal) |
+|---|---|---|---|---|---|
+| local[{levels[0]}]  | {lo['batch_wall_s']} | {lo['batch_qps']} | {lo['batch120_wall_s']} | {lo['batch120_qps']} | {lo['serving_qps_signal']} |
+| local[{levels[-1]}] | {hi['batch_wall_s']} | {hi['batch_qps']} | {hi['batch120_wall_s']} | {hi['batch120_qps']} | {hi['serving_qps_signal']} |
 
 Query speedup {levels[0]}→{levels[-1]} cores (4x resources): **{speedup:.2f}x**
 → scaling efficiency **{eff:.2f}** (1.0 = linear).
+
+The 120-query batch is the round-4 '100+-query' throughput target
+(offline retrieval for a training pipeline): one search_many call,
+fused decode+score, signature-deduped shared terms, concurrent
+fancy/full passes.
 """
     with open(os.path.join(REPO, "bench", "BENCH_QUERY.md"), "w") as f:
         f.write(md)

@@ -109,6 +109,21 @@ class SearchEngine:
         # pruning decisions reach the scan as at most this many range
         # predicates (coarsened supersets beyond that — correct, less tight)
         self.max_range_predicates = 64
+        # batch mode shares one scan across every query's terms: the TOTAL
+        # interval-predicate budget across all (term, kind) keys is capped
+        # (4× the per-term cap) and split evenly, so the predicate tree —
+        # and Catalyst's time optimizing it — stays bounded no matter how
+        # many queries are batched (coarsening is always a correct superset)
+        self.max_range_predicates_batch_total = 4 * self.max_range_predicates
+        # score-side docmeta join strategy: under this many docs the sidecar
+        # columns broadcast (~48 B/doc → ≤~400 MB hashed relation at the
+        # default), turning the per-posting sidecar lookup into a map-side
+        # hash join; above it (cluster-scale corpora) the sort-merge join
+        # stands — docmeta cannot broadcast at 10^12 docs
+        self.docmeta_broadcast_max_docs = int(
+            os.environ.get("SPARK_GRAFT_DOCMETA_BCAST_MAX", "8000000")
+        )
+        self._sidecar_bc = None  # lazy python-side sidecars (_sidecars_py)
         self.last_stats: dict = {}
         # logical deletions (incremental.delete_conversations): a sorted
         # doc_id array broadcast into every decode task — masking at decode
@@ -384,25 +399,57 @@ class SearchEngine:
             )
             (fancy_batch if has_fancy else full_batch).append((qi, terms))
 
-        if fancy_batch:
+        # the fancy pass and the no-fancy full pass touch DISJOINT query
+        # sets — run their plans CONCURRENTLY (Spark schedules jobs from
+        # separate threads side by side), then a residual full pass picks
+        # up only the fancy queries the accelerator under-filled
+        def run_fancy():
             fetch = max(k, MAX_RESULTS + 1)
-            out = self._execute_many(
+            return self._execute_many(
                 fancy_batch,
                 {qi: fetch for qi, _ in fancy_batch},
                 w, True, mode, prune,
             )
+
+        def run_full(batch):
+            return self._execute_many(
+                batch, {qi: k for qi, _ in batch}, w, False, mode, prune
+            )
+
+        residual: list[tuple[int, list[PlanTerm]]] = []
+        self._sidecars_py()  # build the broadcast once, outside the threads
+        if fancy_batch and full_batch:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_fancy = ex.submit(run_fancy)
+                f_full = ex.submit(run_full, list(full_batch))
+                out_fancy, out_full = f_fancy.result(), f_full.result()
+            for qi, _ in full_batch:
+                results[qi] = [
+                    (d, int(s)) for d, s in out_full.get(qi, [])[:k]
+                ]
+        elif fancy_batch:
+            out_fancy = run_fancy()
+        elif full_batch:
+            out_full = run_full(full_batch)
+            for qi, _ in full_batch:
+                results[qi] = [
+                    (d, int(s)) for d, s in out_full.get(qi, [])[:k]
+                ]
+        if fancy_batch:
             for qi, terms in fancy_batch:
-                rows = out.get(qi, [])
+                rows = out_fancy.get(qi, [])
                 if len(rows) >= MAX_RESULTS:
                     results[qi] = [(d, int(s)) for d, s in rows[:k]]
                 else:
-                    full_batch.append((qi, terms))
-        if full_batch:
-            out = self._execute_many(
-                full_batch, {qi: k for qi, _ in full_batch}, w, False, mode, prune
-            )
-            for qi, _ in full_batch:
-                results[qi] = [(d, int(s)) for d, s in out.get(qi, [])[:k]]
+                    residual.append((qi, terms))
+        if residual:
+            out_res = run_full(residual)
+            for qi, _ in residual:
+                results[qi] = [
+                    (d, int(s)) for d, s in out_res.get(qi, [])[:k]
+                ]
         return results  # type: ignore[return-value]
 
     def _execute_many(
@@ -445,20 +492,68 @@ class SearchEngine:
         if not live:
             return out
 
-        per_term_iv: dict[int, np.ndarray] = {}
+        # dedupe decode + sidecar join + scoring by SCORING SIGNATURE: a
+        # term shared by many queries (hot terms dominate real batches) is
+        # decoded, docmeta-joined and scored ONCE per distinct
+        # (key, host, url/title filter, backlink-asymmetry, SET, hole)
+        # group; the per-query fan-out happens AFTER scoring as a
+        # broadcast join on the (group → query-term) map, so the Arrow
+        # transfer and the score stage carry each posting once
+        import copy as _copy
+
+        sig_to_gi: dict[tuple, int] = {}
+        rep_terms: list[PlanTerm] = []
+        gi_pairs: list[tuple[int, int]] = []  # (gi, member ti)
+        gi_iv: dict[int, list | None] = {}
         for qi, terms, iv in live:
-            if iv is not None:
-                for t in terms:
-                    per_term_iv[t.ti] = iv
-        terms_flat = [t for _, terms, _ in live for t in terms]
-        decoded = self._decode(
-            terms_flat, use_fancy, None, per_term_intervals=per_term_iv
+            for t in terms:
+                sig = (
+                    t.key,
+                    t.host,
+                    t.url_only,
+                    t.title_only,
+                    t.include_backlink,
+                    t.action == "SET",
+                    bool(t.fancy_hole),
+                )
+                gi = sig_to_gi.get(sig)
+                if gi is None:
+                    gi = len(rep_terms)
+                    sig_to_gi[sig] = gi
+                    rep = _copy.copy(t)
+                    rep.ti = gi
+                    rep_terms.append(rep)
+                    gi_iv[gi] = []
+                gi_pairs.append((gi, t.ti))
+                # a group's scan interval is the union of its member
+                # queries' intervals; any unrestricted member query makes
+                # the shared scan unrestricted (downstream AND is exact)
+                if gi_iv[gi] is not None:
+                    if iv is None:
+                        gi_iv[gi] = None
+                    else:
+                        gi_iv[gi].append(iv)
+        per_gi_iv = {
+            gi: np.concatenate(ivs)
+            for gi, ivs in gi_iv.items()
+            if ivs is not None and len(ivs)
+        }
+        scored = self._decode_score(
+            rep_terms, use_fancy, None, per_gi_iv, w, mode
         )
-        if decoded is None:
+        if scored is None:
             for qi, _, _ in live:
                 out[qi] = []
             return out
-        scored = self._score_rows(decoded, terms_flat, w, mode=mode)
+        gi_map = self.spark.createDataFrame(
+            gi_pairs, schema="gi int, ti int"
+        )
+        scored = (
+            scored.withColumnRenamed("ti", "gi")
+            .join(F.broadcast(gi_map), "gi")
+            .drop("gi")
+        )
+        terms_flat = [t for _, terms, _ in live for t in terms]
 
         ti_map = self.spark.createDataFrame(
             [
@@ -513,6 +608,7 @@ class SearchEngine:
             "strategy": "batch",
             "n_queries": len(batch),
             "n_terms": len(terms_flat),
+            "n_term_groups": len(rep_terms),
         }
         return out
 
@@ -661,15 +757,9 @@ class SearchEngine:
         (None = everything). One declarative plan; no driver funnels."""
         if intervals is not None:
             intervals = _coarsen_intervals(intervals, self.max_range_predicates)
-        decoded = self._decode(terms, use_fancy, intervals)
-        if decoded is None:
+        scored = self._decode_score(terms, use_fancy, intervals, None, w, mode)
+        if scored is None:
             return []
-        # the docmeta sidecar join's physical strategy is left to AQE: it
-        # broadcasts whichever runtime side is small (the decoded candidate
-        # stream for selective queries, never the cached docmeta at scale)
-        # without the extra eager-materialization job an explicit
-        # broadcast() hint costs per pass
-        scored = self._score_rows(decoded, terms, w, mode=mode)
         pos_df = scored.where(F.col("ti").isin([t.ti for t in pos]))
         # per-term scores are each clamped; saturating sequential addition of
         # non-negative terms equals min(sum, clamp) (searchservernew.dpr:926)
@@ -849,6 +939,99 @@ class SearchEngine:
         return pd.concat(out, ignore_index=True)
 
     # -- decode ------------------------------------------------------------------
+    def _coalesce_scan(self, df: DataFrame) -> DataFrame:
+        """Merge filtered-scan splits before an Arrow/Python stage.
+
+        The postings scan plans one task per file split (655 at 1M turns,
+        growing with the corpus), and EVERY task pays a Python-worker
+        round trip in mapInPandas even when the pushed filter leaves it
+        empty — measured ~15 s of empty round trips on a 100-query batch.
+        A NARROW coalesce (no shuffle) to 2× the cluster's parallelism
+        keeps the decode distributed at any cluster size while bounding
+        the Python task count; coalesce to more partitions than exist is
+        a no-op, so small scans are untouched."""
+        target = 2 * self.spark.sparkContext.defaultParallelism
+        return df.coalesce(target)
+
+    def _plain_scan(
+        self,
+        terms: list[PlanTerm],
+        use_fancy: bool,
+        intervals: np.ndarray | None,
+        per_term_intervals: dict[int, np.ndarray] | None = None,
+    ):
+        """Shared postings scan for the PLAIN terms of a (batch of)
+        queries: one pushed-down condition per distinct (term, kind),
+        scan splits coalesced for the Python stage that follows.
+
+        Returns (segs DataFrame | None, specs) where specs maps
+        (term, kind) → [(ti, url_only, title_only)] — the per-query-term
+        fan-out the decode stage applies after decoding each blob once.
+
+        The predicate is built as ONE SQL string and parsed once:
+        building the same tree with Column operators costs a py4j round
+        trip per operator (~4 s of driver wall on a 120-term batch);
+        Catalyst sees identical predicates either way, so pushdown and
+        bucket-directory pruning are unchanged."""
+
+        def iv_for(t: PlanTerm) -> np.ndarray | None:
+            if per_term_intervals is not None:
+                return per_term_intervals.get(t.ti)
+            return intervals
+
+        term_specs: dict[tuple[str, str], list[tuple[int, bool, bool]]] = {}
+        key_iv: dict[tuple[str, str], list | None] = {}
+        for t in terms:
+            if t.host is not None:
+                continue
+            kind = self._kind(t, use_fancy)
+            k2 = (t.key, kind)
+            term_specs.setdefault(k2, []).append(
+                (t.ti, t.url_only, t.title_only)
+            )
+            iv_t = iv_for(t)
+            if k2 not in key_iv:
+                key_iv[k2] = [] if iv_t is not None else None
+            if key_iv[k2] is not None:
+                if iv_t is None:
+                    key_iv[k2] = None
+                else:
+                    key_iv[k2].append(iv_t)
+        if not key_iv:
+            return None, term_specs
+        # per-key interval budget: the whole scan predicate stays under
+        # max_range_predicates_batch_total range terms however many keys
+        # the batch unions (coarsening is a correct superset; downstream
+        # AND/NOT filtering is exact)
+        per_key_cap = max(
+            2,
+            min(
+                self.max_range_predicates,
+                self.max_range_predicates_batch_total // len(key_iv),
+            ),
+        )
+        conds = []
+        for (key, kind), ivs in key_iv.items():
+            b = crc32(key) % 64
+            kq = key.replace("'", "''")
+            c = f"(bucket = {b} AND term = '{kq}' AND kind = '{kind}'"
+            if ivs is not None:
+                iv = _coarsen_intervals(
+                    _merge_intervals(np.concatenate(ivs)), per_key_cap
+                )
+                rngs = " OR ".join(
+                    f"(first_doc <= {int(hi)} AND last_doc >= {int(lo)})"
+                    for lo, hi in iv
+                )
+                c += f" AND ({rngs})"
+            conds.append(c + ")")
+        segs = self._coalesce_scan(
+            self.postings.where(F.expr(" OR ".join(conds))).select(
+                "term", "kind", "blob"
+            )
+        )
+        return segs, term_specs
+
     def _decode(
         self,
         terms: list[PlanTerm],
@@ -869,53 +1052,10 @@ class SearchEngine:
         shared scan must be too). Unions only loosen pruning — the per-query
         AND/NOT aggregation downstream filters exactly."""
         parts: list[DataFrame] = []
-
-        def iv_for(t: PlanTerm) -> np.ndarray | None:
-            if per_term_intervals is not None:
-                return per_term_intervals.get(t.ti)
-            return intervals
-
-        # plain terms: read blobs (partition-pruned), decode in mapInPandas.
-        # One scan condition per distinct (term, kind) — queries sharing a
-        # term decode its postings ONCE and fan rows out per ti via specs.
-        term_specs: dict[tuple[str, str], list[tuple[int, bool, bool]]] = {}
-        key_iv: dict[tuple[str, str], list | None] = {}
-        for t in terms:
-            if t.host is not None:
-                continue
-            kind = self._kind(t, use_fancy)
-            k2 = (t.key, kind)
-            term_specs.setdefault(k2, []).append((t.ti, t.url_only, t.title_only))
-            iv_t = iv_for(t)
-            if k2 not in key_iv:
-                key_iv[k2] = [] if iv_t is not None else None
-            if key_iv[k2] is not None:
-                if iv_t is None:
-                    key_iv[k2] = None
-                else:
-                    key_iv[k2].append(iv_t)
-        conds = []
-        for (key, kind), ivs in key_iv.items():
-            b = crc32(key) % 64
-            c = (
-                (F.col("bucket") == b)
-                & (F.col("term") == key)
-                & (F.col("kind") == kind)
-            )
-            if ivs is not None:
-                iv = _coarsen_intervals(
-                    _merge_intervals(np.concatenate(ivs)),
-                    self.max_range_predicates,
-                )
-                c = c & _interval_filter_expr(iv)
-            conds.append(c)
-
-        if conds:
-            cond = conds[0]
-            for c in conds[1:]:
-                cond = cond | c
-            segs = self.postings.where(cond).select("term", "kind", "blob")
-            specs = {k: v for k, v in term_specs.items()}
+        segs, specs = self._plain_scan(
+            terms, use_fancy, intervals, per_term_intervals
+        )
+        if segs is not None:
             tomb_bc = self._tomb_bc
 
             def decode_fn(iterator):
@@ -955,6 +1095,11 @@ class SearchEngine:
         # host terms: host_postings ≡ docmeta filtered by host. When an AND
         # interval restriction exists, docs outside it cannot be candidates
         # (they lack some plain term's coverage) — filter them at the scan.
+        def iv_for(t: PlanTerm) -> np.ndarray | None:
+            if per_term_intervals is not None:
+                return per_term_intervals.get(t.ti)
+            return intervals
+
         for t in terms:
             if t.host is not None:
                 hc = F.col("host") == t.host
@@ -988,6 +1133,158 @@ class SearchEngine:
             out = out.unionByName(p)
         return out
 
+    # -- fused decode + score -------------------------------------------------
+    def _sidecars_py(self):
+        """Broadcast of the docmeta sidecar arrays (doc_id-sorted) for
+        python-side score lookup inside the fused decode+score stage —
+        the distributed twin of the serving engine's in-RAM sidecar
+        vectors (LoadCacheData). Gated by docmeta_broadcast_max_docs:
+        above it (cluster-scale corpora) this returns None and the
+        decode → docmeta-join → score pipeline runs instead, because a
+        10^12-doc sidecar cannot live in every python worker."""
+        if int(self.meta["n_docs"]) > self.docmeta_broadcast_max_docs:
+            return None
+        if self._sidecar_bc is None:
+            pdf = self._docmeta_cols.toPandas()
+            order = np.argsort(pdf["doc_id"].to_numpy())
+            self._sidecar_bc = self.spark.sparkContext.broadcast(
+                {
+                    "ids": pdf["doc_id"].to_numpy(np.int64)[order],
+                    "fd": pdf["fd"].to_numpy(np.int64)[order],
+                    "he": pdf["he"].to_numpy(np.int64)[order],
+                    "rank": pdf["rank"].to_numpy(np.int64)[order],
+                    "bl": pdf["backlinks"].to_numpy(np.int64)[order],
+                    "dl": pdf["dl"].to_numpy(np.float64)[order],
+                }
+            )
+        return self._sidecar_bc
+
+    def _decode_score(
+        self,
+        terms: list[PlanTerm],
+        use_fancy: bool,
+        intervals: np.ndarray | None,
+        per_term_intervals: dict[int, np.ndarray] | None,
+        w,
+        mode: str,
+    ) -> DataFrame | None:
+        """Scored postings (ti, doc_id, score) for the query terms in ONE
+        python stage when the sidecars fit a broadcast: each blob is
+        decoded AND scored inside the same task (sidecar lookup is a
+        vectorized searchsorted against the broadcast arrays), so each
+        posting crosses the JVM↔Arrow boundary once instead of twice and
+        the per-posting docmeta join disappears from the plan. Host terms
+        (docmeta-derived rows, no blobs) keep the joined path — they are
+        per-host-sized, not corpus-sized. Falls back to
+        _decode → _score_rows above the sidecar broadcast cap.
+
+        Scores are bit-identical to the joined path: both call
+        _term_score_block on the same arrays."""
+        side = self._sidecars_py()
+        if side is None:
+            decoded = self._decode(
+                terms, use_fancy, intervals,
+                per_term_intervals=per_term_intervals,
+            )
+            if decoded is None:
+                return None
+            return self._score_rows(decoded, terms, w, mode=mode)
+        plain = [t for t in terms if t.host is None]
+        host = [t for t in terms if t.host is not None]
+        parts: list[DataFrame] = []
+        if plain:
+            segs, specs = self._plain_scan(
+                plain, use_fancy, intervals, per_term_intervals
+            )
+            if segs is not None:
+                plan = {
+                    t.ti: {
+                        "idf": t.idf,
+                        "df": t.df,
+                        "include_bl": t.include_backlink,
+                        "is_host": False,
+                        "is_set": t.action == "SET",
+                        "hole": bool(t.fancy_hole),
+                    }
+                    for t in plain
+                }
+                max_bl = int(self.meta["max_backlinks"])
+                n_docs = int(self.meta["n_docs"])
+                avgdl = self.avgdl if mode == "bm25" else 1.0
+                tomb_bc = self._tomb_bc
+
+                def fused_fn(iterator):
+                    sc = side.value
+                    tomb = tomb_bc.value if tomb_bc is not None else None
+                    ids = sc["ids"]
+                    for pdf in iterator:
+                        tis, dids, scs = [], [], []
+                        for term, kind, blob in zip(
+                            pdf["term"], pdf["kind"], pdf["blob"]
+                        ):
+                            docs, flags = codec.decode(bytes(blob))
+                            if tomb is not None:
+                                docs, flags = codec.remove_sorted(
+                                    docs, flags, tomb
+                                )
+                            if not len(docs):
+                                continue
+                            pos_ = np.searchsorted(ids, docs)
+                            fd = sc["fd"][pos_]
+                            he = sc["he"][pos_]
+                            rank = sc["rank"][pos_]
+                            bl = sc["bl"][pos_]
+                            dl = sc["dl"][pos_]
+                            for ti, uo, to in specs[(term, kind)]:
+                                if uo:
+                                    m = (flags & 4) != 0
+                                elif to:
+                                    m = (flags & 2) != 0
+                                else:
+                                    m = slice(None)
+                                p = plan[ti]
+                                d = docs[m]
+                                s = _term_score_block(
+                                    p, mode, n_docs, avgdl, max_bl, w,
+                                    flags[m], fd[m], he[m], rank[m],
+                                    bl[m], dl[m],
+                                )
+                                if p["hole"]:
+                                    keep = (rank[m] > FANCY_RANK_LO) & (
+                                        rank[m] < FANCY_RANK_HI
+                                    )
+                                    d, s = d[keep], s[keep]
+                                tis.append(
+                                    np.full(len(d), ti, dtype=np.int32)
+                                )
+                                dids.append(d)
+                                scs.append(s)
+                        if tis:
+                            yield pd.DataFrame(
+                                {
+                                    "ti": np.concatenate(tis),
+                                    "doc_id": np.concatenate(dids),
+                                    "score": np.concatenate(scs),
+                                }
+                            )
+
+                parts.append(
+                    segs.mapInPandas(fused_fn, schema=SCORED_SCHEMA)
+                )
+        if host:
+            hdec = self._decode(
+                host, use_fancy, intervals,
+                per_term_intervals=per_term_intervals,
+            )
+            if hdec is not None:
+                parts.append(self._score_rows(hdec, host, w, mode=mode))
+        if not parts:
+            return None
+        out = parts[0]
+        for pth in parts[1:]:
+            out = out.unionByName(pth)
+        return out
+
     # -- scoring -------------------------------------------------------------
     def _score_rows(
         self,
@@ -1017,11 +1314,12 @@ class SearchEngine:
         max_bl = int(self.meta["max_backlinks"])
         n_docs = int(self.meta["n_docs"])
         avgdl = self.avgdl if mode == "bm25" else 1.0
-        joined = decoded.join(self._docmeta_cols, "doc_id")
+        dm = self._docmeta_cols
+        if int(self.meta["n_docs"]) <= self.docmeta_broadcast_max_docs:
+            dm = F.broadcast(dm)
+        joined = decoded.join(dm, "doc_id")
 
         def score_fn(iterator):
-            import math as _math
-
             for pdf in iterator:
                 n = len(pdf)
                 if n == 0:
@@ -1038,37 +1336,10 @@ class SearchEngine:
                     m = ti == t_i
                     if not m.any():
                         continue
-                    if mode == "bm25":
-                        if p["is_host"]:
-                            out[m] = 0.0
-                        else:
-                            idf = _math.log(
-                                1.0 + (n_docs - p["df"] + 0.5) / (p["df"] + 0.5)
-                            )
-                            out[m] = (
-                                idf
-                                * (1.2 + 1.0)
-                                / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl[m] / avgdl))
-                            )
-                    elif p["is_host"]:
-                        v = np.full(m.sum(), w["b1"], dtype=np.float64)
-                        v += (31 - (fd[m] & 31)) * w["b7"]
-                        if p["is_set"]:
-                            v += np.round(_bl_value(bl[m], max_bl))
-                        out[m] = np.clip(v, 1, SCORE_CLAMP)
-                    else:
-                        s = static_scores(
-                            flags[m],
-                            fd[m],
-                            he[m],
-                            rank[m],
-                            bl[m],
-                            max_bl,
-                            include_backlink=p["include_bl"],
-                            weights=w,
-                        )
-                        v = np.round(s * p["idf"])
-                        out[m] = np.minimum(v, SCORE_CLAMP)
+                    out[m] = _term_score_block(
+                        p, mode, n_docs, avgdl, max_bl, w,
+                        flags[m], fd[m], he[m], rank[m], bl[m], dl[m],
+                    )
                 doc_id = pdf["doc_id"].to_numpy(np.int64)
                 if hole_tis:
                     # fancy-hole terms (federation): the part has no fancy
@@ -1163,12 +1434,14 @@ class SearchEngine:
         kind = self._kind(t, use_fancy)
         b = crc32(t.key) % 64
         iv = _coarsen_intervals(intervals, self.max_range_predicates)
-        segs = self.postings.where(
-            (F.col("bucket") == b)
-            & (F.col("term") == t.key)
-            & (F.col("kind") == kind)
-            & _interval_filter_expr(iv)
-        ).select("blob")
+        segs = self._coalesce_scan(
+            self.postings.where(
+                (F.col("bucket") == b)
+                & (F.col("term") == t.key)
+                & (F.col("kind") == kind)
+                & _interval_filter_expr(iv)
+            ).select("blob")
+        )
         decoded = segs.mapInPandas(
             _decode_only_fn(t.ti, self._tomb_bc), schema=DECODED_SCHEMA
         )
@@ -1581,6 +1854,49 @@ class FederatedSearchEngine:
                 for t in terms
             ],
         }
+
+
+def _term_score_block(
+    p: dict,
+    mode: str,
+    n_docs: int,
+    avgdl: float,
+    max_bl: int,
+    w,
+    flags: np.ndarray,
+    fd: np.ndarray,
+    he: np.ndarray,
+    rank: np.ndarray,
+    bl: np.ndarray,
+    dl: np.ndarray,
+) -> np.ndarray:
+    """Scores for ONE query-term's postings (arrays pre-masked to the
+    term). ``p`` is the per-term plan entry (idf/df/include_bl/is_host/
+    is_set). The single scoring implementation shared by the joined score
+    stage (_score_rows) and the fused decode+score stage — the reference
+    formula, searchservernew.dpr:874-899 + host path :355-364."""
+    import math as _math
+
+    if mode == "bm25":
+        if p["is_host"]:
+            return np.zeros(len(dl), dtype=np.float64)
+        idf = _math.log(1.0 + (n_docs - p["df"] + 0.5) / (p["df"] + 0.5))
+        return (
+            idf
+            * (1.2 + 1.0)
+            / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        )
+    if p["is_host"]:
+        v = np.full(len(fd), w["b1"], dtype=np.float64)
+        v += (31 - (fd & 31)) * w["b7"]
+        if p["is_set"]:
+            v += np.round(_bl_value(bl, max_bl))
+        return np.clip(v, 1, SCORE_CLAMP)
+    s = static_scores(
+        flags, fd, he, rank, bl, max_bl,
+        include_backlink=p["include_bl"], weights=w,
+    )
+    return np.minimum(np.round(s * p["idf"]), SCORE_CLAMP)
 
 
 def _bl_value(bl: np.ndarray, max_bl: int) -> np.ndarray:

@@ -36,12 +36,19 @@ def turns_per_conv(k: int) -> int:
     return 1 + (k * 2654435761) % 19
 
 
-def gen_transcripts(n_conv: int, seed: int = SEED) -> pd.DataFrame:
+def gen_transcripts(
+    n_conv: int, seed: int = SEED, start: int = 0
+) -> pd.DataFrame:
     """Generate the transcripts table (conv_id, turn_idx, role, text, tool,
-    ts) deterministically. ~10 turns/conversation on average."""
+    ts) deterministically. ~10 turns/conversation on average.
+
+    ``start`` offsets the conversation-id range (conv{start:08d}…) so large
+    corpora can be generated in bounded-RAM chunks — pass a per-chunk seed
+    (e.g. SEED + start) for distinct content; defaults reproduce the
+    original single-call output byte-for-byte."""
     rng = np.random.default_rng(seed)
 
-    conv_k = np.arange(n_conv, dtype=np.int64)
+    conv_k = np.arange(start, start + n_conv, dtype=np.int64)
     sizes = 1 + (conv_k * 2654435761) % 19
     total = int(sizes.sum())
 
