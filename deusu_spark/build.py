@@ -718,6 +718,7 @@ def build_index(
     index_gate: str | None = None,
     info_df_threshold: int = INFO_DF_THRESHOLD,
     fuse_scatter: bool | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the index under ``out_dir`` and atomically publish.
 
@@ -1351,6 +1352,21 @@ def build_index(
         # atomic generation publish — CURRENT-pointer swap (ready2.dat
         # analog) on parquet, snapshot/version table on iceberg
         io.publish(out_dir, version)
+
+    # optional phrase/proximity sidecar (positions=True): its own resumable
+    # step AFTER publish — the core index is identical with or without it
+    if positions and "positions" not in lin.done:
+        from .positions import build_positions
+
+        t0 = time.time()
+        pres = build_positions(
+            spark, transcripts, out_dir, version=version, seg_size=seg_size
+        )
+        lin.record(
+            "positions",
+            wall_s=round(time.time() - t0, 3),
+            n_segments=pres["n_segments"],
+        )
 
     build_wall = sum(r.get("wall_s", 0) for r in lin.done.values())
     metrics["wall_s"] = round(build_wall, 3)

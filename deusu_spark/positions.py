@@ -1,0 +1,284 @@
+"""Optional token-POSITIONS sidecar: build pass + positions-driven phrase
+verification.
+
+The reference's postings are positionless by design (DbTypes.pas:119-127)
+— a deliberate, documented DEVIATION: at 100 TB a phrase query that
+AND-candidates and then rescans ``text`` re-reads the corpus column,
+while this sidecar bounds the verify stage to decoding the candidate
+(term, doc-range) segments only.
+
+Layout mirrors the postings table's pruning story: parquet partitioned by
+``bucket = crc32(term) & 63``, one row per (term, doc-range segment) with
+``first_doc``/``last_doc`` column stats for range pushdown and a
+``poscodec`` varbyte blob of every doc's body-token positions. Doc-range
+SALTS are contiguous doc-id ranges (floor(doc_id / range)), so two salt
+groups of one term can never interleave — segment ranges are globally
+disjoint per term by construction (no analog of the hash-salt split
+hazard in CLAUDE.md).
+
+Positions are RAW body-token indices (before the fill-word filter), so
+adjacency reflects the original token stream: in "linux the kernel" the
+pattern is linux@0, kernel@2 — stop words keep their offsets but are
+never pattern terms (they are unindexed). Build-side tokenization uses
+the same fold + body-token regex as the index (colfns.fold_col,
+ParserClass.pas:1173-1204); the query side folds the phrase with the
+python twin (textproc.fold / body_tokens), which is parity-tested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from zlib import crc32 as _crc32
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import poscodec
+from .constants import MAX_TOKEN_LEN, is_fill_word
+
+POS_SCHEMA = (
+    "bucket int, term string, first_doc long, last_doc long, "
+    "n int, blob binary"
+)
+
+
+def _crc(s: str) -> int:
+    return _crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def build_positions(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_root: str,
+    *,
+    version: str | None = None,
+    seg_size: int = 4096,
+    n_salts: int = 8,
+) -> dict:
+    """Build the positions sidecar for an already-published index version.
+
+    Reads doc ids from the published docmeta (join on url, the stable
+    (conv_id, turn_idx) key), re-derives the body token stream with the
+    SAME fold + regex as the build, and writes ``<vdir>/positions/``.
+
+    One wide shuffle sized by (bucket, salt): tokens repartition on the
+    (term-bucket, contiguous-doc-range-salt) pair and sort within
+    partitions by (term, doc_id, pos); the encoder walks each sorted
+    partition once. n_salts × shuffle partitions is the worker-memory
+    knob at scale, exactly like the postings build."""
+    from .build import current_index_dir
+    from .colfns import fold_col, not_fill
+
+    vdir = current_index_dir(index_root, version)
+    with open(os.path.join(vdir, "meta.json")) as f:
+        n_docs = int(json.load(f)["n_docs"])
+
+    docmeta = spark.read.parquet(os.path.join(vdir, "docmeta")).select(
+        "doc_id", "url"
+    )
+    url = F.concat_ws("/", "conv_id", F.col("turn_idx").cast("string"))
+    body_re = F.lit("[a-z0-9][a-z0-9_\\-]*")
+    toks = F.transform(
+        F.regexp_extract_all(
+            fold_col(F.coalesce(F.col("text"), F.lit(""))), body_re, F.lit(0)
+        ),
+        lambda t: F.substring(t, 1, MAX_TOKEN_LEN),
+    )
+    rows = (
+        transcripts.select(url.alias("url"), F.posexplode(toks))
+        .withColumnRenamed("pos", "tpos")
+        .withColumnRenamed("col", "term")
+        .where(not_fill(F.col("term")))
+        .join(docmeta, "url")
+        .select(
+            (
+                F.crc32(F.encode(F.col("term"), "UTF-8")) % 64
+            ).cast("int").alias("bucket"),
+            "term",
+            "doc_id",
+            F.col("tpos").cast("long").alias("tpos"),
+        )
+    )
+    salt_range = max(1, -(-n_docs // n_salts))  # ceil: contiguous ranges
+    rows = rows.withColumn(
+        "salt", F.floor(F.col("doc_id") / salt_range).cast("int")
+    )
+
+    def encode_part(iterator):
+        pdf = pd.concat(list(iterator), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        poss = pdf["tpos"].to_numpy(np.int64)
+        out = {k: [] for k in ("bucket", "term", "first_doc",
+                               "last_doc", "n", "blob")}
+        # term run boundaries in the sorted stream
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate(([0], change, [len(pdf)]))
+        for si in range(len(starts) - 1):
+            lo, hi = int(starts[si]), int(starts[si + 1])
+            t = terms[lo]
+            d = docs[lo:hi]
+            p = poss[lo:hi]
+            # per-doc grouping (stream sorted by doc, then pos)
+            dchange = np.flatnonzero(d[1:] != d[:-1]) + 1
+            dstarts = np.concatenate(([0], dchange, [len(d)]))
+            udocs = d[dstarts[:-1]]
+            counts = np.diff(dstarts)
+            for s0 in range(0, len(udocs), seg_size):
+                s1 = min(s0 + seg_size, len(udocs))
+                flat_lo, flat_hi = int(dstarts[s0]), int(dstarts[s1])
+                blob = poscodec.encode_positions(
+                    udocs[s0:s1], counts[s0:s1], p[flat_lo:flat_hi]
+                )
+                out["bucket"].append(_crc(t) % 64)
+                out["term"].append(t)
+                out["first_doc"].append(int(udocs[s0]))
+                out["last_doc"].append(int(udocs[s1 - 1]))
+                out["n"].append(int(s1 - s0))
+                out["blob"].append(blob)
+        yield pd.DataFrame(out)
+
+    segs = (
+        rows.repartition(F.col("bucket"), F.col("salt"))
+        .sortWithinPartitions("term", "doc_id", "tpos")
+        .mapInPandas(encode_part, schema=POS_SCHEMA)
+    )
+    pos_dir = os.path.join(vdir, "positions")
+    segs.write.mode("overwrite").partitionBy("bucket").parquet(pos_dir)
+    n_segs = spark.read.parquet(pos_dir).count()
+    with open(os.path.join(pos_dir, "_POSMETA.json"), "w") as f:
+        json.dump({"seg_size": seg_size, "n_salts": n_salts,
+                   "n_segments": n_segs}, f)
+    return {"positions_dir": pos_dir, "n_segments": n_segs}
+
+
+def has_positions(vdir: str) -> bool:
+    return os.path.isfile(os.path.join(vdir, "positions", "_POSMETA.json"))
+
+
+def phrase_pattern(phrase: str) -> list[tuple[int, str]]:
+    """(raw-token offset, folded term) pairs for the phrase's indexable
+    terms — fill words keep their offsets but are dropped as pattern
+    terms (they are unindexed, like the query rewrite's stopword drop)."""
+    from .textproc import body_tokens, fold
+
+    toks = body_tokens(fold(phrase))
+    return [(i, t) for i, t in enumerate(toks) if not is_fill_word(t)]
+
+
+def _candidate_intervals(docs: np.ndarray, max_n: int = 64) -> list:
+    """Merge sorted candidate doc ids into <= max_n [lo, hi] ranges (a
+    coarsened superset — decode filters exactly)."""
+    docs = np.sort(np.asarray(docs, dtype=np.int64))
+    gaps = np.diff(docs)
+    cut = np.flatnonzero(gaps > 1)
+    lo = np.concatenate(([docs[0]], docs[cut + 1]))
+    hi = np.concatenate((docs[cut], [docs[-1]]))
+    while len(lo) > max_n:
+        # merge the pair with the smallest inter-range gap
+        g = lo[1:] - hi[:-1]
+        j = int(np.argmin(g))
+        hi = np.delete(hi, j)
+        lo = np.delete(lo, j + 1)
+    return list(zip(lo.tolist(), hi.tolist()))
+
+
+def verify_phrase_docs(
+    spark: SparkSession,
+    vdir: str,
+    pattern: list[tuple[int, str]],
+    candidates: np.ndarray,
+) -> np.ndarray:
+    """Doc ids among ``candidates`` that contain the phrase, verified
+    from the positions sidecar: scan only the pattern terms' segments
+    restricted to the candidates' doc ranges (pushed-down predicates),
+    decode per segment, and check start-position intersection per doc in
+    one applyInPandas pass grouped by doc. Never touches ``text``."""
+    if not pattern or len(candidates) == 0:
+        return np.asarray([], dtype=np.int64)
+    candidates = np.sort(np.asarray(candidates, dtype=np.int64))
+    pos_tbl = spark.read.parquet(os.path.join(vdir, "positions"))
+    ivs = _candidate_intervals(candidates)
+    rng = " OR ".join(
+        f"(first_doc <= {hi} AND last_doc >= {lo})" for lo, hi in ivs
+    )
+    conds = []
+    ordinal = {}
+    for oi, (_, t) in enumerate(pattern):
+        ordinal[t] = oi  # duplicate phrase terms share one scan + decode
+    for t in ordinal:
+        tq = t.replace("'", "''")
+        conds.append(
+            f"(bucket = {_crc(t) % 64} AND term = '{tq}' AND ({rng}))"
+        )
+    segs = pos_tbl.where(F.expr(" OR ".join(conds))).select("term", "blob")
+    segs = segs.coalesce(2 * spark.sparkContext.defaultParallelism)
+    cand_bc = spark.sparkContext.broadcast(candidates)
+    ord_bc = spark.sparkContext.broadcast(ordinal)
+
+    def decode_fn(iterator):
+        cand = cand_bc.value
+        omap = ord_bc.value
+        for pdf in iterator:
+            ois, dids, ps = [], [], []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                d, c, p = poscodec.decode_positions(bytes(blob))
+                idx = np.searchsorted(cand, d)
+                ok = idx < len(cand)
+                hit = np.zeros(len(d), dtype=bool)
+                hit[ok] = cand[idx[ok]] == d[ok]
+                if not hit.any():
+                    continue
+                keep_flat = np.repeat(hit, c)
+                d_flat = np.repeat(d, c)[keep_flat]
+                p_kept = p[keep_flat]
+                ois.append(
+                    np.full(len(d_flat), omap[term], dtype=np.int32)
+                )
+                dids.append(d_flat)
+                ps.append(p_kept)
+            if ois:
+                yield pd.DataFrame(
+                    {
+                        "oi": np.concatenate(ois),
+                        "doc_id": np.concatenate(dids),
+                        "pos": np.concatenate(ps),
+                    }
+                )
+
+    decoded = segs.mapInPandas(
+        decode_fn, schema="oi int, doc_id long, pos long"
+    )
+    offsets = [off for off, _ in pattern]
+    pat_oi = [ordinal[t] for _, t in pattern]
+    n_pat = len(pattern)
+
+    def verify_group(pdf):
+        doc = int(pdf["doc_id"].iloc[0])
+        by_oi = {
+            int(oi): g["pos"].to_numpy(np.int64)
+            for oi, g in pdf.groupby("oi")
+        }
+        starts = None
+        for off, oi in zip(offsets, pat_oi):
+            p = by_oi.get(oi)
+            if p is None:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            s = p - off
+            starts = s if starts is None else np.intersect1d(starts, s)
+            if len(starts) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": [doc]})
+
+    _ = n_pat
+    matched = (
+        decoded.groupBy("doc_id")
+        .applyInPandas(verify_group, schema="doc_id long")
+        .collect()
+    )
+    return np.asarray(sorted(r["doc_id"] for r in matched), dtype=np.int64)

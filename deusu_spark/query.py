@@ -612,6 +612,57 @@ class SearchEngine:
         }
         return out
 
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Exact phrase top-k, verified from the POSITIONS sidecar
+        (build_index(positions=True)) instead of rescanning ``text`` —
+        the round-4 phrase/proximity index kind (a documented deviation
+        from the positionless reference, DbTypes.pas:119-127).
+
+        Plan: AND-retrieve the phrase's indexable terms in score order,
+        verify adjacency from positions (deusu_spark.positions), and page
+        the fetch up (×4) until k phrase matches are verified or the
+        candidate stream is exhausted — so the verify stage only ever
+        decodes candidate doc ranges, never the corpus. Scores are the
+        ordinary AND scores (rank-identical to search() on the same
+        terms); the phrase is a filter, exactly like the text-verify
+        oracle path."""
+        from .positions import (
+            has_positions,
+            phrase_pattern,
+            verify_phrase_docs,
+        )
+
+        if not has_positions(self.vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        pattern = phrase_pattern(phrase)
+        if not pattern:
+            return []
+        query = " ".join(t for _, t in pattern)
+        if len(pattern) == 1:
+            return self.search(query, k=k, weights=weights)
+        fetch = max(4 * k, 64)
+        verified: list[tuple[int, int]] = []
+        while True:
+            rows = self.search(query, k=fetch, weights=weights)
+            cand = np.asarray([d for d, _ in rows], dtype=np.int64)
+            ok = set(
+                verify_phrase_docs(
+                    self.spark, self.vdir, pattern, cand
+                ).tolist()
+            )
+            verified = [(d, s) for d, s in rows if d in ok]
+            if len(verified) >= k or len(rows) < fetch:
+                return verified[:k]
+            fetch *= 4
+
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         """Q15 (ShowLink, searchservernew.dpr:1166-1204): join the engine's
         (doc_id, score) rows back to display fields as rerank.ResultRow
