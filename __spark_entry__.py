@@ -6786,6 +6786,36 @@ def _srm_check_sql() -> str:
     """
 
 
+def _phrase_positions_sql() -> str:
+    from deusu_spark.pipelines import PHRASE_POS
+
+    parts = []
+    for pi, (term, off) in enumerate(PHRASE_POS):
+        parts.append(
+            f"p{pi} AS (SELECT doc_id, p - {off} AS start "
+            f"FROM tok WHERE t = '{term}')"
+        )
+    joins = " ".join(
+        f"JOIN p{pi} USING (doc_id, start)"
+        for pi in range(1, len(PHRASE_POS))
+    )
+    return f"""
+        WITH a AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '') AS a
+                   FROM documents),
+             tok AS (SELECT doc_id, i - 1 AS p, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM a)),
+             {", ".join(parts)}
+        SELECT doc_id, count(*) AS n_matches,
+               CAST(min(start) AS BIGINT) AS first_pos
+        FROM p0 {joins}
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -8056,6 +8086,7 @@ def oracle_sql() -> dict[str, str]:
         "cronbach_alpha": _cronbach_alpha_sql(),
         "gini_split": _gini_split_sql(),
         "srm_check": _srm_check_sql(),
+        "phrase_positions": _phrase_positions_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -15611,6 +15611,40 @@ def q_srm_check(spark, sf_dir):
     )
 
 
+PHRASE_POS = (("table", 0), ("hash", 1))  # phrase term -> token offset
+
+
+def q_phrase_positions(spark, sf_dir):
+    """Positions-driven phrase match over the documents table — the
+    relational shape of the round-4 positions sidecar (positions.py /
+    SearchEngine.search_phrase): token positions via ONE posexplode,
+    adjacency as an equi-join on (doc, start = pos − offset), so the
+    verify never rescans text. Per matching doc: occurrence count and
+    first start position. Data-sized work is the tokenize pass; the
+    join keys are (doc, position) — no all-pairs anywhere. Contrast
+    q_phrase_match (the capped text-rescan baseline this replaces at
+    scale)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    toks = d.select("doc_id", F.posexplode(arr).alias("p", "t"))
+    m = None
+    for term, off in PHRASE_POS:
+        part = toks.where(F.col("t") == term).select(
+            "doc_id", (F.col("p") - off).cast("long").alias("start")
+        )
+        m = part if m is None else m.join(part, ["doc_id", "start"])
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15912,4 +15946,5 @@ QUERIES = {
     "cronbach_alpha": q_cronbach_alpha,
     "gini_split": q_gini_split,
     "srm_check": q_srm_check,
+    "phrase_positions": q_phrase_positions,
 }
