@@ -297,6 +297,95 @@ class LocalSearcher:
         self._result_cache[slot] = (cache_key, rows)
         return rows[:k]
 
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Serving-tier phrase top-k — the exact twin of
+        SearchEngine.search_phrase (positions sidecar required, built by
+        build_index(positions=True)): AND-retrieve in score order, verify
+        adjacency from decoded positions of the candidate docs only, page
+        the fetch ×4 until k matches verify. Scores are the plain AND
+        scores; results are rank-identical to the distributed path."""
+        from .positions import has_positions, phrase_pattern
+
+        if not has_positions(self.vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        pattern = phrase_pattern(phrase)
+        if not pattern:
+            return []
+        query = " ".join(t for _, t in pattern)
+        if len(pattern) == 1:
+            return self.search(query, k=k, weights=weights)
+        fetch = max(4 * k, 64)
+        while True:
+            rows = self.search(query, k=fetch, weights=weights)
+            cand = np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
+            ok = self._phrase_verify(pattern, cand)
+            verified = [(d, s) for d, s in rows if d in ok]
+            if len(verified) >= k or len(rows) < fetch:
+                return verified[:k]
+            fetch *= 4
+
+    def _phrase_verify(
+        self, pattern: list[tuple[int, str]], cand: np.ndarray
+    ) -> set[int]:
+        """Docs among sorted ``cand`` containing the phrase, decoded from
+        only the positions segments overlapping the candidate range."""
+        from . import poscodec
+
+        if len(cand) == 0:
+            return set()
+        pos_ds = pads.dataset(
+            os.path.join(self.vdir, "positions"), partitioning="hive"
+        )
+        lo, hi = int(cand[0]), int(cand[-1])
+        term_pos: dict[str, dict[int, np.ndarray]] = {}
+        for t in {t for _, t in pattern}:
+            tbl = pos_ds.to_table(
+                filter=(pads.field("bucket") == crc32(t) % 64)
+                & (pads.field("term") == t)
+                & (pads.field("first_doc") <= hi)
+                & (pads.field("last_doc") >= lo),
+                columns=["blob"],
+            )
+            per: dict[int, np.ndarray] = {}
+            for blob in tbl["blob"].to_pylist():
+                d, c, p = poscodec.decode_positions(blob)
+                idx = np.searchsorted(cand, d)
+                okm = idx < len(cand)
+                hit = np.zeros(len(d), dtype=bool)
+                hit[okm] = cand[idx[okm]] == d[okm]
+                if not hit.any():
+                    continue
+                cstarts = np.zeros(len(d) + 1, dtype=np.int64)
+                np.cumsum(c, out=cstarts[1:])
+                for di in np.flatnonzero(hit):
+                    per[int(d[di])] = p[cstarts[di] : cstarts[di + 1]]
+            term_pos[t] = per
+        out: set[int] = set()
+        for doc in cand.tolist():
+            starts = None
+            okdoc = True
+            for off, t in pattern:
+                p = term_pos[t].get(doc)
+                if p is None:
+                    okdoc = False
+                    break
+                s = p - off
+                starts = s if starts is None else np.intersect1d(starts, s)
+                if len(starts) == 0:
+                    okdoc = False
+                    break
+            if okdoc and starts is not None and len(starts):
+                out.add(doc)
+        return out
+
     def search_many(
         self,
         queries: list[str],

@@ -199,3 +199,18 @@ def test_positions_segment_ranges_disjoint(spark, pos_index):
         ranges.sort()
         for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
             assert h1 < l2, (t, ranges)
+
+
+def test_phrase_serving_matches_distributed(spark, pos_index):
+    """LocalSearcher.search_phrase is rank-identical to the distributed
+    SearchEngine.search_phrase on every probe phrase."""
+    import os
+
+    from deusu_spark.query_local import LocalSearcher
+
+    eng, _ = pos_index
+    ls = LocalSearcher(os.path.dirname(eng.vdir))
+    for phrase in PHRASES + ["", "the and it", "fox"]:
+        a = eng.search_phrase(phrase, k=50)
+        b = ls.search_phrase(phrase, k=50)
+        assert list(a) == list(b), phrase
