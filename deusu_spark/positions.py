@@ -16,6 +16,13 @@ groups of one term can never interleave — segment ranges are globally
 disjoint per term by construction (no analog of the hash-salt split
 hazard in CLAUDE.md).
 
+The sidecar currently writes through the parquet backend directly (not
+the TableIO seam): it is an optional, independently-rebuildable sidecar
+keyed to one published version dir, so the atomic-publish story is the
+version dir itself; an Iceberg-backed variant would register it as one
+more bucketed table under the same snapshot (tableio.py's transform
+caveats apply unchanged).
+
 Positions are RAW body-token indices (before the fill-word filter), so
 adjacency reflects the original token stream: in "linux the kernel" the
 pattern is linux@0, kernel@2 — stop words keep their offsets but are
