@@ -37,7 +37,7 @@ def turns_per_conv(k: int) -> int:
 
 
 def gen_transcripts(
-    n_conv: int, seed: int = SEED, start: int = 0
+    n_conv: int, seed: int = SEED, start: int = 0, rare_every: int = 0
 ) -> pd.DataFrame:
     """Generate the transcripts table (conv_id, turn_idx, role, text, tool,
     ts) deterministically. ~10 turns/conversation on average.
@@ -45,7 +45,13 @@ def gen_transcripts(
     ``start`` offsets the conversation-id range (conv{start:08d}…) so large
     corpora can be generated in bounded-RAM chunks — pass a per-chunk seed
     (e.g. SEED + start) for distinct content; defaults reproduce the
-    original single-call output byte-for-byte."""
+    original single-call output byte-for-byte.
+
+    ``rare_every``: every Nth turn additionally carries ONE
+    globally-unique token (``r<conv>x<turn>``) — the Heaps-law knob: the
+    vocabulary then grows linearly with the corpus (~turns/N extra
+    terms), which the fixed Zipf vocabulary cannot exercise. 0 = off
+    (default; stock corpus unchanged)."""
     rng = np.random.default_rng(seed)
 
     conv_k = np.arange(start, start + n_conv, dtype=np.int64)
@@ -86,6 +92,8 @@ def gen_transcripts(
             words.extend(GERMAN_SPRINKLE[j] for j in de_pick[i])
         if stop_mask[i]:
             words.append(STOP_SPRINKLE[stop_pick[i]])
+        if rare_every and i % rare_every == 0:
+            words.append(f"r{int(conv_idx[i])}x{int(turn_idx[i])}")
         texts.append(" ".join(words))
 
     roles = [ROLES[(int(k) + int(t)) % 4] for k, t in zip(conv_idx, turn_idx)]
