@@ -195,29 +195,60 @@ def _candidate_intervals(docs: np.ndarray, max_n: int = 64) -> list:
     return list(zip(lo.tolist(), hi.tolist()))
 
 
-def verify_phrase_docs(
+def near_window_match(
+    pos_lists: list[np.ndarray], window: int
+) -> bool:
+    """True iff one position from EVERY list fits inside a token window
+    of size ``window`` (inclusive span: max−min < window). Classic
+    minimal-window sweep over the merged sorted positions — O(total·k)
+    with k lists, no pairwise products. Shared by the distributed and
+    serving NEAR verifiers so their semantics cannot drift."""
+    k = len(pos_lists)
+    if k == 0:
+        return False
+    if any(len(p) == 0 for p in pos_lists):
+        return False
+    if k == 1:
+        return True
+    merged = np.concatenate(pos_lists)
+    labels = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+    )
+    order = np.argsort(merged, kind="stable")
+    merged, labels = merged[order], labels[order]
+    counts = np.zeros(k, dtype=np.int64)
+    have = 0
+    lo = 0
+    for hi in range(len(merged)):
+        if counts[labels[hi]] == 0:
+            have += 1
+        counts[labels[hi]] += 1
+        while have == k:
+            if merged[hi] - merged[lo] < window:
+                return True
+            counts[labels[lo]] -= 1
+            if counts[labels[lo]] == 0:
+                have -= 1
+            lo += 1
+    return False
+
+
+def _decode_candidate_positions(
     spark: SparkSession,
     vdir: str,
-    pattern: list[tuple[int, str]],
+    ordinal: dict[str, int],
     candidates: np.ndarray,
-) -> np.ndarray:
-    """Doc ids among ``candidates`` that contain the phrase, verified
-    from the positions sidecar: scan only the pattern terms' segments
-    restricted to the candidates' doc ranges (pushed-down predicates),
-    decode per segment, and check start-position intersection per doc in
-    one applyInPandas pass grouped by doc. Never touches ``text``."""
-    if not pattern or len(candidates) == 0:
-        return np.asarray([], dtype=np.int64)
-    candidates = np.sort(np.asarray(candidates, dtype=np.int64))
+):
+    """(oi, doc_id, pos) rows for the given terms restricted to the
+    candidate docs: scan only the terms' segments overlapping the
+    candidates' doc ranges (pushed-down predicates), decode per segment,
+    keep candidate docs only. Shared by the phrase and NEAR verifiers."""
     pos_tbl = spark.read.parquet(os.path.join(vdir, "positions"))
     ivs = _candidate_intervals(candidates)
     rng = " OR ".join(
         f"(first_doc <= {hi} AND last_doc >= {lo})" for lo, hi in ivs
     )
     conds = []
-    ordinal = {}
-    for oi, (_, t) in enumerate(pattern):
-        ordinal[t] = oi  # duplicate phrase terms share one scan + decode
     for t in ordinal:
         tq = t.replace("'", "''")
         conds.append(
@@ -258,12 +289,30 @@ def verify_phrase_docs(
                     }
                 )
 
-    decoded = segs.mapInPandas(
+    return segs.mapInPandas(
         decode_fn, schema="oi int, doc_id long, pos long"
     )
+
+
+def verify_phrase_docs(
+    spark: SparkSession,
+    vdir: str,
+    pattern: list[tuple[int, str]],
+    candidates: np.ndarray,
+) -> np.ndarray:
+    """Doc ids among ``candidates`` that contain the phrase, verified
+    from the positions sidecar: candidate-range-pruned decode, then a
+    start-position intersection per doc in one applyInPandas pass
+    grouped by doc. Never touches ``text``."""
+    if not pattern or len(candidates) == 0:
+        return np.asarray([], dtype=np.int64)
+    candidates = np.sort(np.asarray(candidates, dtype=np.int64))
+    ordinal: dict[str, int] = {}
+    for oi, (_, t) in enumerate(pattern):
+        ordinal.setdefault(t, oi)  # duplicate terms share one decode
+    decoded = _decode_candidate_positions(spark, vdir, ordinal, candidates)
     offsets = [off for off, _ in pattern]
     pat_oi = [ordinal[t] for _, t in pattern]
-    n_pat = len(pattern)
 
     def verify_group(pdf):
         doc = int(pdf["doc_id"].iloc[0])
@@ -282,7 +331,49 @@ def verify_phrase_docs(
                 return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
         return pd.DataFrame({"doc_id": [doc]})
 
-    _ = n_pat
+    matched = (
+        decoded.groupBy("doc_id")
+        .applyInPandas(verify_group, schema="doc_id long")
+        .collect()
+    )
+    return np.asarray(sorted(r["doc_id"] for r in matched), dtype=np.int64)
+
+
+def verify_near_docs(
+    spark: SparkSession,
+    vdir: str,
+    terms: list[str],
+    window: int,
+    candidates: np.ndarray,
+) -> np.ndarray:
+    """Doc ids among ``candidates`` where every term in ``terms`` occurs
+    within one token window of size ``window`` (unordered proximity —
+    the NEAR/w operator the positions sidecar enables beyond exact
+    phrases). Same candidate-range-pruned decode as the phrase verify;
+    the per-doc check is the shared minimal-window sweep
+    (near_window_match)."""
+    if not terms or len(candidates) == 0:
+        return np.asarray([], dtype=np.int64)
+    candidates = np.sort(np.asarray(candidates, dtype=np.int64))
+    ordinal = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+    decoded = _decode_candidate_positions(spark, vdir, ordinal, candidates)
+    n_terms = len(ordinal)
+    win = int(window)
+
+    def verify_group(pdf):
+        doc = int(pdf["doc_id"].iloc[0])
+        by_oi = {
+            int(oi): g["pos"].to_numpy(np.int64)
+            for oi, g in pdf.groupby("oi")
+        }
+        if len(by_oi) < n_terms:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        if near_window_match(
+            [by_oi[i] for i in range(n_terms)], win
+        ):
+            return pd.DataFrame({"doc_id": [doc]})
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+
     matched = (
         decoded.groupBy("doc_id")
         .applyInPandas(verify_group, schema="doc_id long")

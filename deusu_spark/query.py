@@ -673,6 +673,51 @@ class SearchEngine:
                 return verified[:k]
             fetch *= 4
 
+    def search_near(
+        self,
+        query: str,
+        k: int = 10,
+        window: int = 8,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Unordered proximity top-k (NEAR/w): docs where EVERY indexable
+        query term occurs within one ``window``-token span, scored with
+        the plain AND scores — the proximity operator the positions
+        sidecar enables beyond exact phrases (same retrieve → verify →
+        page loop as search_phrase; window = phrase length degenerates
+        toward adjacency but unordered)."""
+        from .positions import (
+            has_positions,
+            phrase_pattern,
+            verify_near_docs,
+        )
+
+        if not has_positions(self.vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        terms = [t for _, t in phrase_pattern(query)]
+        if not terms:
+            return []
+        if len(set(terms)) == 1:
+            return self.search(terms[0], k=k, weights=weights)
+        qstr = " ".join(terms)
+        fetch = max(4 * k, 64)
+        verified: list[tuple[int, int]] = []
+        while True:
+            rows = self.search(qstr, k=fetch, weights=weights)
+            cand = np.asarray([d for d, _ in rows], dtype=np.int64)
+            ok = set(
+                verify_near_docs(
+                    self.spark, self.vdir, terms, window, cand
+                ).tolist()
+            )
+            verified = [(d, s) for d, s in rows if d in ok]
+            if len(verified) >= k or len(rows) < fetch:
+                return verified[:k]
+            fetch *= 4
+
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         """Q15 (ShowLink, searchservernew.dpr:1166-1204): join the engine's
         (doc_id, score) rows back to display fields as rerank.ResultRow

@@ -332,21 +332,20 @@ class LocalSearcher:
                 return verified[:k]
             fetch *= 4
 
-    def _phrase_verify(
-        self, pattern: list[tuple[int, str]], cand: np.ndarray
-    ) -> set[int]:
-        """Docs among sorted ``cand`` containing the phrase, decoded from
-        only the positions segments overlapping the candidate range."""
+    def _candidate_positions(
+        self, terms: set[str], cand: np.ndarray
+    ) -> dict[str, dict[int, np.ndarray]]:
+        """term → {candidate doc → positions}, decoded from only the
+        positions segments overlapping the candidate range (shared by
+        the phrase and NEAR verifiers)."""
         from . import poscodec
 
-        if len(cand) == 0:
-            return set()
         pos_ds = pads.dataset(
             os.path.join(self.vdir, "positions"), partitioning="hive"
         )
         lo, hi = int(cand[0]), int(cand[-1])
         term_pos: dict[str, dict[int, np.ndarray]] = {}
-        for t in {t for _, t in pattern}:
+        for t in terms:
             tbl = pos_ds.to_table(
                 filter=(pads.field("bucket") == crc32(t) % 64)
                 & (pads.field("term") == t)
@@ -368,6 +367,15 @@ class LocalSearcher:
                 for di in np.flatnonzero(hit):
                     per[int(d[di])] = p[cstarts[di] : cstarts[di + 1]]
             term_pos[t] = per
+        return term_pos
+
+    def _phrase_verify(
+        self, pattern: list[tuple[int, str]], cand: np.ndarray
+    ) -> set[int]:
+        """Docs among sorted ``cand`` containing the phrase."""
+        if len(cand) == 0:
+            return set()
+        term_pos = self._candidate_positions({t for _, t in pattern}, cand)
         out: set[int] = set()
         for doc in cand.tolist():
             starts = None
@@ -385,6 +393,52 @@ class LocalSearcher:
             if okdoc and starts is not None and len(starts):
                 out.add(doc)
         return out
+
+    def search_near(
+        self,
+        query: str,
+        k: int = 10,
+        window: int = 8,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Serving-tier unordered proximity top-k (NEAR/w) — the exact
+        twin of SearchEngine.search_near: plain AND scores, verified by
+        the shared minimal-window sweep (positions.near_window_match)."""
+        from .positions import (
+            has_positions,
+            near_window_match,
+            phrase_pattern,
+        )
+
+        if not has_positions(self.vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        terms = [t for _, t in phrase_pattern(query)]
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if len(uniq) == 1:
+            return self.search(uniq[0], k=k, weights=weights)
+        qstr = " ".join(terms)
+        fetch = max(4 * k, 64)
+        while True:
+            rows = self.search(qstr, k=fetch, weights=weights)
+            cand = np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
+            ok: set[int] = set()
+            if len(cand):
+                term_pos = self._candidate_positions(set(uniq), cand)
+                for doc in cand.tolist():
+                    lists = [term_pos[t].get(doc) for t in uniq]
+                    if any(p is None for p in lists):
+                        continue
+                    if near_window_match(lists, int(window)):
+                        ok.add(doc)
+            verified = [(d, s) for d, s in rows if d in ok]
+            if len(verified) >= k or len(rows) < fetch:
+                return verified[:k]
+            fetch *= 4
 
     def search_many(
         self,

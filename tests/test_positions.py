@@ -214,3 +214,79 @@ def test_phrase_serving_matches_distributed(spark, pos_index):
         a = eng.search_phrase(phrase, k=50)
         b = ls.search_phrase(phrase, k=50)
         assert list(a) == list(b), phrase
+
+
+def _text_near_verify(
+    phrase: str, window: int, rows_by_doc: dict[int, str]
+) -> set[int]:
+    """Oracle: unordered within-window co-occurrence over the folded body
+    token stream — brute force over all position combinations."""
+    from itertools import product
+
+    terms = [t for _, t in posmod.phrase_pattern(phrase)]
+    uniq = list(dict.fromkeys(terms))
+    out = set()
+    for doc, text in rows_by_doc.items():
+        toks = body_tokens(fold(text))
+        pls = []
+        for t in uniq:
+            p = [i for i, tok in enumerate(toks) if tok == t]
+            if not p:
+                pls = None
+                break
+            pls.append(p)
+        if pls is None:
+            continue
+        for combo in product(*pls):
+            if max(combo) - min(combo) < window:
+                out.add(doc)
+                break
+    return out
+
+
+def test_near_matches_brute_force_oracle(spark, pos_index):
+    eng, doc_text = pos_index
+    import os
+
+    from deusu_spark.query_local import LocalSearcher
+
+    ls = LocalSearcher(os.path.dirname(eng.vdir))
+    cases = [
+        ("quick fox", 3),      # within 3 tokens, any order
+        ("quick fox", 2),
+        ("fox dog", 5),
+        ("fox dog", 50),
+        ("kernel linux", 2),   # unordered: reversed adjacency matches
+        ("linux kernel", 3),
+        ("muenchen gross", 4),
+        ("nosuch fox", 5),
+    ]
+    for phrase, w in cases:
+        want = _text_near_verify(phrase, w, doc_text)
+        got_d = {d for d, _ in eng.search_near(phrase, k=50, window=w)}
+        got_s = {d for d, _ in ls.search_near(phrase, k=50, window=w)}
+        assert got_d == want, (phrase, w, "distributed")
+        assert got_s == want, (phrase, w, "serving")
+
+
+def test_near_unordered_vs_phrase_ordered(spark, pos_index):
+    """NEAR/2 of 'kernel linux' matches BOTH orders; the phrase matches
+    only the literal order."""
+    eng, doc_text = pos_index
+    near = {d for d, _ in eng.search_near("kernel linux", k=50, window=2)}
+    fwd = {d for d, _ in eng.search_phrase("linux kernel", k=50)}
+    rev = {d for d, _ in eng.search_phrase("kernel linux", k=50)}
+    assert near == fwd | rev
+    assert near == _text_near_verify("kernel linux", 2, doc_text)
+
+
+def test_near_window_match_unit():
+    """The shared sweep: minimal-window semantics on hand cases."""
+    nm = posmod.near_window_match
+    assert nm([np.array([0]), np.array([1])], 2)
+    assert not nm([np.array([0]), np.array([2])], 2)
+    assert nm([np.array([0, 10]), np.array([12]), np.array([11])], 3)
+    assert not nm([np.array([0, 10]), np.array([14]), np.array([11])], 3)
+    assert not nm([np.array([0]), np.array([], dtype=np.int64)], 99)
+    assert nm([np.array([5])], 1)
+    assert not nm([], 5)
