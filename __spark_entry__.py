@@ -6816,6 +6816,31 @@ def _phrase_positions_sql() -> str:
     """
 
 
+def _near_positions_sql() -> str:
+    from deusu_spark.pipelines import NEAR_POS, NEAR_WINDOW
+
+    return f"""
+        WITH a AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '') AS a
+                   FROM documents),
+             tok AS (SELECT doc_id, i - 1 AS p, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM a)),
+             t0 AS (SELECT doc_id, p AS p0 FROM tok
+                    WHERE t = '{NEAR_POS[0]}'),
+             t1 AS (SELECT doc_id, p AS p1 FROM tok
+                    WHERE t = '{NEAR_POS[1]}'),
+             spans AS (SELECT doc_id,
+                              CAST(abs(p0 - p1) AS BIGINT) AS span
+                       FROM t0 JOIN t1 USING (doc_id)
+                       WHERE abs(p0 - p1) < {NEAR_WINDOW})
+        SELECT doc_id, count(*) AS n_pairs, min(span) AS min_span
+        FROM spans GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -8087,6 +8112,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_split": _gini_split_sql(),
         "srm_check": _srm_check_sql(),
         "phrase_positions": _phrase_positions_sql(),
+        "near_positions": _near_positions_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

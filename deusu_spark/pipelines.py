@@ -15645,6 +15645,47 @@ def q_phrase_positions(spark, sf_dir):
     )
 
 
+NEAR_POS = ("customer", "join")  # proximity pair
+NEAR_WINDOW = 6  # token window (inclusive span < window)
+
+
+def q_near_positions(spark, sf_dir):
+    """Unordered NEAR/w proximity over the documents table — the
+    relational twin of SearchEngine.search_near (positions.py): token
+    positions from ONE posexplode, then a per-doc position join keeping
+    pairs with |p0 − p1| < window. The join fan-out is bounded by the
+    PER-DOC occurrence counts of the two terms (a handful each), never
+    the corpus; per matching doc: pair count and minimal span. Order
+    does not matter, unlike q_phrase_positions."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    toks = d.select("doc_id", F.posexplode(arr).alias("p", "t"))
+    t0 = toks.where(F.col("t") == NEAR_POS[0]).select(
+        "doc_id", F.col("p").alias("p0")
+    )
+    t1 = toks.where(F.col("t") == NEAR_POS[1]).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    spans = (
+        t0.join(t1, "doc_id")
+        .select(
+            "doc_id",
+            F.abs(F.col("p0") - F.col("p1")).cast("long").alias("span"),
+        )
+        .where(F.col("span") < NEAR_WINDOW)
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("span").alias("min_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15947,4 +15988,5 @@ QUERIES = {
     "gini_split": q_gini_split,
     "srm_check": q_srm_check,
     "phrase_positions": q_phrase_positions,
+    "near_positions": q_near_positions,
 }

@@ -44,3 +44,26 @@ def test_phrase_positions_no_eval_python(spark):
     d = _docs_dir(["table hash"])
     plan = pipelines.q_phrase_positions(spark, d)._jdf.queryExecution()
     assert "EvalPython" not in plan.executedPlan().toString()
+
+
+def test_near_positions_constructed(spark):
+    texts = [
+        "customer join now",            # 0: span 1 -> 1 pair
+        "customer a b c d e join",      # 1: span 6 -> outside window
+        "join x customer y join",       # 2: spans 2 and 2 -> 2 pairs
+        "customer only",                # 3
+        "join only",                    # 4
+        "customer a join b customer",   # 5: pairs (0,2),(2,4): spans 2,2
+    ]
+    d = _docs_dir(texts)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_span"])
+        for r in pipelines.q_near_positions(spark, d).collect()
+    }
+    assert got == {0: (1, 1), 2: (2, 2), 5: (2, 2)}
+
+
+def test_near_positions_no_eval_python(spark):
+    d = _docs_dir(["customer join"])
+    plan = pipelines.q_near_positions(spark, d)._jdf.queryExecution()
+    assert "EvalPython" not in plan.executedPlan().toString()
