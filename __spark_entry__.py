@@ -5074,32 +5074,53 @@ def _em_gmm_sql() -> str:
             f" / ({sd} * {_SQRT_2PI})"
         )
 
+    from deusu_spark.pipelines import _EM_EPS
+
+    eps = repr(_EM_EPS)
     ctes = [
         "xs AS MATERIALIZED (SELECT ln(o_totalprice) AS x FROM orders)",
         """base AS (SELECT count(*) * 1.0 AS n, avg(x) AS m,
                            stddev_pop(x) AS s, sum(x) AS sx,
                            sum(x * x) AS sxx
                     FROM xs)""",
-        """p0 AS (SELECT n, sx, sxx, 0.5 AS w1, 0.5 AS w2,
+        """p0 AS (SELECT n, sx, sxx, FALSE AS frozen, 0.5 AS w1, 0.5 AS w2,
                          m - s AS mu1, m + s AS mu2, s AS sd1, s AS sd2
                   FROM base)""",
     ]
     p1, p2 = pdf("mu1", "sd1"), pdf("mu2", "sd2")
     for i in range(1, EM_ROUNDS + 1):
+        # carry the previous round's params through the stat aggregate so
+        # a degenerate round (one component absorbing ~all responsibility)
+        # FREEZES them — the exact mirror of the engine's break-on-collapse
+        # guard (pipelines.q_em_gmm), incl. the variance floor; once frozen
+        # a round stays frozen (the engine exits its loop)
         ctes.append(f"""st{i} AS MATERIALIZED (
             SELECT any_value(n) AS n, any_value(sx) AS sx,
-                   any_value(sxx) AS sxx,
+                   any_value(sxx) AS sxx, any_value(frozen) AS frozen,
+                   any_value(w1) AS w1p, any_value(w2) AS w2p,
+                   any_value(mu1) AS mu1p, any_value(mu2) AS mu2p,
+                   any_value(sd1) AS sd1p, any_value(sd2) AS sd2p,
                    sum(r) AS s0, sum(r * x) AS s1, sum(r * x * x) AS s2
-            FROM (SELECT x, n, sx, sxx,
+            FROM (SELECT x, n, sx, sxx, frozen, w1, w2, mu1, mu2, sd1, sd2,
                          (w2 * {p2}) / (w1 * {p1} + w2 * {p2}) AS r
                   FROM xs, p{i - 1}))""")
-        mu1new = "(sx - s1) / (n - s0)"
-        ctes.append(f"""p{i} AS (SELECT n, sx, sxx,
-                1.0 - s0 / n AS w1, s0 / n AS w2,
-                {mu1new} AS mu1, s1 / s0 AS mu2,
-                sqrt((sxx - s2) / (n - s0) - {mu1new} * {mu1new}) AS sd1,
-                sqrt(s2 / s0 - (s1 / s0) * (s1 / s0)) AS sd2
-                FROM st{i})""")
+        mu1new = "(sx - s1) / d1"
+        ctes.append(f"""p{i} AS (SELECT n, sx, sxx, frz AS frozen,
+                CASE WHEN frz THEN w1p ELSE 1.0 - s0 / n END AS w1,
+                CASE WHEN frz THEN w2p ELSE s0 / n END AS w2,
+                CASE WHEN frz THEN mu1p ELSE {mu1new} END AS mu1,
+                CASE WHEN frz THEN mu2p ELSE s1 / d2 END AS mu2,
+                CASE WHEN frz THEN sd1p ELSE sqrt(greatest(
+                    (sxx - s2) / d1 - {mu1new} * {mu1new}, {eps})) END AS sd1,
+                CASE WHEN frz THEN sd2p ELSE sqrt(greatest(
+                    s2 / d2 - (s1 / d2) * (s1 / d2), {eps})) END AS sd2
+                FROM (SELECT *,
+                        (frozen OR s0 <= {eps} OR n - s0 <= {eps}) AS frz,
+                        CASE WHEN frozen OR s0 <= {eps} OR n - s0 <= {eps}
+                             THEN 1.0 ELSE n - s0 END AS d1,
+                        CASE WHEN frozen OR s0 <= {eps} OR n - s0 <= {eps}
+                             THEN 1.0 ELSE s0 END AS d2
+                      FROM st{i}))""")
     last = f"p{EM_ROUNDS}"
     ctes.append(
         f"ll AS (SELECT sum(ln(w1 * {p1} + w2 * {p2})) AS ll "

@@ -3,9 +3,18 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) + the inverted-index
 engine's build & query throughput on the synthetic transcript corpus.
 
+Every measurement is the MIN over $SPARK_GRAFT_BENCH_TRIALS (default 2)
+INTERLEAVED trials — this host's wall noise is ±2× between identical
+runs (CLAUDE.md / BENCH.md), so single-trial round-over-round deltas are
+weather, not code; interleaving puts every trial pair in the same noise
+window and the per-trial 1-min loadavg is recorded so a reader can judge
+the window.
+
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "engine": {...}}
+   "queries": {name: min_sec, ...}, "sf": ...,
+   "trials": N, "per_trial": {name: [sec, ...]},
+   "loadavg_per_trial": [l1, ...], "engine": {...}}
 """
 
 from __future__ import annotations
@@ -51,33 +60,17 @@ ENGINE_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
-    spark = get_spark(app="deusu-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _engine_trial(spark, sdf, n_convs: int) -> tuple[dict, dict]:
+    """One full engine trial: fresh build + fresh-engine query paths.
+    Returns (times, stats) for this trial."""
+    from deusu_spark.build import build_index
+    from deusu_spark.query import SearchEngine
+    from deusu_spark.query_local import LocalSearcher, ShardedSearcher
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = pipelines.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 3)
-
-    # ---- engine: build + query throughput on the synthetic corpus ----------
-    engine_stats: dict = {}
+    stats: dict = {}
+    idx_dir = tempfile.mkdtemp(prefix="deusu_bench_idx_")
     try:
-        from deusu_spark.build import build_index
-        from deusu_spark.query import SearchEngine
-
-        corpus_path = os.path.join(
-            tempfile.gettempdir(), f"deusu_bench_corpus_{n_convs}.parquet"
-        )
-        if not os.path.exists(corpus_path):
-            synth.write_parquet(synth.gen_transcripts(n_convs), corpus_path)
-        sdf = spark.read.parquet(corpus_path)
-        idx_dir = tempfile.mkdtemp(prefix="deusu_bench_idx_")
         t0 = time.time()
         metrics = build_index(
             spark,
@@ -88,10 +81,10 @@ def main() -> None:
         )
         build_s = time.time() - t0
         times["fts_build"] = round(build_s, 3)
-        engine_stats["n_docs"] = metrics["n_docs"]
-        engine_stats["n_postings"] = metrics["n_postings"]
-        engine_stats["postings_per_s"] = round(metrics["n_postings"] / build_s, 1)
-        engine_stats["compressed_bytes"] = metrics["compressed_bytes"]
+        stats["n_docs"] = metrics["n_docs"]
+        stats["n_postings"] = metrics["n_postings"]
+        stats["postings_per_s"] = round(metrics["n_postings"] / build_s, 1)
+        stats["compressed_bytes"] = metrics["compressed_bytes"]
 
         # distributed (batch) query path: search_many amortizes the whole
         # set into one metadata job + one union plan per pass — the
@@ -101,16 +94,14 @@ def main() -> None:
         eng.search_many(ENGINE_QUERIES[:4], k=10)
         qs = time.time() - t0
         times["fts_query_distributed"] = round(qs, 3)
-        engine_stats["queries_per_s_distributed"] = round(4 / qs, 3)
+        stats["queries_per_s_distributed"] = round(4 / qs, 3)
         # single-query latency on the same path (the old per-query loop)
         t0 = time.time()
         eng.search(ENGINE_QUERIES[0], k=10)
-        engine_stats["single_query_s_distributed"] = round(time.time() - t0, 3)
+        stats["single_query_s_distributed"] = round(time.time() - t0, 3)
 
         # serving path (LocalSearcher = the searchservernew analog:
         # numpy sidecars + pyarrow segment reads, no Spark jobs per query)
-        from deusu_spark.query_local import LocalSearcher
-
         ls = LocalSearcher(idx_dir)
         # warm lexicon/segment caches with a query OUTSIDE the measured set
         # (warming with a headline query would seed the Q14 result cache and
@@ -130,28 +121,80 @@ def main() -> None:
                 ls.search(q, k=10)
         warm_s = time.time() - t0
         times["fts_query_serving"] = round(cold_s, 3)
-        engine_stats["queries_per_s_serving_cold"] = round(
+        stats["queries_per_s_serving_cold"] = round(
             len(ENGINE_QUERIES) / cold_s, 3
         )
-        engine_stats["queries_per_s_serving_cached"] = round(
+        stats["queries_per_s_serving_cached"] = round(
             reps * len(ENGINE_QUERIES) / warm_s, 1
         )
 
         # sharded serving tier: 2 doc-range shards, parallel thread-pool
         # fan-out, cold caches (fresh searcher) — the beyond-one-node shape
-        from deusu_spark.query_local import ShardedSearcher
-
         sh = ShardedSearcher(idx_dir, n_shards=2)
         sh.search("w4999", k=10)
         t0 = time.time()
         for q in ENGINE_QUERIES:
             sh.search(q, k=10)
-        engine_stats["queries_per_s_serving_sharded2"] = round(
+        stats["queries_per_s_serving_sharded2"] = round(
             len(ENGINE_QUERIES) / (time.time() - t0), 3
         )
+    finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-    except Exception as e:  # keep the bench line emitting even on failure
-        engine_stats["error"] = repr(e)
+    return times, stats
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    spark = get_spark(app="deusu-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"deusu_bench_corpus_{n_convs}.parquet"
+    )
+    if not os.path.exists(corpus_path):
+        synth.write_parquet(synth.gen_transcripts(n_convs), corpus_path)
+    sdf = spark.read.parquet(corpus_path)
+
+    per_trial: dict[str, list[float]] = {}
+    loads: list[float] = []
+    engine_stats_trials: list[dict] = []
+    engine_error: str | None = None
+    for _tr in range(n_trials):
+        loads.append(round(os.getloadavg()[0], 2))
+        for name in HEADLINE:
+            fn = pipelines.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            per_trial.setdefault(name, []).append(
+                round(time.time() - t0, 3)
+            )
+        # engine build + query paths, fresh index/engines per trial so
+        # every trial measures the same cold state
+        try:
+            etimes, estats = _engine_trial(spark, sdf, n_convs)
+            for name, s in etimes.items():
+                per_trial.setdefault(name, []).append(s)
+            engine_stats_trials.append(estats)
+        except Exception as e:  # keep the bench line emitting even on failure
+            engine_error = repr(e)
+
+    times = {name: min(ts) for name, ts in per_trial.items()}
+    # engine stats from the best (min build wall) trial; throughput fields
+    # take the max across trials (min time) per field
+    engine_stats: dict = {}
+    if engine_stats_trials:
+        engine_stats = dict(engine_stats_trials[0])
+        for st in engine_stats_trials[1:]:
+            for k, v in st.items():
+                if k.endswith("_per_s") or k.startswith("queries_per_s"):
+                    engine_stats[k] = max(engine_stats[k], v)
+                elif k.startswith("single_query"):
+                    engine_stats[k] = min(engine_stats[k], v)
+    if engine_error is not None:
+        engine_stats["error"] = engine_error
 
     total = round(sum(times.values()), 3)
     print(
@@ -162,10 +205,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "engine": engine_stats,
+                "trials": n_trials,
+                "per_trial": per_trial,
                 # host-noise context: this sandbox has noisy neighbors with
-                # ±2-3x wall swings (BENCH.md); 1/5/15-min load averages let
-                # a reader judge the window this line was measured in
+                # ±2-3x wall swings (BENCH.md); the per-trial 1-min load
+                # average is the window signal for each trial
+                "loadavg_per_trial": loads,
+                "engine": engine_stats,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
@@ -174,3 +220,5 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+

@@ -1360,7 +1360,8 @@ def build_index(
 
         t0 = time.time()
         pres = build_positions(
-            spark, transcripts, out_dir, version=version, seg_size=seg_size
+            spark, transcripts, out_dir, version=version,
+            seg_size=seg_size, io=io,
         )
         lin.record(
             "positions",

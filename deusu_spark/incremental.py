@@ -116,6 +116,32 @@ def incremental_update(
     with open(os.path.join(vdir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
+    # positions sidecar: EXTEND it with the delta batch's segments (delta
+    # doc ids sort after all old ids, so per-term segment doc-range
+    # disjointness holds). Without this step the linked sidecar would be
+    # stale for the appended docs — has_positions' n_docs stamp would then
+    # read it as absent, so phrase/NEAR can never silently miss new docs.
+    from . import positions as posmod
+
+    if posmod.has_positions(old_vdir):
+        _link_tree(
+            os.path.join(old_vdir, "positions"),
+            os.path.join(vdir, "positions"),
+        )
+        with open(
+            os.path.join(old_vdir, "positions", "_POSMETA.json")
+        ) as f:
+            old_pm = json.load(f)
+        posmod.build_positions(
+            spark,
+            new_transcripts,
+            out_dir,
+            version=version,
+            seg_size=int(old_pm.get("seg_size", old_meta["seg_size"])),
+            n_salts=int(old_pm.get("n_salts", 8)),
+            append=True,
+        )
+
     lin = Lineage(os.path.join(vdir, "_lineage.jsonl"))
     lin.record(
         "publish",
@@ -164,6 +190,16 @@ def delete_conversations(
         src = os.path.join(old_vdir, f_)
         if os.path.exists(src):
             os.link(src, os.path.join(vdir, f_))
+    # positions sidecar stays VALID across a takedown (doc ids and n_docs
+    # unchanged; candidates are tombstone-masked before any verify), so
+    # link it — phrase/NEAR keep working on the tombstoned version
+    from . import positions as posmod
+
+    if posmod.has_positions(old_vdir):
+        _link_tree(
+            os.path.join(old_vdir, "positions"),
+            os.path.join(vdir, "positions"),
+        )
 
     # resolve conversations -> doc_ids via docmeta (host == conversation)
     new_tomb = (
@@ -342,7 +378,6 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         os.link(
             os.path.join(old_vdir, "info.txt"), os.path.join(vdir, "info.txt")
         )
-
     new_stats = (
         spark.read.parquet(os.path.join(vdir, "postings"))
         .agg(
@@ -359,6 +394,18 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     with open(os.path.join(vdir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
+    # positions sidecar: doc ids/n_docs are untouched by compaction (a
+    # linked-verbatim sidecar would stay valid), but appends fragment it
+    # like the postings — re-segment it through the same decode→re-encode
+    # pass (no re-tokenization; phrase/NEAR answers identical, tested)
+    from . import positions as posmod
+
+    pos_segments = None
+    if posmod.has_positions(old_vdir):
+        pos_segments = posmod.compact_positions(spark, old_vdir, vdir)[
+            "n_segments"
+        ]
+
     metrics = {
         "version": version,
         "segments_before": int(old_stats["segments"]),
@@ -366,6 +413,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         "bytes_before": int(old_stats["bytes"]),
         "bytes_after": int(new_stats["bytes"]),
         "n_hot_terms": len(hot_terms),
+        "positions_segments": pos_segments,
         "wall_s": round(time.time() - t_start, 3),
     }
     lin.record("compact", **metrics)

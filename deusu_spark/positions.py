@@ -16,12 +16,19 @@ groups of one term can never interleave — segment ranges are globally
 disjoint per term by construction (no analog of the hash-salt split
 hazard in CLAUDE.md).
 
-The sidecar currently writes through the parquet backend directly (not
-the TableIO seam): it is an optional, independently-rebuildable sidecar
-keyed to one published version dir, so the atomic-publish story is the
-version dir itself; an Iceberg-backed variant would register it as one
-more bucketed table under the same snapshot (tableio.py's transform
-caveats apply unchanged).
+The sidecar writes through the TableIO seam like the other published
+tables (identity-partitioned on the engine's crc32 bucket column — the
+same transform caveat as the postings, tableio.py:100-106), so an
+Iceberg deployment snapshots it alongside postings/lexicon. _POSMETA.json
+stamps the n_docs the sidecar was built against; has_positions() treats
+any mismatch with the version's meta.json as ABSENT — a sidecar carried
+across an append without its delta extension (or into a doc-id-rebasing
+merge) can therefore never silently drop matching new docs, it just
+isn't there until extended/rebuilt. incremental_update extends it with a
+delta-only append (delta doc ids all sort after old ones, so segment
+doc-range disjointness per term holds by construction); tombstone and
+compaction versions link it unchanged (doc ids and n_docs are
+unchanged, and candidates are already tombstone-masked upstream).
 
 Positions are RAW body-token indices (before the fill-word filter), so
 adjacency reflects the original token stream: in "linux the kernel" the
@@ -64,12 +71,23 @@ def build_positions(
     version: str | None = None,
     seg_size: int = 4096,
     n_salts: int = 8,
+    io=None,
+    append: bool = False,
 ) -> dict:
     """Build the positions sidecar for an already-published index version.
 
     Reads doc ids from the published docmeta (join on url, the stable
     (conv_id, turn_idx) key), re-derives the body token stream with the
-    SAME fold + regex as the build, and writes ``<vdir>/positions/``.
+    SAME fold + regex as the build, and writes ``<vdir>/positions/``
+    through the TableIO seam (``io``).
+
+    ``append=True`` extends an existing sidecar with segments for ONLY
+    the docs ``transcripts`` resolves to (incremental_update passes the
+    delta batch): delta doc ids are all greater than every old doc id,
+    so the new segments are doc-range-disjoint from the linked old ones
+    per term by construction. _POSMETA.json is rewritten either way with
+    the version's CURRENT n_docs — the staleness stamp has_positions()
+    checks.
 
     One wide shuffle sized by (bucket, salt): tokens repartition on the
     (term-bucket, contiguous-doc-range-salt) pair and sort within
@@ -78,12 +96,15 @@ def build_positions(
     knob at scale, exactly like the postings build."""
     from .build import current_index_dir
     from .colfns import fold_col, not_fill
+    from .tableio import TableIO
+
+    io = io or TableIO(spark)
 
     vdir = current_index_dir(index_root, version)
     with open(os.path.join(vdir, "meta.json")) as f:
         n_docs = int(json.load(f)["n_docs"])
 
-    docmeta = spark.read.parquet(os.path.join(vdir, "docmeta")).select(
+    docmeta = io.read(os.path.join(vdir, "docmeta")).select(
         "doc_id", "url"
     )
     url = F.concat_ws("/", "conv_id", F.col("turn_idx").cast("string"))
@@ -156,16 +177,128 @@ def build_positions(
         .mapInPandas(encode_part, schema=POS_SCHEMA)
     )
     pos_dir = os.path.join(vdir, "positions")
-    segs.write.mode("overwrite").partitionBy("bucket").parquet(pos_dir)
-    n_segs = spark.read.parquet(pos_dir).count()
-    with open(os.path.join(pos_dir, "_POSMETA.json"), "w") as f:
+    io.write(
+        segs, pos_dir, partition_by=["bucket"],
+        mode="append" if append else "overwrite",
+    )
+    n_segs = io.read(pos_dir).count()
+    # _POSMETA.json lives in the version dir on the filesystem either way
+    # (like meta.json/_lineage.jsonl) — the catalog holds the table data
+    os.makedirs(pos_dir, exist_ok=True)
+    pm_path = os.path.join(pos_dir, "_POSMETA.json")
+    if os.path.exists(pm_path):
+        # may be a hard link shared with an older version's sidecar —
+        # unlink before writing so the rewrite can't truncate history
+        os.remove(pm_path)
+    with open(pm_path, "w") as f:
         json.dump({"seg_size": seg_size, "n_salts": n_salts,
-                   "n_segments": n_segs}, f)
+                   "n_segments": n_segs, "n_docs": n_docs,
+                   "version": os.path.basename(vdir)}, f)
     return {"positions_dir": pos_dir, "n_segments": n_segs}
 
 
 def has_positions(vdir: str) -> bool:
-    return os.path.isfile(os.path.join(vdir, "positions", "_POSMETA.json"))
+    """True only for a sidecar whose n_docs stamp matches the version's
+    meta.json — a sidecar carried into a version it wasn't built/extended
+    for reads as ABSENT (phrase/NEAR raise) rather than silently dropping
+    docs it has no segments for."""
+    pm_path = os.path.join(vdir, "positions", "_POSMETA.json")
+    if not os.path.isfile(pm_path):
+        return False
+    try:
+        with open(pm_path) as f:
+            pm = json.load(f)
+        with open(os.path.join(vdir, "meta.json")) as f:
+            n_docs = int(json.load(f)["n_docs"])
+    except (OSError, ValueError, KeyError):
+        return False
+    return int(pm.get("n_docs", -1)) == n_docs
+
+
+def compact_positions(
+    spark: SparkSession,
+    old_vdir: str,
+    new_vdir: str,
+    io=None,
+) -> dict:
+    """Re-segment a fragmented positions sidecar into ``new_vdir`` WITHOUT
+    re-tokenizing — the sidecar twin of compact_index's postings
+    decode→re-encode. Incremental appends add per-delta segment runs per
+    term (a term touched by every delta accumulates one short run per
+    append); this decodes each term's segments in doc order and re-encodes
+    at the stamped seg_size, exactly what a from-scratch sidecar build
+    would emit. Doc ids and positions are unchanged, so phrase/NEAR
+    answers are identical (tested).
+
+    Scale shape: one (bucket, salt) shuffle of segment ROWS (not token
+    rows — re-encoding merges whole blobs), linear decode+encode per task.
+    Salt-group runs split on salt change, so merged ranges stay globally
+    disjoint per term (group assignment floor(first_doc/range) is monotone
+    in first_doc, making each group a contiguous run of the term's
+    ordered segment list)."""
+    from .tableio import TableIO
+
+    io = io or TableIO(spark)
+    with open(
+        os.path.join(old_vdir, "positions", "_POSMETA.json")
+    ) as f:
+        pm = json.load(f)
+    with open(os.path.join(new_vdir, "meta.json")) as f:
+        n_docs = int(json.load(f)["n_docs"])
+    seg_size = int(pm["seg_size"])
+    n_salts = int(pm.get("n_salts", 8))
+    salt_range = max(1, -(-n_docs // n_salts))
+    tbl = (
+        spark.read.parquet(os.path.join(old_vdir, "positions"))
+        .withColumn(
+            "salt", F.floor(F.col("first_doc") / salt_range).cast("int")
+        )
+    )
+
+    def reencode(iterator):
+        pdf = pd.concat(list(iterator), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        out = {k: [] for k in ("bucket", "term", "first_doc",
+                               "last_doc", "n", "blob")}
+        for (t, _salt), g in pdf.groupby(["term", "salt"], sort=False):
+            ds, cs, ps = [], [], []
+            for blob in g["blob"]:
+                d, c, p = poscodec.decode_positions(bytes(blob))
+                ds.append(d)
+                cs.append(c)
+                ps.append(p)
+            d = np.concatenate(ds)
+            c = np.concatenate(cs)
+            p = np.concatenate(ps)
+            cstarts = np.zeros(len(d) + 1, dtype=np.int64)
+            np.cumsum(c, out=cstarts[1:])
+            for s0 in range(0, len(d), seg_size):
+                s1 = min(s0 + seg_size, len(d))
+                blob = poscodec.encode_positions(
+                    d[s0:s1], c[s0:s1], p[cstarts[s0]:cstarts[s1]]
+                )
+                out["bucket"].append(_crc(t) % 64)
+                out["term"].append(t)
+                out["first_doc"].append(int(d[s0]))
+                out["last_doc"].append(int(d[s1 - 1]))
+                out["n"].append(int(s1 - s0))
+                out["blob"].append(blob)
+        yield pd.DataFrame(out)
+
+    segs = (
+        tbl.repartition(F.col("bucket"), F.col("salt"))
+        .sortWithinPartitions("term", "salt", "first_doc")
+        .mapInPandas(reencode, schema=POS_SCHEMA)
+    )
+    pos_dir = os.path.join(new_vdir, "positions")
+    io.write(segs, pos_dir, partition_by=["bucket"], mode="overwrite")
+    n_segs = spark.read.parquet(pos_dir).count()
+    with open(os.path.join(pos_dir, "_POSMETA.json"), "w") as f:
+        json.dump({"seg_size": seg_size, "n_salts": n_salts,
+                   "n_segments": n_segs, "n_docs": n_docs,
+                   "version": os.path.basename(new_vdir)}, f)
+    return {"positions_dir": pos_dir, "n_segments": n_segs}
 
 
 def phrase_pattern(phrase: str) -> list[tuple[int, str]]:
@@ -238,12 +371,17 @@ def _decode_candidate_positions(
     vdir: str,
     ordinal: dict[str, int],
     candidates: np.ndarray,
+    io=None,
 ):
     """(oi, doc_id, pos) rows for the given terms restricted to the
     candidate docs: scan only the terms' segments overlapping the
     candidates' doc ranges (pushed-down predicates), decode per segment,
     keep candidate docs only. Shared by the phrase and NEAR verifiers."""
-    pos_tbl = spark.read.parquet(os.path.join(vdir, "positions"))
+    if io is None:
+        from .tableio import TableIO
+
+        io = TableIO(spark)
+    pos_tbl = io.read(os.path.join(vdir, "positions"))
     ivs = _candidate_intervals(candidates)
     rng = " OR ".join(
         f"(first_doc <= {hi} AND last_doc >= {lo})" for lo, hi in ivs
@@ -299,6 +437,7 @@ def verify_phrase_docs(
     vdir: str,
     pattern: list[tuple[int, str]],
     candidates: np.ndarray,
+    io=None,
 ) -> np.ndarray:
     """Doc ids among ``candidates`` that contain the phrase, verified
     from the positions sidecar: candidate-range-pruned decode, then a
@@ -310,7 +449,9 @@ def verify_phrase_docs(
     ordinal: dict[str, int] = {}
     for oi, (_, t) in enumerate(pattern):
         ordinal.setdefault(t, oi)  # duplicate terms share one decode
-    decoded = _decode_candidate_positions(spark, vdir, ordinal, candidates)
+    decoded = _decode_candidate_positions(
+        spark, vdir, ordinal, candidates, io=io
+    )
     offsets = [off for off, _ in pattern]
     pat_oi = [ordinal[t] for _, t in pattern]
 
@@ -345,6 +486,7 @@ def verify_near_docs(
     terms: list[str],
     window: int,
     candidates: np.ndarray,
+    io=None,
 ) -> np.ndarray:
     """Doc ids among ``candidates`` where every term in ``terms`` occurs
     within one token window of size ``window`` (unordered proximity —
@@ -356,7 +498,9 @@ def verify_near_docs(
         return np.asarray([], dtype=np.int64)
     candidates = np.sort(np.asarray(candidates, dtype=np.int64))
     ordinal = {t: i for i, t in enumerate(dict.fromkeys(terms))}
-    decoded = _decode_candidate_positions(spark, vdir, ordinal, candidates)
+    decoded = _decode_candidate_positions(
+        spark, vdir, ordinal, candidates, io=io
+    )
     n_terms = len(ordinal)
     win = int(window)
 

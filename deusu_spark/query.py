@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -156,6 +157,11 @@ class SearchEngine:
         # query costs one metadata job instead of three, zero when warm
         self._term_meta: dict[str, pd.DataFrame] = {}
         self._term_meta_max = 50_000  # bound the driver cache
+        # search_many runs the fancy and full passes on two threads; the
+        # cache dict (incl. its capacity clear()) must not be read between
+        # another thread's fetch and its reads — _fetch_term_meta returns
+        # the requested frames directly and guards all cache mutation
+        self._term_meta_lock = threading.RLock()
         # multi-term WAND pays 2-3 plan executions; below this many
         # intersection-surviving postings a single unpruned pass wins
         self.wand_min_postings = 500_000
@@ -173,8 +179,7 @@ class SearchEngine:
         """df through the same cached term-metadata fetch compile() uses —
         one source of truth (round-2 review: the old lexicon collect was a
         second, cache-bypassing path)."""
-        self._fetch_term_meta([term])
-        sub = self._term_meta.get(term)
+        sub = self._fetch_term_meta([term]).get(term)
         if sub is None or sub.empty:
             return 0
         return int(sub[sub["kind"] == "full"]["n"].sum())
@@ -226,7 +231,7 @@ class SearchEngine:
         scored = sorted(self._suggest_rows(t), key=lambda x: (-x[1], x[0]))
         return [c for c, _ in scored[:k]]
 
-    def _fetch_term_meta(self, keys: list[str]) -> None:
+    def _fetch_term_meta(self, keys: list[str]) -> dict[str, pd.DataFrame]:
         """One bucket/term-pruned metadata job for every unseen key (both
         kinds, no blobs), ALWAYS through the two-level doc-range-block
         aggregation: block size n_docs/4096 means a block row degenerates to
@@ -238,12 +243,19 @@ class SearchEngine:
         pruning, never correctness.
 
         driver_meta_cap=0 is the test hook that forces visibly-coarse
-        blocks even on a tiny corpus (pins granularity-independence)."""
-        missing = sorted(set(keys) - self._term_meta.keys())
+        blocks even on a tiny corpus (pins granularity-independence).
+
+        Returns the requested frames as {key: frame} so concurrent callers
+        never re-read the shared (clearable) cache after releasing the
+        lock; the Spark job itself runs unlocked (two threads fetching
+        disjoint terms overlap; a duplicate fetch is harmless)."""
+        with self._term_meta_lock:
+            out = {
+                k: self._term_meta[k] for k in keys if k in self._term_meta
+            }
+        missing = sorted(set(keys) - out.keys())
         if not missing:
-            return
-        if len(self._term_meta) + len(missing) > self._term_meta_max:
-            self._term_meta.clear()
+            return out
         cond = None
         for t in missing:
             c = (F.col("bucket") == crc32(t) % 64) & (F.col("term") == t)
@@ -267,8 +279,14 @@ class SearchEngine:
             .drop("_b")
             .toPandas()
         )
-        for t in missing:
-            self._term_meta[t] = pdf[pdf["term"] == t].reset_index(drop=True)
+        with self._term_meta_lock:
+            if len(self._term_meta) + len(missing) > self._term_meta_max:
+                self._term_meta.clear()
+            for t in missing:
+                sub = pdf[pdf["term"] == t].reset_index(drop=True)
+                self._term_meta[t] = sub
+                out[t] = sub
+        return out
 
     def compile(self, query: str) -> list[PlanTerm]:
         # prefetch all candidate terms' metadata with ONE pruned job; df
@@ -665,7 +683,7 @@ class SearchEngine:
             cand = np.asarray([d for d, _ in rows], dtype=np.int64)
             ok = set(
                 verify_phrase_docs(
-                    self.spark, self.vdir, pattern, cand
+                    self.spark, self.vdir, pattern, cand, io=self.io
                 ).tolist()
             )
             verified = [(d, s) for d, s in rows if d in ok]
@@ -710,7 +728,7 @@ class SearchEngine:
             cand = np.asarray([d for d, _ in rows], dtype=np.int64)
             ok = set(
                 verify_near_docs(
-                    self.spark, self.vdir, terms, window, cand
+                    self.spark, self.vdir, terms, window, cand, io=self.io
                 ).tolist()
             )
             verified = [(d, s) for d, s in rows if d in ok]
@@ -1022,7 +1040,7 @@ class SearchEngine:
         from the term-metadata cache (populated by compile()'s single
         fetch job); this method itself runs NO Spark job, so the fancy and
         full passes share one metadata read per query."""
-        self._fetch_term_meta(
+        frames = self._fetch_term_meta(
             sorted({t.key for t in terms if t.host is None})
         )
         out = []
@@ -1030,7 +1048,7 @@ class SearchEngine:
             if t.host is not None:
                 continue
             kind = self._kind(t, use_fancy)
-            sub = self._term_meta.get(t.key)
+            sub = frames.get(t.key)
             if sub is None:
                 continue
             s = sub[sub["kind"] == kind].copy()
@@ -1336,6 +1354,17 @@ class SearchEngine:
                             if not len(docs):
                                 continue
                             pos_ = np.searchsorted(ids, docs)
+                            # membership mask: a decoded doc_id absent from
+                            # docmeta must DROP (inner-join semantics of the
+                            # joined path), not alias a neighbor's sidecar row
+                            okm = pos_ < len(ids)
+                            hitm = np.zeros(len(docs), dtype=bool)
+                            hitm[okm] = ids[pos_[okm]] == docs[okm]
+                            if not hitm.all():
+                                docs, flags = docs[hitm], flags[hitm]
+                                pos_ = pos_[hitm]
+                                if not len(docs):
+                                    continue
                             fd = sc["fd"][pos_]
                             he = sc["he"][pos_]
                             rank = sc["rank"][pos_]

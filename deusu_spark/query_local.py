@@ -404,11 +404,7 @@ class LocalSearcher:
         """Serving-tier unordered proximity top-k (NEAR/w) — the exact
         twin of SearchEngine.search_near: plain AND scores, verified by
         the shared minimal-window sweep (positions.near_window_match)."""
-        from .positions import (
-            has_positions,
-            near_window_match,
-            phrase_pattern,
-        )
+        from .positions import has_positions, phrase_pattern
 
         if not has_positions(self.vdir):
             raise RuntimeError(
@@ -426,19 +422,31 @@ class LocalSearcher:
         while True:
             rows = self.search(qstr, k=fetch, weights=weights)
             cand = np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
-            ok: set[int] = set()
-            if len(cand):
-                term_pos = self._candidate_positions(set(uniq), cand)
-                for doc in cand.tolist():
-                    lists = [term_pos[t].get(doc) for t in uniq]
-                    if any(p is None for p in lists):
-                        continue
-                    if near_window_match(lists, int(window)):
-                        ok.add(doc)
+            ok = self._near_verify(uniq, int(window), cand)
             verified = [(d, s) for d, s in rows if d in ok]
             if len(verified) >= k or len(rows) < fetch:
                 return verified[:k]
             fetch *= 4
+
+    def _near_verify(
+        self, uniq: list[str], window: int, cand: np.ndarray
+    ) -> set[int]:
+        """Docs among sorted ``cand`` where every term in ``uniq`` occurs
+        within one ``window``-token span (shared by the single-server and
+        sharded-coordinator NEAR paths)."""
+        from .positions import near_window_match
+
+        ok: set[int] = set()
+        if not len(cand):
+            return ok
+        term_pos = self._candidate_positions(set(uniq), cand)
+        for doc in cand.tolist():
+            lists = [term_pos[t].get(doc) for t in uniq]
+            if any(p is None for p in lists):
+                continue
+            if near_window_match(lists, window):
+                ok.add(doc)
+        return ok
 
     def search_many(
         self,
@@ -699,6 +707,103 @@ class ShardedSearcher:
         return [
             self.search(q, k=k, weights=weights, mode=mode) for q in queries
         ]
+
+    def _verify_sharded(self, cand: np.ndarray, verify_one) -> set[int]:
+        """Fan a sorted candidate array out to its owning shards (contiguous
+        doc ranges) and union the per-shard position verdicts —
+        ``verify_one(shard, shard_cand) -> set[int]``. Each shard verifies
+        only its own range, exactly what separate shard servers (holding
+        only their range's positions segments) would do."""
+        work = []
+        for sh in self.shards:
+            lo = np.searchsorted(cand, sh.doc_lo, side="left")
+            hi = np.searchsorted(cand, sh.doc_hi, side="left")
+            if hi > lo:
+                work.append((sh, cand[lo:hi]))
+        if self._pool is not None and len(work) > 1:
+            parts = list(
+                self._pool.map(lambda a: verify_one(a[0], a[1]), work)
+            )
+        else:
+            parts = [verify_one(sh, c) for sh, c in work]
+        ok: set[int] = set()
+        for p in parts:
+            ok |= p
+        return ok
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Coordinator phrase top-k — rank-identical to
+        LocalSearcher.search_phrase on the same index (CLAUDE.md contract:
+        every semantics addition lands on LocalSearcher AND
+        ShardedSearcher together). Retrieval is the coordinator's own
+        merged search(); verification fans the candidates out to their
+        owning shards and pages fetch ×4 until k survive."""
+        from .positions import has_positions, phrase_pattern
+
+        if not has_positions(self.shards[0].vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        pattern = phrase_pattern(phrase)
+        if not pattern:
+            return []
+        query = " ".join(t for _, t in pattern)
+        if len(pattern) == 1:
+            return self.search(query, k=k, weights=weights)
+        fetch = max(4 * k, 64)
+        while True:
+            rows = self.search(query, k=fetch, weights=weights)
+            cand = np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
+            ok = self._verify_sharded(
+                cand, lambda sh, c: sh._phrase_verify(pattern, c)
+            )
+            verified = [(d, s) for d, s in rows if d in ok]
+            if len(verified) >= k or len(rows) < fetch:
+                return verified[:k]
+            fetch *= 4
+
+    def search_near(
+        self,
+        query: str,
+        k: int = 10,
+        window: int = 8,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Coordinator NEAR/w top-k — rank-identical to
+        LocalSearcher.search_near (same shared minimal-window sweep on the
+        shard owning each candidate; global (score desc, doc_id asc)
+        ordering comes from the coordinator's merged search())."""
+        from .positions import has_positions, phrase_pattern
+
+        if not has_positions(self.shards[0].vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        terms = [t for _, t in phrase_pattern(query)]
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if len(uniq) == 1:
+            return self.search(uniq[0], k=k, weights=weights)
+        qstr = " ".join(terms)
+        fetch = max(4 * k, 64)
+        while True:
+            rows = self.search(qstr, k=fetch, weights=weights)
+            cand = np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
+            ok = self._verify_sharded(
+                cand, lambda sh, c: sh._near_verify(uniq, int(window), c)
+            )
+            verified = [(d, s) for d, s in rows if d in ok]
+            if len(verified) >= k or len(rows) < fetch:
+                return verified[:k]
+            fetch *= 4
 
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         # doc ids are global; any shard's docmeta dataset read resolves them

@@ -226,6 +226,87 @@ def test_snapshot_pinned_read_survives_partition_overwrite(spark, mock_io):
     assert pinned.count() == 100
 
 
+def test_positions_sidecar_through_mock_iceberg(spark, mock_io):
+    """build_index(positions=True) through the iceberg seam: the positions
+    table registers + snapshots in the catalog like postings/lexicon, the
+    n_docs stamp lands in the version dir, and the distributed phrase path
+    reads the sidecar back through the SAME seam (round-4 verdict: a
+    snapshot pin must cover phrase/NEAR too)."""
+    import pandas as pd
+
+    from deusu_spark import positions as posmod
+    from deusu_spark.query import SearchEngine
+
+    io, cat = mock_io
+    d = tempfile.mkdtemp(prefix="deusu_ice_pos_")
+    texts = [
+        ("conv0000", "alpha beta gamma"),
+        ("conv0001", "beta alpha gamma"),
+        ("conv0002", "alpha beta delta"),
+        ("conv0003", "gamma beta alpha"),
+    ]
+    try:
+        sdf = spark.createDataFrame(
+            pd.DataFrame(
+                [(c, 0, "user", t, "") for c, t in texts],
+                columns=["conv_id", "turn_idx", "role", "text", "tool"],
+            )
+        )
+        build_index(
+            spark, sdf, d,
+            fancy_threshold=10**9, seg_size=2, positions=True, io=io,
+        )
+        vdir = current_index_dir(d)
+        ident = io._ident(os.path.join(vdir, "positions"))
+        assert cat.exists(ident)
+        assert cat.snapshots(ident)
+        assert posmod.has_positions(vdir)
+        with open(os.path.join(vdir, "positions", "_POSMETA.json")) as f:
+            assert json.load(f)["n_docs"] == len(texts)
+        eng = SearchEngine(spark, d, io=io)
+        got = {d_ for d_, _ in eng.search_phrase("alpha beta", k=10)}
+        url = {r["url"]: r["doc_id"] for r in
+               eng.docmeta.select("doc_id", "url").collect()}
+        assert got == {url["conv0000/0"], url["conv0002/0"]}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_concurrent_appends_no_lost_updates(spark, mock_io):
+    """Two writers racing appends on one table: commits serialize, BOTH
+    land (no lost updates), snapshot ids stay strictly increasing — the
+    optimistic-concurrency contract appends enjoy on real Iceberg
+    (append commits never conflict on data). A duplicate CREATE race, by
+    contrast, must abort the loser."""
+    io, cat = mock_io
+    base = spark.range(10).withColumn(
+        "bucket", (F.col("id") % 2).cast("int")
+    )
+    io.write(base, "race/t")
+    ident = "mock.deusu.race_t"
+    # interleaved: both writers exist before either commits
+    wa = spark.range(100, 110).withColumn(
+        "bucket", (F.col("id") % 2).cast("int")
+    ).writeTo(ident)
+    wb = spark.range(200, 220).withColumn(
+        "bucket", (F.col("id") % 2).cast("int")
+    ).writeTo(ident)
+    wb.append()
+    wa.append()  # commits against B's newer base — must retry, not clobber
+    back = io.read("race/t")
+    assert back.count() == 40
+    assert back.where("id >= 200").count() == 20
+    assert back.where("id >= 100 and id < 200").count() == 10
+    sids = cat.snapshots(ident)
+    assert sids == sorted(set(sids)) and len(sids) == 3
+
+    # create/create race: second creator aborts, first writer's data stays
+    spark.range(5).writeTo("mock.deusu.race_c").create()
+    with pytest.raises(ValueError):
+        spark.range(7).writeTo("mock.deusu.race_c").create()
+    assert cat.read("mock.deusu.race_c").count() == 5
+
+
 def test_parquet_backend_rejects_snapshot_pin(spark, tmp_path):
     io = TableIO(spark, backend="parquet")
     d = str(tmp_path / "t")
