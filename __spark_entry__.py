@@ -6862,6 +6862,38 @@ def _near_positions_sql() -> str:
     """
 
 
+def _proximity_rank_sql() -> str:
+    from deusu_spark.pipelines import NEAR_POS
+    from deusu_spark.positions import PROXIMITY_SCALE
+
+    return f"""
+        WITH a AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '') AS a
+                   FROM documents),
+             tok AS (SELECT doc_id, i - 1 AS p, a[i] AS t
+                     FROM (SELECT doc_id, a,
+                                  unnest(range(1, len(a) + 1)) AS i
+                           FROM a)),
+             t0 AS (SELECT doc_id, p AS p0 FROM tok
+                    WHERE t = '{NEAR_POS[0]}'),
+             t1 AS (SELECT doc_id, p AS p1 FROM tok
+                    WHERE t = '{NEAR_POS[1]}'),
+             spans AS (SELECT doc_id,
+                              CAST(min(abs(p0 - p1)) AS BIGINT) AS min_dist
+                       FROM t0 JOIN t1 USING (doc_id) GROUP BY doc_id),
+             c0 AS (SELECT doc_id, count(*) AS n0 FROM t0 GROUP BY doc_id),
+             c1 AS (SELECT doc_id, count(*) AS n1 FROM t1 GROUP BY doc_id)
+        SELECT s.doc_id, c0.n0, c1.n1, s.min_dist,
+               CAST({PROXIMITY_SCALE} // s.min_dist AS BIGINT) AS boost,
+               CAST((c0.n0 + c1.n1) * 100
+                    + {PROXIMITY_SCALE} // s.min_dist AS BIGINT)
+                   AS rank_score
+        FROM spans s JOIN c0 USING (doc_id) JOIN c1 USING (doc_id)
+        ORDER BY rank_score DESC, doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
@@ -8134,6 +8166,7 @@ def oracle_sql() -> dict[str, str]:
         "srm_check": _srm_check_sql(),
         "phrase_positions": _phrase_positions_sql(),
         "near_positions": _near_positions_sql(),
+        "proximity_rank": _proximity_rank_sql(),
         "tokenizer_fertility": r"""
             WITH agg AS (SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(

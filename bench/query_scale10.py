@@ -1,0 +1,296 @@
+#!/usr/bin/env python
+"""Round-5 verdict items #1 + #2: the query paths measured ON the 10M-doc
+index (the above-broadcast-cap regime — n_docs > docmeta_broadcast_max_docs,
+so the fused python-sidecar path is OFF and the SMJ/partitioned-docmeta-
+cache path is what runs; this is the 10^12-doc execution shape).
+
+Part A — distributed batch: the 120-query batch (bench/query_scaling.py's
+workload) through ONE search_many plan per pass at local[8]. Round 4
+measured 12.54 qps on the 100k-conv index; the verdict target here is
+>=5 qps at 10M docs. Trial 1 pays the one-time docmeta-cache shuffle
+(the at-scale join layout); trial 2+ show the steady state a long-running
+retrieval pipeline sees. Rank identity is spot-checked vs LocalSearcher.
+
+Part B — serving tier, sharded and warm: ShardedSearcher(4/8/16,
+parallel=True) over a Zipf-mixed 60-query stream:
+  cold      — fresh searcher, first pass (segment reads + varbyte decode)
+  warm      — same terms recombined into NEW queries (decoded-term cache
+              hits, Q14 result cache misses — the honest warm number)
+  cached    — exact repeats (Q14 result-cache qps)
+plus per-shard sidecar RAM vs the 107 B/doc docmeta constant.
+
+Usage:  python bench/query_scale10.py   (needs the kept scale_10m index;
+        run bench/scale_10m.py with SPARK_GRAFT_SCALE10_KEEP=1 first)
+Env:    SPARK_GRAFT_S10_IDX     (index root; default: newest
+                                 /tmp/deusu_scale10_idx_* with a CURRENT)
+        SPARK_GRAFT_S10_CORES   (default 8)
+        SPARK_GRAFT_S10_TRIALS  (default 3 in-process batch trials)
+Writes bench/SCALE10_QUERY.json; merge into SCALE.md / BENCH_QUERY.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from query_scaling import QUERY_BATCH_120  # noqa: E402
+
+HOT = ["linux", "google", "java", "python", "ubuntu", "firefox"]
+
+
+def zipf_stream(n: int = 60) -> list[str]:
+    """Deterministic Zipf-ish query mix: ~half hot-term queries, a long
+    tail of cold wNNNN terms, some hot+cold pairs and NOTs — the shape a
+    live serving box sees."""
+    out = []
+    for i in range(n):
+        r = i % 5
+        if r == 0 or r == 3:
+            out.append(HOT[i % len(HOT)])
+        elif r == 1:
+            out.append(f"w{(i * 83) % 5000:04d}")
+        elif r == 2:
+            out.append(f"{HOT[(i + 2) % len(HOT)]} w{(i * 29) % 3000:04d}")
+        else:
+            out.append(f"{HOT[i % len(HOT)]} -{HOT[(i + 3) % len(HOT)]}")
+    return out
+
+
+def warm_stream(n: int = 60) -> list[str]:
+    """NEW query strings over the SAME term population as zipf_stream —
+    decoded-term cache hits, Q14 result-cache misses."""
+    out = []
+    for i in range(n):
+        r = i % 5
+        if r == 0 or r == 3:
+            out.append(f"{HOT[i % len(HOT)]} {HOT[(i + 1) % len(HOT)]}")
+        elif r == 1:
+            out.append(f"w{(i * 83) % 5000:04d} {HOT[i % len(HOT)]}")
+        elif r == 2:
+            out.append(f"w{(i * 29) % 3000:04d} -{HOT[(i + 2) % len(HOT)]}")
+        else:
+            out.append(f"{HOT[(i + 3) % len(HOT)]} w{(i * 83) % 5000:04d}")
+    return out
+
+
+def batch480() -> list[str]:
+    """4 deterministic variants of the 120-query mix — the amortization
+    probe: per-query marginal cost at 10M docs is ~0.19 s, so bigger
+    batches approach the ~5 qps marginal rate (the 'millions of queries'
+    workload runs at the asymptote, not the 120-batch point)."""
+    out = []
+    for j in range(480):
+        i = j % 120
+        v = j // 120
+        r = i % 6
+        if r == 0:
+            out.append(HOT[(i + v) % 5])
+        elif r == 1:
+            out.append(f"w{(i * 37 + v * 613) % 5000:04d}")
+        elif r == 2:
+            out.append(
+                f"{HOT[(i + 1 + v) % 5]} w{(i * 13 + v * 401) % 3000:04d}"
+            )
+        elif r == 3:
+            out.append(f"{HOT[(i + v) % 5]} -{HOT[(i + 2 + v) % 5]}")
+        elif r == 4:
+            out.append(
+                f"w{(i * 7 + v * 211) % 2000:04d} "
+                f"w{(i * 11 + v * 977) % 2000:04d}"
+            )
+        else:
+            out.append(f"intitle:assistant {HOT[(i + v) % 5]}")
+    return out
+
+
+def find_index() -> str:
+    env = os.environ.get("SPARK_GRAFT_S10_IDX")
+    if env:
+        return env
+    cands = sorted(
+        (
+            p
+            for p in glob.glob("/tmp/deusu_scale10_idx_*")
+            if os.path.exists(os.path.join(p, "CURRENT"))
+        ),
+        key=os.path.getmtime,
+    )
+    if not cands:
+        raise SystemExit(
+            "no kept scale-10m index; run bench/scale_10m.py with "
+            "SPARK_GRAFT_SCALE10_KEEP=1 first"
+        )
+    return cands[-1]
+
+
+def shard_ram_bytes(shard) -> int:
+    """Per-shard driver RAM: the sidecar arrays + host index (the only
+    O(n_docs/S) state a serving shard holds)."""
+    n = sum(
+        a.nbytes
+        for a in (shard.fd, shard.he, shard.rank, shard.backlinks, shard.dl)
+    )
+    n += sum(v.nbytes for v in shard._host_docs.values())
+    return n
+
+
+def main() -> None:
+    idx = find_index()
+    cores = int(os.environ.get("SPARK_GRAFT_S10_CORES", "8"))
+    trials = int(os.environ.get("SPARK_GRAFT_S10_TRIALS", "3"))
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+
+    from deusu_spark.build import current_index_dir
+    from deusu_spark.query import SearchEngine
+    from deusu_spark.query_local import LocalSearcher, ShardedSearcher
+    from deusu_spark.session import get_spark
+
+    with open(os.path.join(current_index_dir(idx), "meta.json")) as f:
+        meta = json.load(f)
+    result: dict = {
+        "index": idx,
+        "n_docs": meta["n_docs"],
+        "n_postings": meta["n_postings"],
+        "cores": cores,
+        "loadavg_start": round(os.getloadavg()[0], 2),
+    }
+
+    spark = get_spark(
+        app=f"deusu-s10q-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 8, 64),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- Part A: 120-query batch, above-broadcast-cap regime ---------------
+    eng = SearchEngine(spark, idx)
+    assert int(meta["n_docs"]) > eng.docmeta_broadcast_max_docs, (
+        "not the at-scale regime this benchmark exists to measure"
+    )
+    eng.search("w4999", k=10)  # warm-up: session, parquet footers
+    walls = []
+    res120 = None
+    for t in range(trials):
+        t0 = time.time()
+        res120 = eng.search_many(QUERY_BATCH_120, k=10)
+        walls.append(round(time.time() - t0, 2))
+    best = min(walls)
+    result["batch120_trial_walls_s"] = walls
+    result["batch120_wall_s"] = best
+    result["batch120_qps"] = round(len(QUERY_BATCH_120) / best, 2)
+    result["batch120_qps_trial1"] = round(
+        len(QUERY_BATCH_120) / walls[0], 2
+    )
+    # 24-batch for continuity with SCALE10_RESULT.json
+    from query_scaling import QUERY_BATCH as B24
+
+    t0 = time.time()
+    eng.search_many(B24, k=10)
+    result["batch24_wall_s"] = round(time.time() - t0, 2)
+    # 480-batch: the amortization point — wall ≈ fixed + marginal·n, so
+    # report the fitted marginal rate alongside
+    t0 = time.time()
+    eng.search_many(batch480(), k=10)
+    w480 = time.time() - t0
+    result["batch480_wall_s"] = round(w480, 2)
+    result["batch480_qps"] = round(480 / w480, 2)
+    c = (w480 - result["batch24_wall_s"]) / (480 - 24)
+    result["marginal_s_per_query"] = round(c, 3)
+    result["marginal_qps_asymptote"] = round(1 / c, 2)
+
+    # rank-identity spot check vs the serving engine (every 17th query)
+    ls = LocalSearcher(idx)
+    spot = list(range(0, len(QUERY_BATCH_120), 17))
+    mism = [
+        QUERY_BATCH_120[i]
+        for i in spot
+        if list(res120[i]) != list(ls.search(QUERY_BATCH_120[i], k=10))
+    ]
+    result["rank_identity_spot_mismatches"] = mism
+    result["rank_identity_spot_n"] = len(spot)
+
+    # ---- Part B: sharded serving curve -------------------------------------
+    # cold      = stream A on a fresh searcher (segment reads + decode)
+    # cached    = stream A exact repeats (coordinator Q14 result cache)
+    # warm_decoded = stream B (NEW query strings over stream A's term
+    #   population) on the A-warmed searcher — decoded-term cache hits,
+    #   result-cache misses; its honest baseline is stream B on a SECOND
+    #   fresh searcher (streams differ in per-query term counts, so
+    #   cross-stream qps are not comparable)
+    cold_q = zipf_stream()
+    warm_q = warm_stream()
+    serving: dict[str, dict] = {}
+    for n_shards in (4, 8, 16):
+        base = ShardedSearcher(idx, n_shards=n_shards, parallel=True)
+        t0 = time.time()
+        for q in warm_q:
+            base.search(q, k=10)
+        warm_cold_s = time.time() - t0  # stream B, all-cold baseline
+        del base
+        sh = ShardedSearcher(idx, n_shards=n_shards, parallel=True)
+        t0 = time.time()
+        cold_res = [sh.search(q, k=10) for q in cold_q]
+        cold_s = time.time() - t0
+        t0 = time.time()
+        for q in cold_q:
+            sh.search(q, k=10)
+        cached_s = time.time() - t0
+        t0 = time.time()
+        for q in warm_q:
+            sh.search(q, k=10)
+        warm_s = time.time() - t0
+        ram = [shard_ram_bytes(s) for s in sh.shards]
+        serving[str(n_shards)] = {
+            "cold_qps": round(len(cold_q) / cold_s, 2),
+            "cached_qps": round(len(cold_q) / cached_s, 1),
+            "warm_decoded_qps": round(len(warm_q) / warm_s, 2),
+            "warm_stream_cold_qps": round(len(warm_q) / warm_cold_s, 2),
+            "warm_speedup": round(warm_cold_s / warm_s, 2),
+            "ram_per_shard_mb": round(max(ram) / 2**20, 1),
+            "ram_bytes_per_doc": round(
+                sum(ram) / meta["n_docs"], 1
+            ),
+        }
+        # identity spot check vs the unsharded serving engine
+        for i in (0, 7, 23, 41):
+            assert list(cold_res[i]) == list(ls.search(cold_q[i], k=10)), (
+                n_shards, cold_q[i]
+            )
+    result["serving_sharded"] = serving
+    # unsharded baselines, same stream protocol
+    ls2 = LocalSearcher(idx)
+    t0 = time.time()
+    for q in cold_q:
+        ls2.search(q, k=10)
+    result["serving_unsharded_cold_qps"] = round(
+        len(cold_q) / (time.time() - t0), 2
+    )
+    t0 = time.time()
+    for q in cold_q:
+        ls2.search(q, k=10)
+    result["serving_unsharded_cached_qps"] = round(
+        len(cold_q) / (time.time() - t0), 1
+    )
+    t0 = time.time()
+    for q in warm_q:
+        ls2.search(q, k=10)
+    result["serving_unsharded_warm_decoded_qps"] = round(
+        len(warm_q) / (time.time() - t0), 2
+    )
+    result["loadavg_end"] = round(os.getloadavg()[0], 2)
+
+    out = os.path.join(REPO, "bench", "SCALE10_QUERY.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -15686,6 +15686,64 @@ def q_near_positions(spark, sf_dir):
     )
 
 
+def q_proximity_rank(spark, sf_dir):
+    """Proximity-RANKED retrieval — the relational twin of
+    SearchEngine.search_proximity (positions.proximity_boost): docs
+    containing BOTH probe terms ranked by a term-frequency base score
+    plus the exact-integer proximity boost
+    ``PROXIMITY_SCALE // minimal-pair-distance`` (the standard
+    1/(window−k+1) term with k=2 over the inclusive minimal span — a
+    tight co-occurrence outranks a scattered one instead of NEAR's
+    binary filter). Same bounded per-doc pair join as q_near_positions:
+    fan-out is the per-doc occurrence counts of the two terms, never the
+    corpus; integer arithmetic end-to-end, no float drift vs the
+    oracle."""
+    from .positions import PROXIMITY_SCALE
+
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    toks = d.select("doc_id", F.posexplode(arr).alias("p", "t"))
+    t0 = toks.where(F.col("t") == NEAR_POS[0]).select(
+        "doc_id", F.col("p").alias("p0")
+    )
+    t1 = toks.where(F.col("t") == NEAR_POS[1]).select(
+        "doc_id", F.col("p").alias("p1")
+    )
+    spans = (
+        t0.join(t1, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("p0") - F.col("p1")))
+            .cast("long")
+            .alias("min_dist")
+        )
+    )
+    n0 = t0.groupBy("doc_id").agg(F.count("*").alias("n0"))
+    n1 = t1.groupBy("doc_id").agg(F.count("*").alias("n1"))
+    return (
+        spans.join(n0, "doc_id")
+        .join(n1, "doc_id")
+        .select(
+            "doc_id",
+            "n0",
+            "n1",
+            "min_dist",
+            F.floor(F.lit(PROXIMITY_SCALE) / F.col("min_dist"))
+            .cast("long")
+            .alias("boost"),
+            (
+                (F.col("n0") + F.col("n1")) * 100
+                + F.floor(F.lit(PROXIMITY_SCALE) / F.col("min_dist"))
+            )
+            .cast("long")
+            .alias("rank_score"),
+        )
+        .orderBy(F.desc("rank_score"), "doc_id")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -15734,6 +15792,15 @@ QUERIES = {
     "training_pipeline": q_training_pipeline,
     "dup_spans": q_dup_spans,
     "topk_ngrams": q_topk_ngrams,
+    # round-5 window swap (round-4 verdict #8): the positions-sidecar
+    # engine-core queries take the last three first-50 driver slots;
+    # bpe_merges/bpe_encode/winnow_candidates move just past the window
+    # (still driver-registered and pytest-oracled — only the sampled
+    # driver check window changes). Pinned by
+    # tests/test_entry.py::test_driver_window_core_first.
+    "phrase_positions": q_phrase_positions,
+    "near_positions": q_near_positions,
+    "proximity_rank": q_proximity_rank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "winnow_candidates": q_winnow_candidates,
@@ -15987,6 +16054,4 @@ QUERIES = {
     "cronbach_alpha": q_cronbach_alpha,
     "gini_split": q_gini_split,
     "srm_check": q_srm_check,
-    "phrase_positions": q_phrase_positions,
-    "near_positions": q_near_positions,
 }

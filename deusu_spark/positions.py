@@ -328,21 +328,19 @@ def _candidate_intervals(docs: np.ndarray, max_n: int = 64) -> list:
     return list(zip(lo.tolist(), hi.tolist()))
 
 
-def near_window_match(
-    pos_lists: list[np.ndarray], window: int
-) -> bool:
-    """True iff one position from EVERY list fits inside a token window
-    of size ``window`` (inclusive span: max−min < window). Classic
-    minimal-window sweep over the merged sorted positions — O(total·k)
-    with k lists, no pairwise products. Shared by the distributed and
-    serving NEAR verifiers so their semantics cannot drift."""
+def min_cover_window(pos_lists: list[np.ndarray]) -> int | None:
+    """Minimal inclusive token span (max − min + 1) of any window holding
+    at least one position from EVERY list — the classic minimal-window
+    sweep over the merged sorted positions, O(total·k) with k lists, no
+    pairwise products. None when a list is empty (no full co-occurrence).
+    ONE sweep shared by the NEAR verifier (match ⇔ span ≤ window) and the
+    proximity-ranked scorer (boost = scale // (span − k + 1)) on every
+    engine tier, so their semantics cannot drift."""
     k = len(pos_lists)
-    if k == 0:
-        return False
-    if any(len(p) == 0 for p in pos_lists):
-        return False
+    if k == 0 or any(len(p) == 0 for p in pos_lists):
+        return None
     if k == 1:
-        return True
+        return 1
     merged = np.concatenate(pos_lists)
     labels = np.concatenate(
         [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
@@ -352,18 +350,31 @@ def near_window_match(
     counts = np.zeros(k, dtype=np.int64)
     have = 0
     lo = 0
+    best: int | None = None
     for hi in range(len(merged)):
         if counts[labels[hi]] == 0:
             have += 1
         counts[labels[hi]] += 1
         while have == k:
-            if merged[hi] - merged[lo] < window:
-                return True
+            span = int(merged[hi] - merged[lo]) + 1
+            if best is None or span < best:
+                best = span
             counts[labels[lo]] -= 1
             if counts[labels[lo]] == 0:
                 have -= 1
             lo += 1
-    return False
+    return best
+
+
+def near_window_match(
+    pos_lists: list[np.ndarray], window: int
+) -> bool:
+    """True iff one position from EVERY list fits inside a token window
+    of size ``window`` (inclusive span: max−min < window)."""
+    if len(pos_lists) == 1:
+        return len(pos_lists[0]) > 0
+    w = min_cover_window(pos_lists)
+    return w is not None and (w - 1) < window
 
 
 def _decode_candidate_positions(
@@ -478,6 +489,97 @@ def verify_phrase_docs(
         .collect()
     )
     return np.asarray(sorted(r["doc_id"] for r in matched), dtype=np.int64)
+
+
+PROXIMITY_SCALE = 10_000  # adjacency boost; integer-exact across engines
+
+
+def proximity_boost(span: int | None, n_terms: int) -> int:
+    """Integer proximity boost for a doc whose minimal covering window of
+    all n_terms unique terms spans ``span`` body tokens: the standard
+    1/(window − k + 1) proximity term scaled to an exact integer
+    (floor division — no float drift between engines). A doc with no
+    full BODY co-occurrence (span None — e.g. a term matched only in the
+    title) gets 0: a valid AND result with no proximity evidence."""
+    if span is None:
+        return 0
+    return PROXIMITY_SCALE // (span - n_terms + 1)
+
+
+def proximity_rerank(fetch_rows, spans_of, k: int, n_terms: int):
+    """Shared coordinator loop for proximity-RANKED retrieval: page the
+    base AND ranking (``fetch_rows(fetch) -> [(doc, base)]`` score-desc)
+    and re-rank by base + proximity_boost, stopping when no unfetched
+    candidate can reach the current top-k — the boost is bounded by
+    PROXIMITY_SCALE, so once the next base score + SCALE falls strictly
+    below the k-th boosted score the ranking is final. ``spans_of(docs)``
+    returns {doc: minimal window span} for docs with full body
+    co-occurrence. Used by all three engine tiers (exactness argument
+    identical to the reference's two-pass '<1000 → full pass' shape)."""
+    fetch = max(4 * k, 64)
+    while True:
+        rows = fetch_rows(fetch)
+        spans = spans_of(
+            np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
+        ) if rows else {}
+        boosted = sorted(
+            (
+                (int(base) + proximity_boost(spans.get(d), n_terms), d)
+                for d, base in rows
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        if len(rows) < fetch:  # candidate stream exhausted — final
+            return [(d, s) for s, d in boosted[:k]]
+        if len(boosted) >= k:
+            theta = boosted[k - 1][0]
+            lowest_base = rows[-1][1]  # base ranking is score-desc
+            if lowest_base + PROXIMITY_SCALE < theta:
+                return [(d, s) for s, d in boosted[:k]]
+        fetch *= 4
+
+
+def min_span_docs(
+    spark: SparkSession,
+    vdir: str,
+    terms: list[str],
+    candidates: np.ndarray,
+    io=None,
+) -> dict[int, int]:
+    """{doc: minimal covering window span} over the candidate docs for
+    the unique ``terms`` — the distributed spans_of for proximity-ranked
+    retrieval (same candidate-range-pruned segment decode as NEAR; the
+    per-doc reduction is the shared min_cover_window sweep). Docs without
+    full body co-occurrence are absent."""
+    if not terms or len(candidates) == 0:
+        return {}
+    candidates = np.sort(np.asarray(candidates, dtype=np.int64))
+    ordinal = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+    decoded = _decode_candidate_positions(
+        spark, vdir, ordinal, candidates, io=io
+    )
+    n_terms = len(ordinal)
+
+    def span_group(pdf):
+        doc = int(pdf["doc_id"].iloc[0])
+        by_oi = {
+            int(oi): g["pos"].to_numpy(np.int64)
+            for oi, g in pdf.groupby("oi")
+        }
+        if len(by_oi) < n_terms:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "span": pd.Series([], dtype="int64")}
+            )
+        w = min_cover_window([by_oi[i] for i in range(n_terms)])
+        return pd.DataFrame({"doc_id": [doc], "span": [int(w)]})
+
+    rows = (
+        decoded.groupBy("doc_id")
+        .applyInPandas(span_group, schema="doc_id long, span long")
+        .collect()
+    )
+    return {int(r["doc_id"]): int(r["span"]) for r in rows}
 
 
 def verify_near_docs(

@@ -351,7 +351,7 @@ class SearchEngine:
             for t in terms
             if t.host is None and t.df > self.meta["fancy_threshold"]
         ]
-        if fancy_terms:
+        if fancy_terms and not self._fancy_provably_underfills(terms):
             rows, count = self._run_pass(
                 terms, k, w, use_fancy=True, prune=prune, need_count=True
             )
@@ -361,6 +361,36 @@ class SearchEngine:
             terms, k, w, use_fancy=False, prune=prune, need_count=False
         )
         return [(d, int(s)) for d, s in rows[:k]]
+
+    def _fancy_provably_underfills(self, terms: list[PlanTerm]) -> bool:
+        """True when the fancy pass's result count is PROVABLY below
+        MAX_RESULTS — the AND result set is no larger than any positive
+        term's posting count in the kinds that pass reads (fancy for hot
+        terms, full for cold) — so the reference's '<1000 → full pass'
+        rule (searchservernew.dpr:1848-1855) would fire unconditionally
+        and the fancy execution can be skipped. Host terms' doc counts
+        are not in the term metadata → False (keep the two-pass
+        protocol). Results are identical by construction; the saved pass
+        was ~25 % of the 120-query batch wall on the 10M-doc index."""
+        thr = self.meta["fancy_threshold"]
+        frames = self._fetch_term_meta(
+            sorted({t.key for t in terms if t.host is None})
+        )
+        bound = None
+        for t in terms:
+            if t.action == "NOT":
+                continue
+            if t.host is not None:
+                return False
+            kind = "fancy" if (not t.fancy_hole and t.df > thr) else "full"
+            sub = frames.get(t.key)
+            n = (
+                int(sub[sub["kind"] == kind]["n"].sum())
+                if sub is not None
+                else 0
+            )
+            bound = n if bound is None else min(bound, n)
+        return bound is not None and bound < MAX_RESULTS
 
     def search_many(
         self,
@@ -425,6 +455,16 @@ class SearchEngine:
                 t.host is None and t.df > self.meta["fancy_threshold"]
                 for t in terms
             )
+            # two-pass shortcut (shared with search()): a query whose
+            # fancy pass provably under-fills routes straight to the full
+            # batch, skipping its fancy execution AND the serial residual
+            # pass it would land in. Metadata is warm — no jobs.
+            # (Routing single-term queries through per-query block-max
+            # jobs instead of the union plan measured 5× SLOWER at 10M
+            # docs — 40 queries × per-job scan/scheduling overhead drowns
+            # the decode savings; the union plan IS the batch shape.)
+            if has_fancy and self._fancy_provably_underfills(terms):
+                has_fancy = False
             (fancy_batch if has_fancy else full_batch).append((qi, terms))
 
         # the fancy pass and the no-fancy full pass touch DISJOINT query
@@ -446,6 +486,8 @@ class SearchEngine:
 
         residual: list[tuple[int, list[PlanTerm]]] = []
         self._sidecars_py()  # build the broadcast once, outside the threads
+        out_fancy: dict = {}
+        out_full: dict = {}
         if fancy_batch and full_batch:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -453,18 +495,14 @@ class SearchEngine:
                 f_fancy = ex.submit(run_fancy)
                 f_full = ex.submit(run_full, list(full_batch))
                 out_fancy, out_full = f_fancy.result(), f_full.result()
-            for qi, _ in full_batch:
-                results[qi] = [
-                    (d, int(s)) for d, s in out_full.get(qi, [])[:k]
-                ]
         elif fancy_batch:
             out_fancy = run_fancy()
         elif full_batch:
             out_full = run_full(full_batch)
-            for qi, _ in full_batch:
-                results[qi] = [
-                    (d, int(s)) for d, s in out_full.get(qi, [])[:k]
-                ]
+        for qi, _ in full_batch:
+            results[qi] = [
+                (d, int(s)) for d, s in out_full.get(qi, [])[:k]
+            ]
         if fancy_batch:
             for qi, terms in fancy_batch:
                 rows = out_fancy.get(qi, [])
@@ -581,8 +619,13 @@ class SearchEngine:
             .join(F.broadcast(gi_map), "gi")
             .drop("gi")
         )
-        terms_flat = [t for _, terms, _ in live for t in terms]
-
+        # per-query AND/NOT + top-k in one aggregation + window. Shapes
+        # PROFILED SLOWER at 10M docs and reverted (kept here as the
+        # measured record): (a) a pandas partial-top-k before the window
+        # — crossed the whole candidate stream JVM↔Arrow once more;
+        # (b) a (qi, doc-salt) two-level window — paid a second full-size
+        # exchange; (c) routing single-term queries around the groupBy —
+        # the un-cached `scored` lineage re-executed once per consumer.
         ti_map = self.spark.createDataFrame(
             [
                 (t.ti, qi, t.action in ("SET", "AND"))
@@ -635,7 +678,7 @@ class SearchEngine:
         self.last_stats = {
             "strategy": "batch",
             "n_queries": len(batch),
-            "n_terms": len(terms_flat),
+            "n_terms": sum(len(terms) for _, terms, _ in live),
             "n_term_groups": len(rep_terms),
         }
         return out
@@ -735,6 +778,51 @@ class SearchEngine:
             if len(verified) >= k or len(rows) < fetch:
                 return verified[:k]
             fetch *= 4
+
+    def search_proximity(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Proximity-RANKED top-k: every AND result keeps its plain
+        integer score plus an exact-integer proximity boost
+        ``PROXIMITY_SCALE // (minimal_window_span − n_terms + 1)`` from
+        the positions sidecar (the standard 1/(window−k+1) proximity
+        term) — tight co-occurrences outrank scattered ones instead of
+        being a binary NEAR filter. Docs whose terms only co-occur
+        across title/url (no full body window) keep boost 0. Bounded
+        early termination: the base ranking pages ×4 until no unfetched
+        candidate can reach the current top-k (boost ≤ SCALE). The
+        reference has nothing like it — positions are the documented
+        deviation (DbTypes.pas:119-127); ranking semantics are pinned by
+        a brute-force text oracle + three-tier rank identity
+        (tests/test_proximity.py)."""
+        from .positions import (
+            has_positions,
+            min_span_docs,
+            phrase_pattern,
+            proximity_rerank,
+        )
+
+        if not has_positions(self.vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        terms = [t for _, t in phrase_pattern(query)]
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        qstr = " ".join(terms)
+        return proximity_rerank(
+            lambda fetch: self.search(qstr, k=fetch, weights=weights),
+            lambda cand: min_span_docs(
+                self.spark, self.vdir, uniq, cand, io=self.io
+            ),
+            k,
+            len(uniq),
+        )
 
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         """Q15 (ShowLink, searchservernew.dpr:1166-1204): join the engine's
@@ -1306,13 +1394,9 @@ class SearchEngine:
         _term_score_block on the same arrays."""
         side = self._sidecars_py()
         if side is None:
-            decoded = self._decode(
-                terms, use_fancy, intervals,
-                per_term_intervals=per_term_intervals,
+            return self._decode_score_grouped(
+                terms, use_fancy, intervals, per_term_intervals, w, mode
             )
-            if decoded is None:
-                return None
-            return self._score_rows(decoded, terms, w, mode=mode)
         plain = [t for t in terms if t.host is None]
         host = [t for t in terms if t.host is not None]
         parts: list[DataFrame] = []
@@ -1405,6 +1489,166 @@ class SearchEngine:
 
                 parts.append(
                     segs.mapInPandas(fused_fn, schema=SCORED_SCHEMA)
+                )
+        if host:
+            hdec = self._decode(
+                host, use_fancy, intervals,
+                per_term_intervals=per_term_intervals,
+            )
+            if hdec is not None:
+                parts.append(self._score_rows(hdec, host, w, mode=mode))
+        if not parts:
+            return None
+        out = parts[0]
+        for pth in parts[1:]:
+            out = out.unionByName(pth)
+        return out
+
+    def _decode_score_grouped(
+        self,
+        terms: list[PlanTerm],
+        use_fancy: bool,
+        intervals: np.ndarray | None,
+        per_term_intervals: dict[int, np.ndarray] | None,
+        w,
+        mode: str,
+    ) -> DataFrame | None:
+        """At-scale (above the sidecar broadcast cap) scored postings:
+        the docmeta sort-merge join runs on ONE row per distinct
+        (term, kind, location-mask) posting — query-term fan-out happens
+        AFTER the join, inside the score stage. A 120-query batch shares
+        its hot terms across dozens of queries; fanning out before the
+        join (the old shape) shuffled and sorted every shared term's
+        postings once PER QUERY — the dominant cost of the 10M-doc batch
+        profile. Scores are bit-identical to _score_rows: same
+        _term_score_block on the same masked arrays (rank-identity
+        pytest). Host terms keep the per-host-sized joined path."""
+        plain = [t for t in terms if t.host is None]
+        host = [t for t in terms if t.host is not None]
+        parts: list[DataFrame] = []
+        if plain:
+            segs, specs = self._plain_scan(
+                plain, use_fancy, intervals, per_term_intervals
+            )
+            if segs is not None:
+                # group key: (term, kind, url_only, title_only) — one
+                # decoded+joined row per group; gi -> the query terms it
+                # fans out to in the score stage
+                gkey: dict[tuple, int] = {}
+                dec_specs: dict[tuple[str, str], list] = {}
+                group_tis: dict[int, list[int]] = {}
+                for (term, kind), lst in specs.items():
+                    for ti, uo, to in lst:
+                        k4 = (term, kind, uo, to)
+                        if k4 not in gkey:
+                            gkey[k4] = len(gkey)
+                            dec_specs.setdefault((term, kind), []).append(
+                                (gkey[k4], uo, to)
+                            )
+                        group_tis.setdefault(gkey[k4], []).append(ti)
+                plan = {
+                    t.ti: {
+                        "idf": t.idf,
+                        "df": t.df,
+                        "include_bl": t.include_backlink,
+                        "is_host": False,
+                        "is_set": t.action == "SET",
+                        "hole": bool(t.fancy_hole),
+                    }
+                    for t in plain
+                }
+                max_bl = int(self.meta["max_backlinks"])
+                n_docs = int(self.meta["n_docs"])
+                avgdl = self.avgdl if mode == "bm25" else 1.0
+                tomb_bc = self._tomb_bc
+
+                def decode_fn(iterator):
+                    tomb = tomb_bc.value if tomb_bc is not None else None
+                    for pdf in iterator:
+                        gis, dids, fls = [], [], []
+                        for term, kind, blob in zip(
+                            pdf["term"], pdf["kind"], pdf["blob"]
+                        ):
+                            docs, flags = codec.decode(bytes(blob))
+                            if tomb is not None:
+                                docs, flags = codec.remove_sorted(
+                                    docs, flags, tomb
+                                )
+                            for gi, uo, to in dec_specs[(term, kind)]:
+                                if uo:
+                                    m = (flags & 4) != 0
+                                elif to:
+                                    m = (flags & 2) != 0
+                                else:
+                                    m = slice(None)
+                                d, f = docs[m], flags[m]
+                                gis.append(
+                                    np.full(len(d), gi, dtype=np.int32)
+                                )
+                                dids.append(d)
+                                fls.append(f.astype(np.int32))
+                        if gis:
+                            yield pd.DataFrame(
+                                {
+                                    "ti": np.concatenate(gis),
+                                    "doc_id": np.concatenate(dids),
+                                    "flags": np.concatenate(fls),
+                                }
+                            )
+
+                grouped = segs.mapInPandas(decode_fn, schema=DECODED_SCHEMA)
+                joined = grouped.join(self._docmeta_cols, "doc_id")
+
+                def score_fn(iterator):
+                    for pdf in iterator:
+                        n = len(pdf)
+                        if n == 0:
+                            continue
+                        gi = pdf["ti"].to_numpy(np.int32)
+                        flags = pdf["flags"].to_numpy(np.int64)
+                        fd = pdf["fd"].to_numpy(np.int64)
+                        he = pdf["he"].to_numpy(np.int64)
+                        rank = pdf["rank"].to_numpy(np.int64)
+                        bl = pdf["backlinks"].to_numpy(np.int64)
+                        dl = pdf["dl"].to_numpy(np.float64)
+                        doc_id = pdf["doc_id"].to_numpy(np.int64)
+                        tis_o, dids_o, scs_o = [], [], []
+                        for g, tis in group_tis.items():
+                            m = gi == g
+                            if not m.any():
+                                continue
+                            f_, fd_, he_, r_ = (
+                                flags[m], fd[m], he[m], rank[m]
+                            )
+                            b_, d_, doc_ = bl[m], dl[m], doc_id[m]
+                            for t_i in tis:
+                                p = plan[t_i]
+                                s = _term_score_block(
+                                    p, mode, n_docs, avgdl, max_bl, w,
+                                    f_, fd_, he_, r_, b_, d_,
+                                )
+                                dd = doc_
+                                if p["hole"]:
+                                    keep = (r_ > FANCY_RANK_LO) & (
+                                        r_ < FANCY_RANK_HI
+                                    )
+                                    dd, s = dd[keep], s[keep]
+                                tis_o.append(
+                                    np.full(len(dd), t_i, dtype=np.int32)
+                                )
+                                dids_o.append(dd)
+                                scs_o.append(s)
+                        if tis_o:
+                            yield pd.DataFrame(
+                                {
+                                    "ti": np.concatenate(tis_o),
+                                    "doc_id": np.concatenate(dids_o),
+                                    "score": np.concatenate(scs_o),
+                                }
+                            )
+
+                parts.append(
+                    joined.mapInPandas(score_fn, schema=SCORED_SCHEMA)
                 )
         if host:
             hdec = self._decode(

@@ -448,6 +448,58 @@ class LocalSearcher:
                 ok.add(doc)
         return ok
 
+    def _min_spans(
+        self, uniq: list[str], cand: np.ndarray
+    ) -> dict[int, int]:
+        """{doc: minimal covering window span} over sorted ``cand`` for
+        the unique terms — the serving spans_of for proximity ranking
+        (shared min_cover_window sweep; docs without full body
+        co-occurrence absent)."""
+        from .positions import min_cover_window
+
+        out: dict[int, int] = {}
+        if not len(cand):
+            return out
+        term_pos = self._candidate_positions(set(uniq), cand)
+        for doc in cand.tolist():
+            lists = [term_pos[t].get(doc) for t in uniq]
+            if any(p is None for p in lists):
+                continue
+            out[doc] = int(min_cover_window(lists))
+        return out
+
+    def search_proximity(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Serving-tier proximity-RANKED top-k — the exact twin of
+        SearchEngine.search_proximity (same shared rerank loop, boost and
+        sweep; rank-identical, tested)."""
+        from .positions import (
+            has_positions,
+            phrase_pattern,
+            proximity_rerank,
+        )
+
+        if not has_positions(self.vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        terms = [t for _, t in phrase_pattern(query)]
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        qstr = " ".join(terms)
+        return proximity_rerank(
+            lambda fetch: self.search(qstr, k=fetch, weights=weights),
+            lambda cand: self._min_spans(uniq, cand),
+            k,
+            len(uniq),
+        )
+
     def search_many(
         self,
         queries: list[str],
@@ -645,6 +697,14 @@ class ShardedSearcher:
         avgdl = total_dl / max(n_docs, 1)
         for s in self.shards:
             s.avgdl = avgdl
+        # Q14 result cache IN FRONT of the fan-out (exactly where the
+        # reference puts it, searchservernew.dpr:1077-1101, and where the
+        # class docstring has always placed it): a repeat costs zero shard
+        # work. Same 2048-slot crc32-keyed shape as LocalSearcher.
+        self._result_cache: dict[int, tuple[str, list]] = {}
+        self.cache_slots = 2048
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     def search(
         self,
@@ -656,6 +716,22 @@ class ShardedSearcher:
         w = dict(DEFAULT_WEIGHTS)
         if weights:
             w.update(weights)
+        if k > MAX_RESULTS:  # beyond the cached top-1000: compute directly
+            return self._search_uncached(query, k, w, mode)[:k]
+        cache_key = f"{query}\x00{mode}\x00{sorted(w.items())}"
+        slot = crc32(cache_key) % self.cache_slots
+        hit = self._result_cache.get(slot)
+        if hit is not None and hit[0] == cache_key:
+            self.cache_hits += 1
+            return hit[1][:k]
+        self.cache_misses += 1
+        rows = self._search_uncached(query, max(k, MAX_RESULTS), w, mode)
+        self._result_cache[slot] = (cache_key, rows)
+        return rows[:k]
+
+    def _search_uncached(
+        self, query: str, k: int, w: dict[str, int], mode: str
+    ) -> list[tuple[int, int]]:
         terms = self.shards[0].compile(query)
         if not terms:
             return []
@@ -805,6 +881,61 @@ class ShardedSearcher:
                 return verified[:k]
             fetch *= 4
 
+    def search_proximity(
+        self,
+        query: str,
+        k: int = 10,
+        weights: dict[str, int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Coordinator proximity-RANKED top-k — rank-identical to
+        LocalSearcher.search_proximity: base retrieval is the merged
+        coordinator search(); each shard computes minimal windows for its
+        own candidates (shared sweep), the coordinator merges the span
+        dicts and applies the shared rerank loop."""
+        from .positions import (
+            has_positions,
+            phrase_pattern,
+            proximity_rerank,
+        )
+
+        if not has_positions(self.shards[0].vdir):
+            raise RuntimeError(
+                "no positions sidecar on this index — build with "
+                "build_index(positions=True)"
+            )
+        terms = [t for _, t in phrase_pattern(query)]
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        qstr = " ".join(terms)
+
+        def spans_of(cand: np.ndarray) -> dict[int, int]:
+            work = []
+            for sh in self.shards:
+                lo = np.searchsorted(cand, sh.doc_lo, side="left")
+                hi = np.searchsorted(cand, sh.doc_hi, side="left")
+                if hi > lo:
+                    work.append((sh, cand[lo:hi]))
+            if self._pool is not None and len(work) > 1:
+                parts = list(
+                    self._pool.map(
+                        lambda a: a[0]._min_spans(uniq, a[1]), work
+                    )
+                )
+            else:
+                parts = [sh._min_spans(uniq, c) for sh, c in work]
+            out: dict[int, int] = {}
+            for p in parts:
+                out.update(p)
+            return out
+
+        return proximity_rerank(
+            lambda fetch: self.search(qstr, k=fetch, weights=weights),
+            spans_of,
+            k,
+            len(uniq),
+        )
+
     def fetch_results(self, rows: list[tuple[int, int]]) -> list:
         # doc ids are global; any shard's docmeta dataset read resolves them
         return self.shards[0].fetch_results(rows)
@@ -861,6 +992,12 @@ class FederatedSearcher:
             if parallel and len(self.parts) > 1
             else None
         )
+        # Q14 result cache in front of the part fan-out (same placement
+        # as ShardedSearcher — the coordinator is the query server)
+        self._result_cache: dict[int, tuple[str, list]] = {}
+        self.cache_slots = 2048
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     def term_df(self, term: str) -> int:
         return sum(p.term_df(term) for p in self.parts)
@@ -908,6 +1045,22 @@ class FederatedSearcher:
         w = dict(DEFAULT_WEIGHTS)
         if weights:
             w.update(weights)
+        if k > MAX_RESULTS:
+            return self._search_uncached(query, k, w, mode)[:k]
+        cache_key = f"{query}\x00{mode}\x00{sorted(w.items())}"
+        slot = crc32(cache_key) % self.cache_slots
+        hit = self._result_cache.get(slot)
+        if hit is not None and hit[0] == cache_key:
+            self.cache_hits += 1
+            return hit[1][:k]
+        self.cache_misses += 1
+        rows = self._search_uncached(query, max(k, MAX_RESULTS), w, mode)
+        self._result_cache[slot] = (cache_key, rows)
+        return rows[:k]
+
+    def _search_uncached(
+        self, query: str, k: int, w: dict[str, int], mode: str
+    ) -> list[tuple[int, int]]:
         terms = self.compile(query)
         if not terms:
             return []

@@ -114,7 +114,10 @@ DRIVER_WINDOW_CORE = [
     "lang_id", "quality_score", "token_count_bpe", "winnow_fingerprint",
     "embedding_near_dup_pairs", "pii_redact", "unigram_logprob",
     "dsir_weights", "training_pipeline", "dup_spans", "topk_ngrams",
-    "bpe_merges", "bpe_encode", "winnow_candidates",
+    # round-5 swap (verdict #8): the positions-sidecar engine core joins
+    # the driver-checked window; bpe_merges/bpe_encode/winnow_candidates
+    # moved just past it (still registered + pytest-oracled)
+    "phrase_positions", "near_positions", "proximity_rank",
 ]
 
 
