@@ -49,6 +49,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin-spread ``df`` across the cluster when its scan yields
+    fewer partitions than cores — single-row-group parquet files are
+    unsplittable (CLAUDE.md quirk), so a CPU-heavy map (tokenize / shingle
+    / md5) over a small-but-dense file otherwise runs on ONE task.
+    Conditional and scale-adaptive: a production-size input already has
+    >= defaultParallelism splits and passes through untouched (no extra
+    exchange of a 100 TB table), so this only fires where the map would
+    otherwise underuse the cluster (guide §2.2/§6.1)."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _tokens(df: DataFrame, col: str = "text") -> DataFrame:
     """doc_id + exploded non-empty lowercase tokens."""
     return (
@@ -182,9 +197,14 @@ def q_distinct_priorities(spark, sf_dir):
 
 def q_term_df(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # per-doc dedup is row-local (array_distinct before the explode), so the
+    # global (doc_id, t) distinct exchange disappears — ONE map-side-combined
+    # groupBy(t) shuffle instead of two full-token exchanges (guide §2.4);
+    # identical df counts: distinct-per-doc == distinct on (doc_id, t)
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
     return (
-        _tokens(d)
-        .distinct()
+        _spread(spark, d.select("text"))
+        .select(F.explode(F.array_distinct(arr)).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), "t")
@@ -246,15 +266,30 @@ def q_bm25_topk(spark, sf_dir):
     """Textbook BM25(k1=1.2, b=0.75) with binary TF over query
     {spark, join} — the engine's documented second scoring mode."""
     d = _t(spark, sf_dir, "documents")
-    n = d.count()
-    toks = _tokens(d)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
-    qt = toks.where(F.col("t").isin("spark", "join")).distinct()
+    # dl == size of the filtered token array (row-local — the old
+    # explode+groupBy shuffle computed exactly this count per doc), and the
+    # two driver jobs (d.count(), avg collect) fold into ONE aggregate:
+    # avg(when(dl>0)) averages over docs that produced tokens, matching the
+    # old groupBy-of-exploded-tokens domain; Spark's avg over longs is an
+    # exact integer sum divided once, so avgdl is bit-identical.
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    ds = _spread(spark, d.select("doc_id", "text"))
+    dl = ds.select("doc_id", F.size(arr).cast("long").alias("dl"))
+    n, avgdl = dl.agg(
+        F.count("*"), F.avg(F.when(F.col("dl") > 0, F.col("dl")))
+    ).collect()[0]
+    # per-doc distinct query-term hits, row-local (array_intersect dedupes)
+    # — replaces the exploded-tokens filter + global distinct exchange
+    qt = ds.select(
+        "doc_id",
+        F.explode(
+            F.array_intersect(arr, F.array(F.lit("spark"), F.lit("join")))
+        ).alias("t"),
+    )
     dfs = qt.groupBy("t").agg(F.count("*").alias("df"))
     scored = (
-        qt.join(dfs, "t")
-        .join(dl, "doc_id")
+        qt.join(F.broadcast(dfs), "t")
+        .join(dl.where(F.col("dl") > 0), "doc_id")
         .withColumn(
             "w",
             F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -280,7 +315,7 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return (
         d.select(F.md5(norm).alias("fp"))
@@ -507,7 +542,9 @@ def q_embedding_cosine_topk(spark, sf_dir):
     qv = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q")
     )
-    joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    joined = _spread(spark, e.where(F.col("vec_id") != 0)).crossJoin(
+        F.broadcast(qv)
+    )
     dot = F.aggregate(
         F.zip_with("embedding", "q", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -2682,15 +2719,49 @@ def q_minhash_lsh16(spark, sf_dir):
     One groupBy for signatures, band-key hash join for candidates — never
     all-pairs. UNCAPPED: runs over the whole documents table (this is the
     scale path the bench headline measures; candidate volume is bounded
-    by the b×r collision probability, not the corpus size)."""
+    by the b×r collision probability, not the corpus size).
+
+    Physical shape (r6): the per-doc signature — 16 min-hashes, the
+    distinct-shingle set and its size — is a PURE MAP: shingling,
+    dedup (array_distinct) and each min-hash (array_min over a
+    transform) all happen inside the row, so the signature table needs
+    ZERO exchanges (the round-5 plan exploded 5M shingle rows through a
+    distinct exchange plus a groupBy exchange, and re-ran that lineage
+    for every consumer — 22 parquet scans of documents). The map result
+    is localCheckpoint'ed (eager, per-invocation: recomputed from
+    parquet on every call, nothing survives across runs) so the 8 band
+    projections and the pair joins read the materialized ~n_docs-row
+    table. Exact Jaccard comes from array_intersect over the per-doc
+    distinct shingle sets, replacing the old full-shingle-table ×
+    candidates × full-shingle-table join: the shingle payload now
+    crosses exchanges only where candidate rows need it (guide
+    §2.3/§2.4 — move the payload once, decide on small rows)."""
     NH, R = 16, 4
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"m{i}:"), F.col("sh")))).alias(f"h{i}")
-            for i in range(NH)
-        ]
+    # same tokenizer + >=3-token gate as _shingles, kept row-local
+    arr = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    shset = F.expr(
+        "array_distinct(transform(sequence(0, size(_arr) - 3), "
+        "i -> concat_ws(' ', _arr[i], _arr[i+1], _arr[i+2])))"
+    )
+    # the 16×md5-per-shingle map is the dominant CPU of this query; spread
+    # it over every core when the scan is under-split (_spread is a no-op
+    # on production-size inputs)
+    sig = (
+        _spread(spark, d.select("doc_id", arr.alias("_arr")).where(F.size("_arr") >= 3))
+        .select("doc_id", shset.alias("shset"))
+        .select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform(shset, x -> md5(concat('m{i}:', x))))"
+                ).alias(f"h{i}")
+                for i in range(NH)
+            ],
+            F.size("shset").cast("bigint").alias("sz"),
+            "shset",
+        )
+        .localCheckpoint(eager=True)
     )
     bands = None
     for b in range(NH // R):
@@ -2707,40 +2778,33 @@ def q_minhash_lsh16(spark, sf_dir):
         .distinct()
     )
     sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(NH)]
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("shset").alias("set_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NH)],
     )
     sb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(NH)]
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("shset").alias("set_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NH)],
     )
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NH)
     ) / F.lit(float(NH))
-    pairs = cand.join(sa, "doc_a").join(sb, "doc_b").select(
-        "doc_a", "doc_b", F.round(est, 5).alias("est_jaccard")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            sh.alias("y"),
-            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.sh") == F.col("y.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # _shingles is DISTINCT per doc, so |array_intersect| is exactly the
+    # old inter-join's matching-row count (0 when disjoint — the old
+    # left-join coalesce(inter, 0) case)
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "est_jaccard",
+            F.round(est, 5).alias("est_jaccard"),
             F.round(
-                F.coalesce(F.col("inter"), F.lit(0))
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
-                5,
+                inter / (F.col("sz_a") + F.col("sz_b") - inter), 5
             ).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
