@@ -226,27 +226,40 @@ def main() -> None:
     #   cross-stream qps are not comparable)
     cold_q = zipf_stream()
     warm_q = warm_stream()
+    # min-of-N trials with FRESH searchers per trial (verdict item #4: the
+    # quoted minima must live in the committed artifact, per-trial walls +
+    # loadavg included — the bench.py protocol applied here)
+    b_trials = int(os.environ.get("SPARK_GRAFT_S10_B_TRIALS", "2"))
     serving: dict[str, dict] = {}
     for n_shards in (4, 8, 16):
-        base = ShardedSearcher(idx, n_shards=n_shards, parallel=True)
-        t0 = time.time()
-        for q in warm_q:
-            base.search(q, k=10)
-        warm_cold_s = time.time() - t0  # stream B, all-cold baseline
-        del base
-        sh = ShardedSearcher(idx, n_shards=n_shards, parallel=True)
-        t0 = time.time()
-        cold_res = [sh.search(q, k=10) for q in cold_q]
-        cold_s = time.time() - t0
-        t0 = time.time()
-        for q in cold_q:
-            sh.search(q, k=10)
-        cached_s = time.time() - t0
-        t0 = time.time()
-        for q in warm_q:
-            sh.search(q, k=10)
-        warm_s = time.time() - t0
+        per_trial: list[dict] = []
+        cold_res = None
+        for _tr in range(b_trials):
+            tr: dict = {"loadavg": round(os.getloadavg()[0], 2)}
+            base = ShardedSearcher(idx, n_shards=n_shards, parallel=True)
+            t0 = time.time()
+            for q in warm_q:
+                base.search(q, k=10)
+            tr["warm_cold_s"] = round(time.time() - t0, 3)  # stream B cold
+            del base
+            sh = ShardedSearcher(idx, n_shards=n_shards, parallel=True)
+            t0 = time.time()
+            cold_res = [sh.search(q, k=10) for q in cold_q]
+            tr["cold_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            for q in cold_q:
+                sh.search(q, k=10)
+            tr["cached_s"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            for q in warm_q:
+                sh.search(q, k=10)
+            tr["warm_s"] = round(time.time() - t0, 3)
+            per_trial.append(tr)
         ram = [shard_ram_bytes(s) for s in sh.shards]
+        cold_s = min(t["cold_s"] for t in per_trial)
+        cached_s = min(t["cached_s"] for t in per_trial)
+        warm_s = min(t["warm_s"] for t in per_trial)
+        warm_cold_s = min(t["warm_cold_s"] for t in per_trial)
         serving[str(n_shards)] = {
             "cold_qps": round(len(cold_q) / cold_s, 2),
             "cached_qps": round(len(cold_q) / cached_s, 1),
@@ -257,6 +270,7 @@ def main() -> None:
             "ram_bytes_per_doc": round(
                 sum(ram) / meta["n_docs"], 1
             ),
+            "per_trial": per_trial,
         }
         # identity spot check vs the unsharded serving engine
         for i in (0, 7, 23, 41):
@@ -265,24 +279,61 @@ def main() -> None:
             )
     result["serving_sharded"] = serving
     # unsharded baselines, same stream protocol
-    ls2 = LocalSearcher(idx)
-    t0 = time.time()
-    for q in cold_q:
-        ls2.search(q, k=10)
+    # stream B on a FRESH unsharded searcher — the honest baseline for the
+    # warm_decoded number (streams differ in per-query term counts, so the
+    # round-5 cold-vs-warm comparison across streams was apples/oranges;
+    # the sharded rows always had this column, the unsharded row did not)
+    un_trials: list[dict] = []
+    warm_cache = None
+    for _tr in range(b_trials):
+        tr = {"loadavg": round(os.getloadavg()[0], 2)}
+        ls_b = LocalSearcher(idx)
+        t0 = time.time()
+        for q in warm_q:
+            ls_b.search(q, k=10)
+        tr["warm_cold_s"] = round(time.time() - t0, 3)
+        del ls_b
+        ls2 = LocalSearcher(idx)
+        t0 = time.time()
+        for q in cold_q:
+            ls2.search(q, k=10)
+        tr["cold_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for q in cold_q:
+            ls2.search(q, k=10)
+        tr["cached_s"] = round(time.time() - t0, 4)
+        h0, m0, e0 = (
+            ls2.term_cache_hits,
+            ls2.term_cache_misses,
+            ls2.term_cache_evictions,
+        )
+        t0 = time.time()
+        for q in warm_q:
+            ls2.search(q, k=10)
+        tr["warm_s"] = round(time.time() - t0, 3)
+        warm_cache = {
+            "hits": ls2.term_cache_hits - h0,
+            "misses": ls2.term_cache_misses - m0,
+            "evictions": ls2.term_cache_evictions - e0,
+        }
+        un_trials.append(tr)
+    result["serving_unsharded_per_trial"] = un_trials
     result["serving_unsharded_cold_qps"] = round(
-        len(cold_q) / (time.time() - t0), 2
+        len(cold_q) / min(t["cold_s"] for t in un_trials), 2
     )
-    t0 = time.time()
-    for q in cold_q:
-        ls2.search(q, k=10)
     result["serving_unsharded_cached_qps"] = round(
-        len(cold_q) / (time.time() - t0), 1
+        len(cold_q) / min(t["cached_s"] for t in un_trials), 1
     )
-    t0 = time.time()
-    for q in warm_q:
-        ls2.search(q, k=10)
     result["serving_unsharded_warm_decoded_qps"] = round(
-        len(warm_q) / (time.time() - t0), 2
+        len(warm_q) / min(t["warm_s"] for t in un_trials), 2
+    )
+    result["serving_unsharded_warm_stream_cold_qps"] = round(
+        len(warm_q) / min(t["warm_cold_s"] for t in un_trials), 2
+    )
+    result["serving_unsharded_warm_cache"] = warm_cache
+    result["serving_unsharded_warm_speedup"] = round(
+        result["serving_unsharded_warm_decoded_qps"]
+        / max(result["serving_unsharded_warm_stream_cold_qps"], 1e-9), 2
     )
     result["loadavg_end"] = round(os.getloadavg()[0], 2)
 

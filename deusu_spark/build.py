@@ -999,7 +999,12 @@ def build_index(
             .groupBy("bucket", "term")
             .agg(F.count("*").alias("df"))
         )
-        lex = lex.sortWithinPartitions("bucket", "term")
+        # same sliver-file story as the segments write: re-key the
+        # vocabulary-sized aggregate so each bucket dir holds a few
+        # data-sized files instead of one per (agg task, bucket) pair
+        lex = lex.repartition(
+            F.col("bucket"), F.pmod(F.hash("term"), F.lit(4))
+        ).sortWithinPartitions("bucket", "term")
         if io.backend == "parquet":
             lex_tmp = lexicon_dir + "_tmp_fused"
             io.write(lex, lex_tmp, partition_by=["bucket"])
@@ -1124,9 +1129,24 @@ def build_index(
                 )
                 .sortWithinPartitions("term", "pack")
             )
-        encoded = stream.mapInArrow(
-            encode_fn, schema=SEGMENTS_SCHEMA
-        ).sortWithinPartitions("bucket", "term", "first_doc")
+        # segment rows are ~8× smaller than the posting stream that produced
+        # them, but a partitionBy(bucket) write straight off the encode tasks
+        # emits one sliver file per (task, bucket) pair — 2620 × 7 KB at
+        # bench scale, O(nparts_f × 64) tiny files at 100 TB. One cheap
+        # re-key of the ENCODED rows bounds the output layout: ~4 term
+        # slices per bucket, files sized by data not by task count (guide
+        # §6.2 — compact on write; the extra exchange moves only the
+        # compressed segments, never the raw postings).
+        seg_slices = max(4, nparts_f // 16)
+        encoded = (
+            stream.mapInArrow(encode_fn, schema=SEGMENTS_SCHEMA)
+            # no explicit partition count: AQE coalesces the re-key by
+            # advisory size, so file count tracks DATA volume at any scale
+            .repartition(
+                F.col("bucket"), F.pmod(F.hash("term"), F.lit(seg_slices))
+            )
+            .sortWithinPartitions("bucket", "term", "first_doc")
+        )
         if io.backend == "parquet":
             seg_tmp = postings_dir + "_tmp_fused"
             io.write(encoded, seg_tmp, partition_by=["bucket"])

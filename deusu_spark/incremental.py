@@ -54,7 +54,12 @@ def incremental_update(
     new_transcripts: DataFrame,
     **build_kwargs,
 ) -> dict:
-    """Append new conversations to the CURRENT index; returns delta metrics."""
+    """Append new conversations to the CURRENT index; returns delta metrics.
+
+    ``io`` in build_kwargs (a tableio.TableIO) is threaded through to the
+    delta build AND the positions sidecar append, so an Iceberg-backed
+    index keeps its maintained sidecar inside the catalog seam."""
+    io = build_kwargs.get("io")
     old_vdir = current_index_dir(out_dir)
     with open(os.path.join(old_vdir, "meta.json")) as f:
         old_meta = json.load(f)
@@ -139,6 +144,7 @@ def incremental_update(
             version=version,
             seg_size=int(old_pm.get("seg_size", old_meta["seg_size"])),
             n_salts=int(old_pm.get("n_salts", 8)),
+            io=io,
             append=True,
         )
 
@@ -243,7 +249,7 @@ def delete_conversations(
     return {"version": version, "n_tombstones": n_tomb}
 
 
-def compact_index(spark: SparkSession, out_dir: str) -> dict:
+def compact_index(spark: SparkSession, out_dir: str, io=None) -> dict:
     """Rewrite the CURRENT index generation into a fresh optimal physical
     layout WITHOUT re-tokenizing the corpus — the maintenance op between
     incremental appends and the reference's periodic full GenDb rebuild
@@ -402,9 +408,9 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
 
     pos_segments = None
     if posmod.has_positions(old_vdir):
-        pos_segments = posmod.compact_positions(spark, old_vdir, vdir)[
-            "n_segments"
-        ]
+        pos_segments = posmod.compact_positions(
+            spark, old_vdir, vdir, io=io
+        )["n_segments"]
 
     metrics = {
         "version": version,

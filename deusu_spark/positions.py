@@ -182,19 +182,30 @@ def build_positions(
         mode="append" if append else "overwrite",
     )
     n_segs = io.read(pos_dir).count()
-    # _POSMETA.json lives in the version dir on the filesystem either way
-    # (like meta.json/_lineage.jsonl) — the catalog holds the table data
+    _write_posmeta(pos_dir, seg_size, n_salts, n_segs, n_docs, vdir)
+    return {"positions_dir": pos_dir, "n_segments": n_segs}
+
+
+def _write_posmeta(
+    pos_dir: str, seg_size: int, n_salts: int, n_segs: int,
+    n_docs: int, vdir: str,
+) -> None:
+    """Write ``_POSMETA.json`` with the unlink-before-write guard.
+
+    The stamp lives in the version dir on the filesystem either way (like
+    meta.json/_lineage.jsonl) — the catalog holds the table data. The file
+    may be a hard link shared with an older version's sidecar (_link_tree
+    in incremental_update), so unlink before writing: a truncating open()
+    would otherwise rewrite the OLD version's stamp through the shared
+    inode."""
     os.makedirs(pos_dir, exist_ok=True)
     pm_path = os.path.join(pos_dir, "_POSMETA.json")
     if os.path.exists(pm_path):
-        # may be a hard link shared with an older version's sidecar —
-        # unlink before writing so the rewrite can't truncate history
         os.remove(pm_path)
     with open(pm_path, "w") as f:
         json.dump({"seg_size": seg_size, "n_salts": n_salts,
                    "n_segments": n_segs, "n_docs": n_docs,
                    "version": os.path.basename(vdir)}, f)
-    return {"positions_dir": pos_dir, "n_segments": n_segs}
 
 
 def has_positions(vdir: str) -> bool:
@@ -249,7 +260,7 @@ def compact_positions(
     n_salts = int(pm.get("n_salts", 8))
     salt_range = max(1, -(-n_docs // n_salts))
     tbl = (
-        spark.read.parquet(os.path.join(old_vdir, "positions"))
+        io.read(os.path.join(old_vdir, "positions"))
         .withColumn(
             "salt", F.floor(F.col("first_doc") / salt_range).cast("int")
         )
@@ -293,11 +304,8 @@ def compact_positions(
     )
     pos_dir = os.path.join(new_vdir, "positions")
     io.write(segs, pos_dir, partition_by=["bucket"], mode="overwrite")
-    n_segs = spark.read.parquet(pos_dir).count()
-    with open(os.path.join(pos_dir, "_POSMETA.json"), "w") as f:
-        json.dump({"seg_size": seg_size, "n_salts": n_salts,
-                   "n_segments": n_segs, "n_docs": n_docs,
-                   "version": os.path.basename(new_vdir)}, f)
+    n_segs = io.read(pos_dir).count()
+    _write_posmeta(pos_dir, seg_size, n_salts, n_segs, n_docs, new_vdir)
     return {"positions_dir": pos_dir, "n_segments": n_segs}
 
 
@@ -517,14 +525,21 @@ def proximity_rerank(fetch_rows, spans_of, k: int, n_terms: int):
     co-occurrence. Used by all three engine tiers (exactness argument
     identical to the reference's two-pass '<1000 → full pass' shape)."""
     fetch = max(4 * k, 64)
+    # spans are cached across pages: each ×4 page re-fetches the already
+    # -ranked candidates, but spans_of (a Spark segment-decode job on the
+    # distributed tier) only ever sees the NEWLY fetched docs — absent
+    # docs are cached as None so they are not re-probed either
+    known: dict[int, int | None] = {}
     while True:
         rows = fetch_rows(fetch)
-        spans = spans_of(
-            np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
-        ) if rows else {}
+        new = sorted(d for d, _ in rows if d not in known)
+        if new:
+            got = spans_of(np.asarray(new, dtype=np.int64))
+            for d in new:
+                known[d] = got.get(d)
         boosted = sorted(
             (
-                (int(base) + proximity_boost(spans.get(d), n_terms), d)
+                (int(base) + proximity_boost(known.get(d), n_terms), d)
                 for d, base in rows
             ),
             key=lambda x: (-x[0], x[1]),

@@ -101,11 +101,18 @@ class LocalSearcher:
         # is shared across queries — the serving-batch amortization (the
         # reference gets the analogous reuse from the OS page cache over
         # its always-open keys/fancy files, searchservernew.dpr:1464-1632).
-        # Size-bounded by total cached postings, FIFO-evicted; entries are
-        # marked read-only — every consumer works on masked copies.
+        # Size-bounded by total cached postings, LRU-evicted (hits refresh
+        # recency, so a hot term re-probed by every warm query survives a
+        # stream of one-shot tail terms — FIFO evicted hot entries in
+        # exactly insertion order and thrashed the 10M-doc warm stream);
+        # entries are marked read-only — every consumer works on masked
+        # copies. Hit/miss/eviction counters expose the accounting.
         self._term_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
         self._term_cache_elems = 0
         self.term_cache_max_elems = 1 << 22  # ~4M postings ≈ 64 MB int64 pairs
+        self.term_cache_hits = 0
+        self.term_cache_misses = 0
+        self.term_cache_evictions = 0
         # Q14 result cache — searchservernew.dpr:1077-1101: 2048 slots keyed
         # by crc32 of (query, weights, mode); a slot holds ONE entry (new
         # queries evict colliding ones), hits must match the full key. The
@@ -152,7 +159,12 @@ class LocalSearcher:
         ckey = (term, kind)
         hit = self._term_cache.get(ckey)
         if hit is not None:
+            # LRU refresh: re-insert so eviction order tracks recency
+            self._term_cache.pop(ckey)
+            self._term_cache[ckey] = hit
+            self.term_cache_hits += 1
             return hit
+        self.term_cache_misses += 1
         b = crc32(term) % 64
         flt = (
             (pads.field("bucket") == b)
@@ -197,9 +209,12 @@ class LocalSearcher:
                 and self._term_cache_elems + len(docs)
                 > self.term_cache_max_elems
             ):
+                # least-recently-used first (hits re-append, so iteration
+                # order == recency order)
                 old = next(iter(self._term_cache))
                 od, _ = self._term_cache.pop(old)
                 self._term_cache_elems -= len(od)
+                self.term_cache_evictions += 1
             docs.setflags(write=False)
             flags.setflags(write=False)
             self._term_cache[ckey] = (docs, flags)
