@@ -2796,9 +2796,13 @@ def q_minhash_lsh16(spark, sf_dir):
     # old inter-join's matching-row count (0 when disjoint — the old
     # left-join coalesce(inter, 0) case)
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    # candidate pairs are LSH-bounded (thousands), the signature table is
+    # corpus-sized and carries the shingle arrays — broadcast the SMALL
+    # side of both pair joins so sig streams map-side and its arrays never
+    # cross an exchange (guide §3.1)
+    half = sa.join(F.broadcast(cand), "doc_a")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sb.join(F.broadcast(half), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -14204,6 +14208,12 @@ def q_ipf_raking(spark, sf_dir):
     convergence itself is an oracle-checked column."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # the corpus-sized contingency join runs ONCE and is checkpointed:
+    # the n/nr/np_ probes and every raking round then read the r×c grid
+    # (tens of rows), not the orders join — the un-checkpointed version
+    # re-ran the join per probe AND doubled the plan per half-round
+    # (cells appears in both the margin aggregate and the join), which
+    # blew up Catalyst planning exponentially: 160 s at sf0.01, ~2 s now
     cells = (
         o.join(
             F.broadcast(c.select("c_custkey", "c_mktsegment")),
@@ -14215,6 +14225,10 @@ def q_ipf_raking(spark, sf_dir):
         )
         .agg(F.count("*").alias("cnt"))
         .withColumn("w", F.lit(1.0))
+        # r×c is metadata-scale by construction (segments × priorities) —
+        # one partition keeps every raking round a one-task job
+        .coalesce(1)
+        .localCheckpoint()
     )
     n = cells.agg(F.sum("cnt")).first()[0]
     nr = cells.select("r").distinct().count()
@@ -14237,6 +14251,7 @@ def q_ipf_raking(spark, sf_dir):
             cells.join(cm, "p")
             .withColumn("w", F.col("w") * col_target / F.col("csum"))
             .drop("csum")
+            .localCheckpoint()  # constant-depth lineage per round
         )
     err = (
         cells.groupBy("r")
