@@ -103,15 +103,15 @@ def main() -> None:
             tr = {"loadavg": round(os.getloadavg()[0], 2)}
             t0 = time.time()
             pres = [obj.search_phrase(q, k=10) for q in PHRASE_QUERIES]
-            tr["phrase_s"] = round(time.time() - t0, 2)
+            tr["phrase_s"] = round(time.time() - t0, 4)
             t0 = time.time()
             nres = [
                 obj.search_near(q, k=10, window=w) for q, w in NEAR_QUERIES
             ]
-            tr["near_s"] = round(time.time() - t0, 2)
+            tr["near_s"] = round(time.time() - t0, 4)
             t0 = time.time()
             xres = [obj.search_proximity(q, k=10) for q in PROX_QUERIES]
-            tr["prox_s"] = round(time.time() - t0, 2)
+            tr["prox_s"] = round(time.time() - t0, 4)
             per.append(tr)
         return per, pres, nres, xres
 
@@ -127,13 +127,13 @@ def main() -> None:
             "near_s": min(t["near_s"] for t in per),
             "prox_s": min(t["prox_s"] for t in per),
             "phrase_qps": round(
-                len(PHRASE_QUERIES) / min(t["phrase_s"] for t in per), 2
+                len(PHRASE_QUERIES) / max(min(t["phrase_s"] for t in per), 1e-9), 2
             ),
             "near_qps": round(
-                len(NEAR_QUERIES) / min(t["near_s"] for t in per), 2
+                len(NEAR_QUERIES) / max(min(t["near_s"] for t in per), 1e-9), 2
             ),
             "prox_qps": round(
-                len(PROX_QUERIES) / min(t["prox_s"] for t in per), 2
+                len(PROX_QUERIES) / max(min(t["prox_s"] for t in per), 1e-9), 2
             ),
         }
         if name == "distributed":
@@ -163,6 +163,10 @@ def main() -> None:
         pat = posmod.phrase_pattern(q)
         rows = ls.search(" ".join(t for _, t in pat), k=256)
         cand = np.asarray(sorted(d for d, _ in rows), dtype=np.int64)
+        if len(cand) == 0:
+            prune[q] = {"segments_read": 0, "of_total": total_segs,
+                        "fraction": 0.0, "note": "no AND candidates"}
+            continue
         iv = posmod._candidate_intervals(cand)
         read = 0
         for _, t in pat:
