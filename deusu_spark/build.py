@@ -1031,7 +1031,19 @@ def build_index(
         # same copy yields the hot-term set; above the cap, the string
         # layout + a hot-term collect (both re-derivable on resume)
         lex_df = io.read(lexicon_dir).select("bucket", "term", "df")
-        vocab_n = lex_df.count()
+        # parquet backend: the vocabulary already sits on disk in
+        # hive-partitioned parquet — a footer-metadata count and (under the
+        # cap) a direct local columnar read replace the count() job and the
+        # toArrow() collect job (guide §5: two fewer driver-blocking Spark
+        # jobs per build; the serving tier reads these dirs the same way)
+        lex_ds = None
+        if io.backend == "parquet":
+            import pyarrow.dataset as pads
+
+            lex_ds = pads.dataset(lexicon_dir, partitioning="hive")
+            vocab_n = lex_ds.count_rows()
+        else:
+            vocab_n = lex_df.count()
         dict_bc = None
         hot_bc = None
         tid_dim = None
@@ -1039,7 +1051,12 @@ def build_index(
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            ltbl = lex_df.toArrow().combine_chunks()
+            if lex_ds is not None:
+                ltbl = lex_ds.to_table(
+                    columns=["bucket", "term", "df"]
+                ).combine_chunks()
+            else:
+                ltbl = lex_df.toArrow().combine_chunks()
             order = pc.sort_indices(
                 ltbl,
                 sort_keys=[("bucket", "ascending"), ("term", "ascending")],
@@ -1323,27 +1340,55 @@ def build_index(
             # info.txt build-stats parity (GenDb.dpr:658-693): totals over
             # the lexicon (vocabulary-sized, metadata-scale job) + the
             # high-df term list. The reference appends per keys-step; here
-            # one report covers the whole generation.
-            lr = (
-                io.read(lexicon_dir)
-                .agg(
-                    F.count("*").alias("uw"),
-                    F.coalesce(F.sum("df"), F.lit(0)).alias("wo"),
+            # one report covers the whole generation. Under the same
+            # driver-copy cap the dict layout uses, both stats come from
+            # one local pyarrow read of the published parquet lexicon
+            # (bit-identical: count/sum/filter + the (-df, term) order the
+            # SQL used) — two fewer Spark jobs per build; above the cap or
+            # on a catalog backend the aggregate/collect jobs run as before.
+            lex_local = None
+            if io.backend == "parquet":
+                import pyarrow.dataset as pads
+
+                _lds = pads.dataset(lexicon_dir, partitioning="hive")
+                if _lds.count_rows() <= DICT_VOCAB_MAX:
+                    lex_local = _lds.to_table(columns=["term", "df"])
+            if lex_local is not None:
+                terms_l = lex_local.column("term").to_pylist()
+                dfs_l = lex_local.column("df").to_pylist()
+                lex_stats = {
+                    "unique_words": len(dfs_l),
+                    "word_occurrences": int(sum(dfs_l)),
+                }
+                high_df = sorted(
+                    (
+                        (t, int(d))
+                        for t, d in zip(terms_l, dfs_l)
+                        if d >= info_df_threshold
+                    ),
+                    key=lambda x: (-x[1], x[0]),
+                )[:INFO_TERM_LIST_CAP]
+            else:
+                lr = (
+                    io.read(lexicon_dir)
+                    .agg(
+                        F.count("*").alias("uw"),
+                        F.coalesce(F.sum("df"), F.lit(0)).alias("wo"),
+                    )
+                    .collect()[0]
                 )
-                .collect()[0]
-            )
-            lex_stats = {
-                "unique_words": int(lr["uw"]),
-                "word_occurrences": int(lr["wo"]),
-            }
-            high_df = [
-                (r["term"], int(r["df"]))
-                for r in io.read(lexicon_dir)
-                .where(F.col("df") >= info_df_threshold)
-                .orderBy(F.desc("df"), "term")
-                .limit(INFO_TERM_LIST_CAP)
-                .collect()
-            ]
+                lex_stats = {
+                    "unique_words": int(lr["uw"]),
+                    "word_occurrences": int(lr["wo"]),
+                }
+                high_df = [
+                    (r["term"], int(r["df"]))
+                    for r in io.read(lexicon_dir)
+                    .where(F.col("df") >= info_df_threshold)
+                    .orderBy(F.desc("df"), "term")
+                    .limit(INFO_TERM_LIST_CAP)
+                    .collect()
+                ]
         with open(os.path.join(vdir, "info.txt"), "w") as f:
             # reference line format: df right-aligned width 10, space, term
             for term, df_ in sorted(high_df, key=lambda x: (x[0])):
