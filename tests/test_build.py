@@ -248,3 +248,47 @@ def test_default_fuse_scatter_tracks_heap_per_core():
     assert default_fuse_scatter("yarn", "24g", "4")
     # unparseable memory config falls back to fused (the common case)
     assert default_fuse_scatter("spark://h:7077", "auto", "2")
+
+
+def test_high_df_order_matches_sql_shape(spark, tiny_corpus):
+    """meta.json's high_df_terms must carry the exact (df desc, term asc)
+    order the old SQL collect produced — publish now computes the list
+    driver-side from a local lexicon read under the dict cap, and the
+    ordering (not just the membership) is what bounds the INFO_TERM_LIST_CAP
+    truncation at scale."""
+    import json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deusu_spark.build import build_index
+
+    d = tempfile.mkdtemp(prefix="deusu_hdforder_")
+    try:
+        build_index(
+            spark,
+            spark.createDataFrame(tiny_corpus),
+            d,
+            fancy_threshold=300,
+            seg_size=256,
+            n_salts=2,
+            bucket_groups=2,
+            info_df_threshold=2,  # low bar => many entries incl. df ties
+        )
+        vdir = current_index_dir(d)
+        sql_order = [
+            [r["term"], int(r["df"])]
+            for r in spark.read.parquet(f"{vdir}/lexicon")
+            .where(F.col("df") >= 2)
+            .orderBy(F.desc("df"), "term")
+            .collect()
+        ]
+        with open(f"{vdir}/meta.json") as f:
+            meta = json.load(f)
+        assert meta["high_df_terms"] == sql_order
+        # ties exist in the fixture, so this pins the asc-term tie-break
+        dfs = [df for _, df in sql_order]
+        assert len(dfs) != len(set(dfs)), "fixture should produce df ties"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
